@@ -1,13 +1,162 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §7 (plan).
+  *
+  * Every implemented operator is exposed as a `queries` entry taking
+  * (spark, sfDir); each has a DuckDB oracle twin in `oracleSql` unless the op
+  * is not SQL-expressible (then a ScalaTest spec covers it — see §2 notes).
+  * Column names and rounding are aligned on both sides: the driver's compare
+  * sorts columns by name and hashes values.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    AggOps.q1PricingSummary(Tables.lineitem(spark, dir))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 SQL analytics surface
+    "q1_pricing_summary" -> ((s, d) => AggOps.q1PricingSummary(Tables.lineitem(s, d))),
+    "q3_shipping_priority" -> ((s, d) =>
+      AggOps.q3ShippingPriority(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q5_local_supplier" -> ((s, d) =>
+      AggOps.q5LocalSupplier(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
+        Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q6_forecast_revenue" -> ((s, d) => AggOps.q6ForecastRevenue(Tables.lineitem(s, d))),
+    "q10_returned_items" -> ((s, d) =>
+      AggOps.q10ReturnedItems(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
+        Tables.nation(s, d))),
+    "join_semi" -> ((s, d) => JoinOps.semiJoinBigOrders(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "join_anti" -> ((s, d) => JoinOps.antiJoinIdleCustomers(Tables.customer(s, d), Tables.orders(s, d))),
+    "mapside_join" -> ((s, d) => JoinOps.broadcastJoinBrandRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    "reduce_side_join" -> ((s, d) => JoinOps.outerJoinCustomerOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    "window_topk_per_group" -> ((s, d) => AggOps.windowTopKPerGroup(Tables.orders(s, d))),
+    "window_running_sum" -> ((s, d) => AggOps.windowRunningSum(Tables.orders(s, d))),
+    "agg_rollup" -> ((s, d) => AggOps.aggRollup(Tables.lineitem(s, d))),
+    "distinct_count" -> ((s, d) => AggOps.distinctCount(Tables.lineitem(s, d))),
+    "orders_by_month" -> ((s, d) => AggOps.ordersByMonth(Tables.orders(s, d))),
+    "db_pageview" -> ((s, d) => AggOps.dbPageview(Tables.events(s, d))),
+    "sessionize" -> ((s, d) => AggOps.sessionize(Tables.events(s, d))),
+    "events_hourly" -> ((s, d) => AggOps.eventsHourly(Tables.events(s, d))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+         round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+         round(avg(l_quantity),4) AS avg_qty,
+         round(avg(l_extendedprice),4) AS avg_price,
+         round(avg(l_discount),6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderpriority,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM customer JOIN orders ON c_custkey=o_custkey
+         JOIN lineitem ON o_orderkey=l_orderkey
+         WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY l_orderkey, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q5_local_supplier" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM region JOIN nation ON n_regionkey=r_regionkey
+         JOIN customer ON c_nationkey=n_nationkey
+         JOIN orders ON o_custkey=c_custkey
+         JOIN lineitem ON l_orderkey=o_orderkey
+         JOIN supplier ON l_suppkey=s_suppkey AND s_nationkey=c_nationkey
+         WHERE r_name='ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY n_name""",
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+         JOIN customer ON o_custkey=c_custkey
+         JOIN nation ON c_nationkey=n_nationkey
+         WHERE l_returnflag='R' AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "join_semi" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS o_totalprice_r
+         FROM orders WHERE EXISTS (
+           SELECT 1 FROM lineitem WHERE l_orderkey=o_orderkey AND l_quantity >= 49)""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey=c_custkey AND o_orderpriority='1-URGENT')""",
+    "mapside_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM lineitem JOIN part ON l_partkey=p_partkey GROUP BY p_brand""",
+    "reduce_side_join" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+         round(coalesce(sum(o_totalprice),0),2) AS total_spent
+         FROM customer LEFT JOIN orders ON c_custkey=o_custkey
+         GROUP BY c_custkey, c_name""",
+    "window_topk_per_group" ->
+      """SELECT * FROM (
+           SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS o_totalprice_r,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY round(o_totalprice,2) DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3""",
+    "window_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_total
+         FROM orders""",
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS returnflag,
+         coalesce(l_linestatus,'ALL') AS linestatus,
+         round(sum(l_quantity),2) AS sum_qty, count(*) AS n_rows
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "distinct_count" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps,
+         count(DISTINCT l_orderkey) AS n_orders FROM lineitem""",
+    "orders_by_month" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
+         round(sum(o_totalprice),2) AS total
+         FROM orders GROUP BY 1""",
+    "db_pageview" ->
+      """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
+         FROM events GROUP BY event_type""",
+    "sessionize" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch(ts)::BIGINT) OVER w IS NULL
+                    OR epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT) OVER w > 1800
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sessions AS (
+           SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM flagged)
+         SELECT user_id, session_id, count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+         FROM sessions GROUP BY user_id, session_id""",
+    "events_hourly" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+         count(*) AS n_events, round(sum(value),2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+  )
 }

@@ -1,0 +1,168 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation / analytics operators over the star schema.
+  *
+  * Reference analog: the Hive-on-MapReduce era workloads that hadoop-2.7.1
+  * executed as chained MR jobs (map-side partial combine → shuffle → reduce;
+  * see hadoop-mapreduce-project/.../mapreduce/Reducer.java:1 and the combiner
+  * contract in Job.setCombinerClass). Each op here is a single declarative
+  * plan: Catalyst plans partial aggregation (map-side combine) automatically,
+  * AQE re-plans shuffles at runtime, and every filter/projection is pushed
+  * into the parquet scan.
+  *
+  * Scale notes (100 TB): every groupBy key here is either low-cardinality
+  * (flags, months, event types — partial agg collapses the shuffle to ~nothing)
+  * or naturally partitioned (custkey, user_id — hash shuffle with AQE
+  * coalescing). No op materializes on the driver.
+  */
+object AggOps {
+
+  /** TPC-H Q1 pricing summary: wide aggregate with map-side partial agg.
+    * Doubles rounded so hash-compare survives summation-order differences. */
+  def q1PricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3 shipping priority: selective dim filter → join → agg → top-k.
+    * The customer filter is pushed to the scan; orders/lineitem join is a
+    * shuffle join; top-k is TakeOrdered (no global sort materialized). */
+  def q3ShippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    customer.filter(col("c_mktsegment") === "BUILDING")
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 local-supplier volume: 6-way star join. region/nation/supplier
+    * are broadcast (small dims at any SF); orders⋈lineitem is the only real
+    * shuffle. */
+  def q5LocalSupplier(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                      supplier: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    region.filter(col("r_name") === "ASIA")
+      .join(broadcast(nation), col("n_regionkey") === col("r_regionkey"))
+      .join(customer, col("c_nationkey") === col("n_nationkey"))
+      .join(orders, col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+                                 col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+
+  /** TPC-H Q6 forecast revenue: pushdown showcase — all three predicates land
+    * in the parquet scan; result is a single partial-agg'd scalar. */
+  def q6ForecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+           count(lit(1)).as("n_rows"))
+
+  /** TPC-H Q10 returned items: join + group by high-cardinality customer key. */
+  def q10ReturnedItems(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                       nation: DataFrame): DataFrame =
+    lineitem.filter(col("l_returnflag") === "R")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** Top-k rows per group via ranked window — the scalable "per-key top-N". */
+  def windowTopKPerGroup(orders: DataFrame, k: Int = 3): DataFrame = {
+    orders.select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice_r"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice_r").desc, col("o_orderkey"))))
+      .filter(col("rn") <= k)
+  }
+
+  /** Running aggregate over an ordered per-key window. */
+  def windowRunningSum(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+  }
+
+  /** ROLLUP grouping sets; NULL grouping keys coalesced to 'ALL' so the
+    * DuckDB hash-compare is unambiguous. */
+  def aggRollup(lineitem: DataFrame): DataFrame =
+    lineitem.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+              col("sum_qty"), col("n_rows"))
+
+  /** Exact distinct counts (the oracle-checkable face of cardinality ops;
+    * at 100 TB prefer approx_count_distinct — see benchmarks). */
+  def distinctCount(lineitem: DataFrame): DataFrame =
+    lineitem.agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** Time-bucketed aggregate; month emitted as a string so the compare is
+    * type-stable across engines. */
+  def ordersByMonth(orders: DataFrame): DataFrame =
+    orders.groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+
+  /** DBCountPageView analog (reference:
+    * hadoop-mapreduce-examples/src/main/java/org/apache/hadoop/examples/DBCountPageView.java:1):
+    * pageview-style rollup by type. */
+  def dbPageview(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** Batch sessionization: per-user lag-gap > 30 min starts a new session.
+    * Two windows over the same (user_id, ts) ordering → one shuffle; at
+    * 100 TB this partitions by user_id (high cardinality, no hot keys). */
+  def sessionize(events: DataFrame, gapSec: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val secs = unix_timestamp(col("ts"))
+    val newSession = when(lag(secs, 1).over(byUser).isNull ||
+                          secs - lag(secs, 1).over(byUser) > gapSec, 1).otherwise(0)
+    events
+      .withColumn("session_id", sum(newSession).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+           date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
+  }
+
+  /** Tumbling-window event counts — the batch twin of the streaming agg in
+    * graft.streaming (same grouping, watermark added on the stream side). */
+  def eventsHourly(events: DataFrame): DataFrame =
+    events.groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+}
