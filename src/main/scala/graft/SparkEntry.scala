@@ -43,6 +43,22 @@ object SparkEntry {
     "db_pageview" -> ((s, d) => AggOps.dbPageview(Tables.events(s, d))),
     "sessionize" -> ((s, d) => AggOps.sessionize(Tables.events(s, d))),
     "events_hourly" -> ((s, d) => AggOps.eventsHourly(Tables.events(s, d))),
+    // §2.1 MapReduce example surface
+    "wordcount" -> ((s, d) => TextOps.wordCount(Tables.documents(s, d))),
+    "grep_count" -> ((s, d) => TextOps.grepCount(Tables.documents(s, d))),
+    "multifile_wordcount" -> ((s, d) => TextOps.multiSourceWordCount(Seq(
+      Tables.documents(s, d).select("text"), Tables.part(s, d).select("p_name")))),
+    "word_stats" -> ((s, d) => TextOps.wordStats(Tables.documents(s, d))),
+    "topk_words" -> ((s, d) => TextOps.topKWords(Tables.documents(s, d))),
+    "word_histogram" -> ((s, d) => TextOps.wordHistogram(Tables.documents(s, d))),
+    "inverted_index" -> ((s, d) => TextOps.invertedIndex(Tables.documents(s, d))),
+    "global_sort" -> ((s, d) => SortOps.globalSortTopN(Tables.lineitem(s, d))),
+    "sort_validate" -> ((s, d) => SortOps.sortValidate(s, Tables.lineitem(s, d))),
+    "secondary_sort" -> ((s, d) => SortOps.secondarySort(Tables.events(s, d))),
+    "datagen" -> ((s, _) => DataGen.generate(s)),
+    "pi_estimate" -> ((s, _) => DataGen.piEstimate(s)),
+    "streaming_pipe" -> ((s, d) => PipeOps.pipeThrough(
+      s, Tables.documents(s, d), "doc_id", "text", Seq("tr", "a-z", "A-Z"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -158,5 +174,75 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
          count(*) AS n_events, round(sum(value),2) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "wordcount" ->
+      """SELECT word, count(*) AS n FROM (
+           SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+         WHERE word <> '' GROUP BY word""",
+    "grep_count" ->
+      """SELECT "match", count(*) AS n FROM (
+           SELECT unnest(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS "match"
+           FROM documents)
+         GROUP BY "match"""",
+    "multifile_wordcount" ->
+      """SELECT word, count(*) AS n FROM (
+           SELECT unnest(string_split_regex(txt, '\s+')) AS word FROM (
+             SELECT text AS txt FROM documents UNION ALL SELECT p_name FROM part))
+         WHERE word <> '' GROUP BY word""",
+    "word_stats" ->
+      """SELECT count(*) AS n_words, round(avg(len),6) AS mean_len,
+         round(median(len),6) AS median_len, round(stddev_pop(len),6) AS stddev_len
+         FROM (SELECT length(word) AS len FROM (
+           SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+           WHERE word <> '')""",
+    "topk_words" ->
+      """SELECT word, count(*) AS n FROM (
+           SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+         WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+    "word_histogram" ->
+      """SELECT n AS freq, count(*) AS n_words FROM (
+           SELECT word, count(*) AS n FROM (
+             SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+           WHERE word <> '' GROUP BY word)
+         GROUP BY n""",
+    "inverted_index" ->
+      """SELECT word, count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+         FROM (SELECT doc_id,
+                 unnest(list_distinct(string_split_regex(text, '\s+'))) AS word
+               FROM documents)
+         WHERE word <> '' GROUP BY word""",
+    "global_sort" ->
+      """SELECT row_number() OVER (ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS pos,
+         l_orderkey, l_linenumber, round(l_extendedprice,2) AS price
+         FROM lineitem ORDER BY pos LIMIT 1000""",
+    "sort_validate" ->
+      """SELECT count(*) AS row_cnt, CAST(0 AS BIGINT) AS inversions,
+         sum(CAST(round(l_extendedprice*100,0) AS BIGINT) + l_orderkey % 1000003 + l_linenumber) AS checksum
+         FROM lineitem""",
+    "secondary_sort" ->
+      """SELECT user_id,
+         string_agg(event_id::VARCHAR, ',' ORDER BY ts, event_id) AS ordered_events,
+         count(*) AS n_events
+         FROM events GROUP BY user_id""",
+    "datagen" ->
+      """WITH a AS (SELECT range AS id,
+             (range*1103515245+12345)%2147483648 AS r1 FROM range(10000)),
+         b AS (SELECT id, r1, (r1*1103515245+12345)%2147483648 AS r2 FROM a)
+         SELECT id, r1, r2,
+           (['alpha','beta','gamma','delta','epsilon','zeta','eta','theta','iota',
+             'kappa','lambda','mu','nu','xi','omicron','pi','rho','sigma','tau',
+             'upsilon'])[(r1%20+1)::INT] AS word,
+           round(r2/2147483648.0, 9) AS value
+         FROM b""",
+    "pi_estimate" ->
+      """WITH a AS (SELECT range AS id,
+             (range*1103515245+12345)%2147483648 AS xi FROM range(100000)),
+         b AS (SELECT xi, (xi*1103515245+12345)%2147483648 AS yi FROM a),
+         c AS (SELECT xi/2147483648.0 AS x, yi/2147483648.0 AS y FROM b)
+         SELECT count(*) AS n,
+           sum(CASE WHEN x*x + y*y <= 1.0 THEN 1 ELSE 0 END) AS in_circle,
+           round(sum(CASE WHEN x*x + y*y <= 1.0 THEN 1 ELSE 0 END) * 4.0 / count(*), 6) AS pi_est
+         FROM c""",
+    "streaming_pipe" ->
+      """SELECT doc_id, upper(text) AS out FROM documents""",
   )
 }

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The wordcount/grep family — the reference's canonical MapReduce examples,
+  * re-expressed as single declarative aggregation plans.
+  *
+  * Reference analogs (hadoop-mapreduce-examples/src/main/java/org/apache/hadoop/examples/):
+  *  - WordCount.java:1 (tokenize → map (word,1) → combine → reduce sum)
+  *  - Grep.java:1 (regex match → count → sort desc by count)
+  *  - MultiFileWordCount.java:1 (many inputs, one aggregation)
+  *  - WordMean.java:1 / WordMedian.java:1 / WordStandardDeviation.java:1
+  *  - AggregateWordCount.java:1 / AggregateWordHistogram.java:1
+  *
+  * The MR combiner (map-side partial sum) is exactly Spark's partial
+  * HashAggregate before the shuffle — free in every plan below. At 100 TB the
+  * shuffle carries only (word, partial_count) pairs, bounded by vocabulary
+  * size per task, not corpus size.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer shared by every op (and mirrored in the DuckDB
+    * oracles as string_split_regex(text,'\s+') with empties dropped). */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  /** WordCount: one explode + one partial-agg'd groupBy. */
+  def wordCount(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** Grep: count occurrences of each regex match across the corpus. */
+  def grepCount(docs: DataFrame, pattern: String = "[a-z]+a[a-z]*"): DataFrame =
+    docs.select(explode(regexp_extract_all(col("text"), lit(pattern), lit(0))).as("match"))
+      .groupBy(col("match")).agg(count(lit(1)).as("n"))
+
+  /** MultiFileWordCount: union of heterogeneous text sources → same plan. */
+  def multiSourceWordCount(sources: Seq[DataFrame]): DataFrame =
+    wordCount(sources.map(_.toDF("text")).reduce(_ unionAll _))
+
+  /** WordMean/WordMedian/WordStandardDeviation in one pass over token lengths. */
+  def wordStats(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("word"))
+      .select(length(col("word")).as("len"))
+      .agg(count(lit(1)).as("n_words"),
+           round(avg(col("len")), 6).as("mean_len"),
+           round(expr("percentile(len, 0.5)"), 6).as("median_len"),
+           round(stddev_pop(col("len")), 6).as("stddev_len"))
+
+  /** Top-k words by frequency (AggregateWordCount + the top-k idiom).
+    * TakeOrdered at scale — no global sort materialized. */
+  def topKWords(docs: DataFrame, k: Int = 20): DataFrame =
+    wordCount(docs).orderBy(col("n").desc, col("word")).limit(k)
+
+  /** AggregateWordHistogram: frequency-of-frequencies. */
+  def wordHistogram(docs: DataFrame): DataFrame =
+    wordCount(docs).groupBy(col("n").as("freq")).agg(count(lit(1)).as("n_words"))
+
+  /** Inverted index: word → document frequency + smallest posting. The full
+    * posting list is the pre-aggregation (word, doc_id) relation itself;
+    * at scale cap posting lists via df filters downstream. */
+  def invertedIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("word"))
+      .groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("first_doc"))
+}
