@@ -59,6 +59,19 @@ object SparkEntry {
     "pi_estimate" -> ((s, _) => DataGen.piEstimate(s)),
     "streaming_pipe" -> ((s, d) => PipeOps.pipeThrough(
       s, Tables.documents(s, d), "doc_id", "text", Seq("tr", "a-z", "A-Z"))),
+    // §2.3 LLM-data-pipeline operators
+    "dedup_exact" -> ((s, d) => DedupOps.dedupExact(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(Tables.documents(s, d))),
+    "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(Tables.documents(s, d))),
+    "embedding_neardup" -> ((s, d) => SimilarityOps.embeddingNearDup(s, Tables.embeddings(s, d))),
+    "ann_bruteforce_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, Tables.embeddings(s, d))),
+    "ann_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopK(s, Tables.embeddings(s, d))),
+    "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
+    "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d))),
+    "multimodal_meta" -> ((s, d) => MultimodalOps.multimodalMeta(Tables.documents(s, d))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -216,7 +229,7 @@ object SparkEntry {
          FROM lineitem ORDER BY pos LIMIT 1000""",
     "sort_validate" ->
       """SELECT count(*) AS row_cnt, CAST(0 AS BIGINT) AS inversions,
-         sum(CAST(round(l_extendedprice*100,0) AS BIGINT) + l_orderkey % 1000003 + l_linenumber) AS checksum
+         CAST(sum(CAST(round(l_extendedprice*100,0) AS BIGINT) + l_orderkey % 1000003 + l_linenumber) AS BIGINT) AS checksum
          FROM lineitem""",
     "secondary_sort" ->
       """SELECT user_id,
@@ -239,10 +252,103 @@ object SparkEntry {
          b AS (SELECT xi, (xi*1103515245+12345)%2147483648 AS yi FROM a),
          c AS (SELECT xi/2147483648.0 AS x, yi/2147483648.0 AS y FROM b)
          SELECT count(*) AS n,
-           sum(CASE WHEN x*x + y*y <= 1.0 THEN 1 ELSE 0 END) AS in_circle,
+           CAST(sum(CASE WHEN x*x + y*y <= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS in_circle,
            round(sum(CASE WHEN x*x + y*y <= 1.0 THEN 1 ELSE 0 END) * 4.0 / count(*), 6) AS pi_est
          FROM c""",
     "streaming_pipe" ->
       """SELECT doc_id, upper(text) AS out FROM documents""",
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS canonical_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(text)""",
+    "dedup_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(t)>=3
+             THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+                                 FOR i IN generate_series(1, len(t)-2)])
+             ELSE [] END AS s FROM tok),
+         ex AS (SELECT doc_id, unnest(s) AS sg, len(s) AS nsh FROM sh WHERE len(s)>0),
+         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
+             any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+           FROM ex a JOIN ex b ON a.sg=b.sg AND a.doc_id<b.doc_id GROUP BY 1,2)
+         SELECT a_id, b_id, round(inter/(na+nb-inter),6) AS jacc FROM pairs
+         WHERE round(inter/(na+nb-inter),6) >= 0.5""",
+    "dedup_minhash_lsh" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(t)>=3
+             THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+                                 FOR i IN generate_series(1, len(t)-2)])
+             ELSE [] END AS s FROM tok),
+         ex AS (SELECT doc_id, unnest(s) AS sg, len(s) AS nsh FROM sh WHERE len(s)>0),
+         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
+             any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+           FROM ex a JOIN ex b ON a.sg=b.sg AND a.doc_id<b.doc_id GROUP BY 1,2)
+         SELECT a_id, b_id, round(inter/(na+nb-inter),6) AS jacc FROM pairs
+         WHERE round(inter/(na+nb-inter),6) >= 0.8""",
+    "embedding_neardup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),5) AS cos
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),5) >= 0.4""",
+    "ann_bruteforce_topk" ->
+      """WITH scored AS (
+           SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]),6) AS cos
+           FROM embeddings q JOIN embeddings n ON n.vec_id <> q.vec_id
+           WHERE q.vec_id < 10),
+         ranked AS (SELECT q_id, n_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM scored)
+         SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 5""",
+    "lang_id" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         sc AS (SELECT doc_id,
+           len(list_filter(t, x->list_contains(['der','die','das','und','ein','eine','zu','von'], x))) AS s_de,
+           len(list_filter(t, x->list_contains(['the','a','of','and','to','in','is','it'], x))) AS s_en,
+           len(list_filter(t, x->list_contains(['el','la','de','los','las','que','y','en'], x))) AS s_es,
+           len(list_filter(t, x->list_contains(['le','la','les','des','un','une','et','du'], x))) AS s_fr,
+           len(list_filter(t, x->list_contains(['zhong','wen','shi','bu','wo','ni','ta','men'], x))) AS s_zh
+           FROM tok)
+         SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+           CASE WHEN greatest(s_de,s_en,s_es,s_fr,s_zh)=0 THEN 'und'
+                WHEN s_de=greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'de'
+                WHEN s_en=greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'en'
+                WHEN s_es=greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'es'
+                WHEN s_fr=greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+         FROM sc""",
+    "quality_score" ->
+      """WITH tok AS (SELECT doc_id, text,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         c AS (SELECT doc_id, length(text) AS n_chars, len(t) AS n_tokens,
+             len(list_filter(t, x->list_contains(['the','a','of','and','to','in','is','it'], x))) AS n_stop,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+             list_sum(list_transform(t, x->length(x))) AS tls FROM tok)
+         SELECT doc_id, n_chars, n_tokens, n_stop, n_punct,
+           round(tls / (CASE WHEN n_tokens>0 THEN n_tokens ELSE 1 END)::DOUBLE, 6) AS mean_tok_len,
+           round(n_stop / (CASE WHEN n_tokens>0 THEN n_tokens ELSE 1 END)::DOUBLE, 6) AS stop_ratio,
+           round(n_punct / (CASE WHEN n_chars>0 THEN n_chars ELSE 1 END)::DOUBLE, 6) AS punct_ratio,
+           round(least(1.0, n_tokens/50.0)*0.4
+             + round(n_stop / (CASE WHEN n_tokens>0 THEN n_tokens ELSE 1 END)::DOUBLE, 6)*0.4
+             + (1.0 - round(n_punct / (CASE WHEN n_chars>0 THEN n_chars ELSE 1 END)::DOUBLE, 6))*0.2, 6) AS quality
+         FROM c""",
+    "token_count" ->
+      """SELECT doc_id,
+         len(list_filter(string_split_regex(text,'\s+'), x->x<>'')) AS n_ws,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe,
+         length(text) AS n_chars
+         FROM documents""",
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp, substr(md5(text),1,8) AS fp8,
+         length(text) AS n_chars,
+         len(list_filter(string_split_regex(text,'\s+'), x->x<>'')) AS n_tokens
+         FROM documents""",
+    "multimodal_meta" ->
+      """SELECT doc_id, strlen(text) AS byte_len, md5(text) AS content_md5,
+         CASE WHEN ascii(text[1])%3=0 THEN 'image'
+              WHEN ascii(text[1])%3=1 THEN 'audio'
+              ELSE 'video' END AS kind
+         FROM documents""",
   )
 }

@@ -99,7 +99,8 @@ object AggOps {
     orders.select(col("o_custkey"), col("o_orderkey"),
         round(col("o_totalprice"), 2).as("o_totalprice_r"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice_r").desc, col("o_orderkey"))))
+        Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice_r").desc, col("o_orderkey")))
+        .cast("long"))
       .filter(col("rn") <= k)
   }
 

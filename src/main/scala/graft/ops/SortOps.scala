@@ -39,7 +39,8 @@ object SortOps {
       .limit(n)
     // n rows only → the single-partition window is fine at any SF.
     top.withColumn("pos", row_number().over(
-        Window.orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))))
+        Window.orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")))
+        .cast("long"))
       .select(col("pos"), col("l_orderkey"), col("l_linenumber"),
               round(col("l_extendedprice"), 2).as("price"))
   }
