@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources & sinks — the HDFS-surface analog.
+  *
+  * Reference analogs: HDFS client + FileInputFormat/FileOutputFormat
+  * (hadoop-hdfs-project, hadoop-mapreduce-client-core), hadoop-distcp
+  * (distributed copy/re-layout), hadoop-archives (HAR small-file compaction).
+  * Spark reads/writes the storage layer natively; these helpers pin down the
+  * layout decisions that matter at 100 TB: partitioned directories for
+  * pruning, bounded file counts, and target file sizes.
+  */
+object IO {
+
+  def readParquet(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+  def readCsv(spark: SparkSession, path: String, header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).option("inferSchema", "true").csv(path)
+  def readJson(spark: SparkSession, path: String): DataFrame = spark.read.json(path)
+  def readOrc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
+  def readText(spark: SparkSession, path: String): DataFrame = spark.read.text(path)
+
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** distcp analog: copy a dataset into a new layout — optionally partitioned
+    * by a column (→ directory pruning) with a bounded file count per
+    * partition. A distributed copy is "read → (re)partition → write": every
+    * task copies a slice, no driver bottleneck. */
+  def relayout(spark: SparkSession, inPath: String, outPath: String,
+               partitionCol: Option[String] = None, filesPerPartition: Int = 8): Unit = {
+    val df = spark.read.parquet(inPath)
+    val re = partitionCol match {
+      case Some(c) => df.repartition(filesPerPartition, col(c))
+      case None    => df.repartition(filesPerPartition)
+    }
+    writeParquet(re, outPath, partitionCol.toSeq)
+  }
+
+  /** HAR analog: compact a many-small-files dataset to ~targetFileBytes
+    * files. File count derived from the actual input size (cheap metadata
+    * scan), so it adapts at any SF. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val df = spark.read.parquet(inPath)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1, (bytes / BigInt(targetFileBytes)).toInt)
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream.
+  *
+  * Reference analog: hadoop-2.7.1 has no streaming engine — the closest
+  * surface is incremental MR jobs over growing HDFS directories. The
+  * Spark-native replacement is Structured Streaming: the SAME declarative
+  * plans as the batch ops (AggOps.eventsHourly / AggOps.sessionize are the
+  * batch twins), run incrementally with watermarks bounding state.
+  *
+  * Scale: state is partitioned by group key across executors; watermarks
+  * evict state, so memory is O(active keys × window), not O(history).
+  */
+object Streams {
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                event_type: String, value: Double)
+  case class Session(user_id: Long, session_start: Timestamp,
+                     session_end: Timestamp, n_events: Long)
+
+  /** Tumbling hourly counts with a watermark (batch twin: eventsHourly).
+    * Append-mode-safe: results finalize when the watermark passes. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+
+  /** Custom-state sessionization: flatMapGroupsWithState with event-time
+    * timeout. A session closes when the gap exceeds gapSec (decided against
+    * the watermark clock), emitting (user, start, end, n). */
+  def sessionize(events: Dataset[Ev], gapSec: Long = 1800L,
+                 watermark: String = "2 hours"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, evs: Iterator[Ev],
+               state: GroupState[(Timestamp, Timestamp, Long)]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val (s, e, n) = state.get
+        state.remove()
+        Iterator(Session(userId, s, e, n))
+      } else {
+        val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var out = List.empty[Session]
+        var cur = state.getOption
+        sorted.foreach { ev =>
+          cur match {
+            case Some((s, e, n)) if ev.ts.getTime - e.getTime <= gapSec * 1000 =>
+              cur = Some((s, ev.ts, n + 1))
+            case Some((s, e, n)) =>
+              out ::= Session(userId, s, e, n)
+              cur = Some((ev.ts, ev.ts, 1L))
+            case None =>
+              cur = Some((ev.ts, ev.ts, 1L))
+          }
+        }
+        cur.foreach { c =>
+          state.update(c)
+          state.setTimeoutTimestamp(c._2.getTime + gapSec * 1000)
+        }
+        out.reverseIterator
+      }
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Semantics specs for operators whose oracle check is rows-only, plus
+  * invariants the DuckDB hash-compare can't express. Runs on sf0.001. */
+class OpsSpec extends SparkSpecBase {
+
+  private def docs = Tables.documents(spark, sfDir)
+  private def li = Tables.lineitem(spark, sfDir)
+  private def emb = Tables.embeddings(spark, sfDir)
+
+  test("wordcount totals equal raw token count") {
+    val total = TextOps.wordCount(docs).agg(sum("n")).head.getLong(0)
+    val direct = docs.select(size(TextOps.tokens(col("text"))).as("k"))
+      .agg(sum("k")).head.getLong(0)
+    assert(total == direct && total > 0)
+  }
+
+  test("minhash-LSH pair set equals exact ngram-jaccard at tau=0.8") {
+    val exact = DedupOps.ngramJaccardPairs(docs, tau = 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashLshPairs(docs, tau = 0.8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"LSH recall failure: missing=${exact -- lsh} extra=${lsh -- exact}")
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+  }
+
+  test("simhash pairs: near-dup docs land within hamming budget") {
+    val pairs = DedupOps.simhashPairs(docs, maxHamming = 6).collect()
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 6))
+    // every very-near pair by jaccard should also be simhash-near
+    val nearJacc = DedupOps.ngramJaccardPairs(docs, tau = 0.9)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val simSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (nearJacc.isEmpty) 1.0
+      else nearJacc.count(simSet.contains).toDouble / nearJacc.size
+    assert(recall >= 0.8, s"simhash recall on j>=0.9 pairs was $recall")
+  }
+
+  test("exact dedup partitions the corpus") {
+    val d = DedupOps.dedupExact(docs)
+    assert(d.agg(sum("n_copies")).head.getLong(0) == docs.count())
+  }
+
+  test("IVF ANN recall vs brute force") {
+    val bf = SimilarityOps.bruteForceTopK(spark, emb)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.ivfTopK(spark, emb)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.count(ivf.contains).toDouble / bf.size
+    assert(recall >= 0.3, s"IVF recall was $recall") // random vectors: probing 3/10 buckets
+    assert(ivf.map(_._1) == bf.map(_._1), "every query answered")
+  }
+
+  test("teraSort output validates: zero inversions, checksum matches direct sum") {
+    val v = SortOps.sortValidate(spark, li).head
+    assert(v.getAs[Long]("inversions") == 0L)
+    assert(v.getAs[Long]("row_cnt") == li.count())
+    val direct = li.select(
+      sum(expr("cast(round(l_extendedprice*100, 0) as bigint) + l_orderkey % 1000003 + l_linenumber")))
+      .head.getLong(0)
+    assert(v.getAs[Long]("checksum") == direct)
+  }
+
+  test("sessionize conserves events and respects the gap") {
+    val ev = Tables.events(spark, sfDir)
+    val sess = AggOps.sessionize(ev)
+    assert(sess.agg(sum("n_events")).head.getLong(0) == ev.count())
+    assert(sess.filter(col("session_end") < col("session_start")).count() == 0)
+  }
+
+  test("datagen is the documented LCG") {
+    val rows = DataGen.generate(spark, 3).orderBy("id").collect()
+    assert(rows(0).getAs[Long]("r1") == 12345L)
+    assert(rows(1).getAs[Long]("r1") == (1103515245L + 12345L) % 2147483648L)
+    rows.foreach { r =>
+      val v = r.getAs[Double]("value"); assert(v >= 0.0 && v < 1.0)
+    }
+  }
+
+  test("salted join equals plain join") {
+    val orders = Tables.orders(spark, sfDir)
+    val nation = Tables.nation(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val plain = cust.join(nation, col("c_nationkey") === col("n_nationkey")).count()
+    val salted = JoinOps.saltedJoin(cust, "c_nationkey", nation, "n_nationkey", 8).count()
+    assert(salted == plain)
+  }
+}

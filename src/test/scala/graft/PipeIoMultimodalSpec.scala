@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ops.{MultimodalOps, PipeOps}
+import graft.sources.IO
+
+class PipeIoMultimodalSpec extends SparkSpecBase {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("pipeThrough an external process preserves keys and transforms text") {
+    val out = PipeOps.pipeThrough(spark, docs, "doc_id", "text", Seq("tr", "a-z", "A-Z"))
+    val joined = out.join(docs, "doc_id")
+      .select(col("out") === upper(col("text"))).collect()
+    assert(joined.nonEmpty && joined.forall(_.getBoolean(0)))
+  }
+
+  test("mapPartitionsTyped streams per-partition") {
+    import spark.implicits._
+    val ds = spark.range(0, 100, 1, 4).as[Long]
+    val out = PipeOps.mapPartitionsTyped(ds)(it => it.map(_ * 2)).collect().sorted
+    assert(out.toSeq == (0L until 100L).map(_ * 2))
+  }
+
+  test("parquet relayout (distcp analog) preserves data and partitions the layout") {
+    val tmp = Files.createTempDirectory("graft_io").toString
+    val src = s"$tmp/src"; val dst = s"$tmp/dst"
+    IO.writeParquet(Tables.lineitem(spark, sfDir), src)
+    IO.relayout(spark, src, dst, partitionCol = Some("l_returnflag"), filesPerPartition = 2)
+    val back = spark.read.parquet(dst)
+    assert(back.count() == Tables.lineitem(spark, sfDir).count())
+    val dirs = new java.io.File(dst).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.count(_.startsWith("l_returnflag=")) == 3)
+    // partition pruning: reading one partition dir touches only that subset
+    val pruned = back.filter(col("l_returnflag") === "R")
+    assert(pruned.count() ==
+      Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R").count())
+  }
+
+  test("compaction (HAR analog) bounds file count, preserves rows") {
+    val tmp = Files.createTempDirectory("graft_compact").toString
+    val src = s"$tmp/many"; val dst = s"$tmp/compact"
+    Tables.orders(spark, sfDir).repartition(37).write.parquet(src)
+    val nSrcFiles = new java.io.File(src).listFiles().count(_.getName.endsWith(".parquet"))
+    IO.compact(spark, src, dst)
+    val nDstFiles = new java.io.File(dst).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nSrcFiles == 37 && nDstFiles < nSrcFiles)
+    assert(spark.read.parquet(dst).count() == Tables.orders(spark, sfDir).count())
+  }
+
+  test("multimodal stub pipeline: decode → resize → frame-sample plumbing") {
+    val media = MultimodalOps.asMediaRecords(spark, docs)
+    val decoded = MultimodalOps.decodeStub(spark, media)
+    val d1 = decoded.collect().sortBy(_.media_id)
+    val d2 = MultimodalOps.decodeStub(spark, media).collect().sortBy(_.media_id)
+    assert(d1.toSeq == d2.toSeq, "stub decode must be deterministic")
+    assert(d1.forall(d => d.width >= 16 && d.height >= 16 && d.byte_len > 0))
+    val resized = MultimodalOps.resizeStub(spark, decoded, maxDim = 64).collect()
+    assert(resized.forall(d => d.width <= 64 && d.height <= 64 && d.width >= 1))
+    val frames = MultimodalOps.frameSampleStub(spark, decoded, k = 4)
+    val fRows = frames.collect()
+    assert(fRows.forall(_.getAs[Int]("frame_idx") % 4 == 0))
+    val videoIds = d1.filter(_.kind == "video").map(_.media_id).toSet
+    assert(fRows.map(_.getAs[Long]("media_id")).toSet == videoIds)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+import graft.streaming.Streams.Ev
+
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("hourlyCounts: windowed agg with watermark over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly_t").outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(10), 1, "view", 2.0),
+        Ev(3, ts(65), 2, "click", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly_t").collect()
+        .map(r => (r.getAs[Timestamp]("hour_start").toString, r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"))).toSet
+      assert(rows.contains(("2024-01-01 10:00:00.0", "view", 2L)))
+      assert(rows.contains(("2024-01-01 11:00:00.0", "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize stream: gap closure emits completed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.sessionize(input.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("sessions_t").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Ev(1, ts(0), 7, "view", 1.0), Ev(2, ts(10), 7, "view", 1.0))
+      q.processAllAvailable()
+      // 2h later: previous session (2 events) closes on arrival
+      input.addData(Ev(3, ts(120), 7, "view", 1.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_t").as[Streams.Session].collect()
+      assert(sessions.exists(s =>
+        s.user_id == 7 && s.n_events == 2 &&
+        s.session_start == ts(0) && s.session_end == ts(10)))
+    } finally q.stop()
+  }
+}
