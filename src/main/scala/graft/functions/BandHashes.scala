@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression: LSH band hashes of a MinHash signature.
+  *
+  * Splits the numPerms-lane signature into `bands` contiguous slices and
+  * hashes each slice (FNV-style mix) to one long — all in a single pass.
+  * The composable form (transform(sequence(0,31), b → hash(slice(sig,…))))
+  * re-derives `sig` once per band in the interpreted lambda path (measured
+  * 11 s vs 0.4 s for the signature itself at sf0.1); this is one eval of the
+  * child per row. */
+case class BandHashes(child: Expression, bands: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(bands >= 1)
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_hashes"
+
+  override def nullSafeEval(v: Any): Any = {
+    val sig = v.asInstanceOf[ArrayData]
+    val n = sig.numElements()
+    val rowsPerBand = math.max(1, n / bands)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L ^ b
+      var j = b * rowsPerBand
+      val end = math.min(n, j + rowsPerBand)
+      while (j < end) {
+        h ^= sig.getLong(j)
+        h *= 0x100000001b3L
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -17,7 +17,28 @@ object GraftFunctions {
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      exprs => MinHashSignature(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("shingles",
+      exprs => ShingleArray(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("band_hashes",
+      exprs => BandHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
+
+  /** Distinct word n-gram shingles of a token array (native expr). */
+  def shingleArray(tokens: Column, n: Int): Column =
+    call_function("shingles", tokens, org.apache.spark.sql.functions.lit(n))
+
+  /** LSH band hashes of a MinHash signature (native expr). */
+  def bandHashes(sig: Column, bands: Int): Column =
+    call_function("band_hashes", sig, org.apache.spark.sql.functions.lit(bands))
+
+  /** MinHash signature (array<bigint>) of pre-hashed shingles (native expr). */
+  def minhashSig(hashes: Column, numPerms: Int): Column =
+    call_function("minhash_sig", hashes, org.apache.spark.sql.functions.lit(numPerms))
 
   /** Cosine similarity of two array<float> columns (codegen'd, double acc). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)

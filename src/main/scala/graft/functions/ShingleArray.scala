@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: distinct word n-gram shingles of a token
+  * array, space-joined — semantically identical to
+  * array_distinct(transform(sequence(…), i → concat_ws(" ", t[i…i+n−1]))),
+  * but one tight loop instead of interpreted nested lambdas (which cost
+  * ~2.4 ms/doc — the dominant term of the whole dedup pipeline at sf0.1).
+  * First-occurrence order preserved (matches array_distinct).
+  */
+case class ShingleArray(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  require(n >= 1)
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+
+  @transient private lazy val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val m = toks.numElements() - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < m) {
+      var k = 0
+      while (k < n) { parts(k) = toks.getUTF8String(i + k); k += 1 }
+      seen.add(UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray().asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -29,13 +29,24 @@ object DedupOps {
 
   private val P = 2147483647L // 2^31-1, keeps perm arithmetic overflow-free under ANSI
 
-  /** Word n-gram shingles (distinct), [] when the doc is shorter than n. */
-  def shingles(textCol: Column, n: Int = 3): Column = {
-    val t = TextOps.tokens(textCol)
-    when(size(t) >= n,
-      array_distinct(transform(sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + lit(k))): _*))))
-      .otherwise(typedlit(Seq.empty[String]))
+  /** Word n-gram shingles (distinct) from an ALREADY-MATERIALIZED token
+    * array column (native expression — the composable
+    * array_distinct∘transform∘sequence form runs interpreted and costs
+    * ~2.4 ms/doc; see graft.functions.ShingleArray). */
+  def shinglesFromTokens(t: Column, n: Int = 3): Column =
+    GraftFunctions.shingleArray(t, n)
+
+  /** (doc_id, s=shingle array) with tokens materialized in a separate
+    * projection, PERSISTed because every consumer (self-join sides,
+    * candidate verification) re-reads it — at 100 TB this is the standard
+    * "checkpoint the shingle relation" step of a dedup pipeline, sized
+    * ~tokens×n bytes, spilling to disk when needed. */
+  private def shingleDocs(docs: DataFrame, n: Int = 3): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), shinglesFromTokens(col("t"), n).as("s"))
+      .filter(size(col("s")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Exact dedup: content-hash groupBy; canonical copy = min doc_id. */
@@ -47,43 +58,36 @@ object DedupOps {
     * maxDf caps posting lists at scale (off by default for oracle parity). */
   def ngramJaccardPairs(docs: DataFrame, tau: Double = 0.5,
                         maxDf: Option[Int] = None): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text")).as("s"))
-      .filter(size(col("s")) > 0)
+    val sh = shingleDocs(docs)
     val ex0 = sh.select(col("doc_id"), explode(col("s")).as("sg"), size(col("s")).as("nsh"))
     val ex = maxDf.fold(ex0) { cap =>
       val rare = ex0.groupBy(col("sg")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= cap).select(col("sg"))
       ex0.join(rare, "sg")
     }
-    val a = ex.select(col("doc_id").as("a_id"), col("sg"), col("nsh").as("na"))
-    val b = ex.select(col("doc_id").as("b_id"), col("sg"), col("nsh").as("nb"))
-    a.join(b, Seq("sg")).filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
+    // self-join via alias: both sides are the same persisted relation
+    ex.as("a").join(ex.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"),
+           first(col("a.nsh")).as("na"), first(col("b.nsh")).as("nb"))
       .withColumn("jacc", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jacc") >= tau)
       .select(col("a_id"), col("b_id"), col("jacc"))
   }
 
-  /** Deterministic permutation coefficients (planning-time LCG, data-free). */
-  private def permCoeffs(numPerms: Int): (Seq[Long], Seq[Long]) = {
-    var state = 20240812L
-    def next(): Long = { state = (state * 6364136223846793005L + 1442695040888963407L) & 0x7fffffffL; state }
-    val a = Seq.fill(numPerms)(next() | 1L) // odd, non-zero
-    val b = Seq.fill(numPerms)(next())
-    (a, b)
-  }
+  /** Base hashes of a shingle array (materialize BEFORE minhashFromHashes —
+    * interpreted lambdas re-evaluate inlined inputs per permutation). */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
 
-  /** MinHash signature column (array<bigint>, length numPerms) computed
-    * map-side from the shingle array — no per-perm row explosion. */
-  def minhashSignature(shingleCol: Column, numPerms: Int = 128): Column = {
-    val (as, bs) = permCoeffs(numPerms)
-    val litA = typedlit(as); val litB = typedlit(bs)
-    val hs = transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
-    transform(sequence(lit(0), lit(numPerms - 1)), i =>
-      array_min(transform(hs, h =>
-        pmod(h * element_at(litA, i + 1) + element_at(litB, i + 1), lit(P)))))
-  }
+  /** MinHash signature (array<bigint>, length numPerms) from pre-hashed
+    * shingles — map-side, no per-perm row explosion. Native expression: the
+    * interpreted transform/array_min composition gets re-inlined by Catalyst
+    * into downstream lambdas and re-evaluated per reference (see
+    * graft.functions.MinHashSignature). */
+  def minhashFromHashes(hashCol: Column, numPerms: Int = 128): Column =
+    graft.functions.GraftFunctions.minhashSig(hashCol, numPerms)
 
   /** MinHash + LSH near-dup pairs, verified with exact Jaccard ≥ tau.
     * bands × rowsPerBand must equal numPerms. Returns (a_id, b_id, jacc) —
@@ -91,23 +95,29 @@ object DedupOps {
     * is 1.0 (holds for near-dup thresholds ≥ ~0.8 with 32×4 bands). */
   def minhashLshPairs(docs: DataFrame, tau: Double = 0.8,
                       numPerms: Int = 128, bands: Int = 32): DataFrame = {
-    val rowsPerBand = numPerms / bands
-    val sh = docs.select(col("doc_id"), shingles(col("text")).as("s"))
-      .filter(size(col("s")) > 0)
-    val sig = sh.select(col("doc_id"), col("s"),
-      minhashSignature(col("s"), numPerms).as("sig"))
-    val banded = sig.select(col("doc_id"), col("s"),
-        col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("band_sig", hash(col("band"),
-        slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))))
-      .select(col("doc_id"), col("s"), col("band"), col("band_sig"))
-    val l = banded.select(col("doc_id").as("a_id"), col("s").as("sa"), col("band"), col("band_sig"))
-    val r = banded.select(col("doc_id").as("b_id"), col("s").as("sb"), col("band"), col("band_sig"))
-    val cand = l.join(r, Seq("band", "band_sig"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("sa"), col("sb"))
+    GraftFunctions.register(docs.sparkSession)
+    val sh = shingleDocs(docs)
+    // signature in its own projection; band sigs computed ONCE as a small
+    // int array, THEN exploded — the explode carries (doc_id, band, sig32)
+    // only, never the shingle arrays or the 128-lane signature.
+    val sig = sh.select(col("doc_id"), shingleHashes(col("s")).as("hs"))
+      .select(col("doc_id"), minhashFromHashes(col("hs"), numPerms).as("sig"))
+    val bandSigs = sig.select(col("doc_id"),
+      GraftFunctions.bandHashes(col("sig"), bands).as("bsigs"))
+    // tiny relation (docs × bands × 3 ints) reused by both join sides —
+    // persist to block Catalyst from re-deriving the signature per side
+    val banded = bandSigs.select(col("doc_id"),
+        posexplode(col("bsigs")).as(Seq("band", "band_sig")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+    // verify candidates against the persisted shingle relation
     cand
+      .join(sh.select(col("doc_id").as("a_id"), col("s").as("sa")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("s").as("sb")), "b_id")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jacc", round(col("inter") /
         (size(col("sa")) + size(col("sb")) - col("inter")), 6))
