@@ -72,6 +72,14 @@ object SparkEntry {
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d))),
     "multimodal_meta" -> ((s, d) => MultimodalOps.multimodalMeta(Tables.documents(s, d))),
+    // §2 preference-(c) showcase: custom LogicalPlan+Strategy+Exec operator
+    "topk_custom_operator" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, round}
+      val o = Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice_r"))
+      graft.plans.TopK.perGroup(o, Seq("o_custkey"),
+        Seq(o("o_totalprice_r").desc, o("o_orderkey")), 3)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -350,5 +358,11 @@ object SparkEntry {
               WHEN ascii(text[1])%3=1 THEN 'audio'
               ELSE 'video' END AS kind
          FROM documents""",
+    "topk_custom_operator" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice_r FROM (
+           SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS o_totalprice_r,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY round(o_totalprice,2) DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3""",
   )
 }
