@@ -41,6 +41,8 @@ object SparkEntry {
     "distinct_count" -> ((s, d) => AggOps.distinctCount(Tables.lineitem(s, d))),
     "orders_by_month" -> ((s, d) => AggOps.ordersByMonth(Tables.orders(s, d))),
     "db_pageview" -> ((s, d) => AggOps.dbPageview(Tables.events(s, d))),
+    "json_props_agg" -> ((s, d) => AggOps.jsonPropsAgg(Tables.events(s, d))),
+    "approx_sketch" -> ((s, d) => AggOps.approxSketch(Tables.lineitem(s, d))),
     "sessionize" -> ((s, d) => AggOps.sessionize(Tables.events(s, d))),
     "events_hourly" -> ((s, d) => AggOps.eventsHourly(Tables.events(s, d))),
     // §2.1 MapReduce example surface
@@ -173,6 +175,13 @@ object SparkEntry {
          FROM orders GROUP BY 1""",
     "db_pageview" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
+         FROM events GROUP BY event_type""",
+    "json_props_agg" ->
+      """SELECT event_type,
+         CAST(sum(json_extract_string(props,'$.k')::BIGINT) AS BIGINT) AS sum_k,
+         count(json_extract_string(props,'$.k')) AS n_with_k,
+         min(json_extract_string(props,'$.k')::BIGINT) AS min_k,
+         max(json_extract_string(props,'$.k')::BIGINT) AS max_k
          FROM events GROUP BY event_type""",
     "sessionize" ->
       """WITH flagged AS (

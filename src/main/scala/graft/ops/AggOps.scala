@@ -161,6 +161,27 @@ object AggOps {
            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
   }
 
+  /** Semi-structured extraction: pull typed fields out of the JSON props
+    * column and aggregate. get_json_object is codegen'd; at scale prefer
+    * from_json with an explicit schema once the shape is known (single parse,
+    * columnar after). */
+  def jsonPropsAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_with_k"),
+           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
+  /** Sketch-based approximations: HLL++ distinct + quantile sketch. Engine-
+    * specific estimates (no DuckDB twin) — accuracy spec'd in OpsSpec; the
+    * 100 TB substitute for exact distinct/percentile. */
+  def approxSketch(lineitem: DataFrame): DataFrame =
+    lineitem.agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+      expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)")
+        .as("price_quantiles"))
+
   /** Tumbling-window event counts — the batch twin of the streaming agg in
     * graft.streaming (same grouping, watermark added on the stream side). */
   def eventsHourly(events: DataFrame): DataFrame =

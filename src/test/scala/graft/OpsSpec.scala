@@ -80,6 +80,26 @@ class OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("approx sketches are within tolerance of exact answers") {
+    val row = AggOps.approxSketch(li).head
+    val exactParts = li.select(countDistinct(col("l_partkey"))).head.getLong(0)
+    val approxParts = row.getAs[Long]("approx_parts")
+    assert(math.abs(approxParts - exactParts).toDouble / exactParts < 0.1,
+      s"HLL estimate $approxParts vs exact $exactParts")
+    val q = row.getAs[scala.collection.Seq[Double]]("price_quantiles")
+    val exactMedian = li.select(expr("percentile(l_extendedprice, 0.5)")).head.getDouble(0)
+    assert(q.length == 3 && q(0) > 0 && math.abs(q(0) - exactMedian) / exactMedian < 0.05)
+  }
+
+  test("graft SQL functions resolve via GraftExtensions injection (no manual register)") {
+    // shared test session was built with spark.sql.extensions=graft.GraftExtensions
+    val r = spark.sql(
+      "SELECT band_hashes(minhash_sig(array(1L, 2L, 3L), 16), 4) AS b").head
+    assert(r.getAs[scala.collection.Seq[Long]]("b").length == 4)
+    val sh = spark.sql("SELECT shingles(array('a','b','c','d'), 3) AS s").head
+    assert(sh.getAs[scala.collection.Seq[String]]("s").toSeq == Seq("a b c", "b c d"))
+  }
+
   test("salted join equals plain join") {
     val orders = Tables.orders(spark, sfDir)
     val nation = Tables.nation(spark, sfDir)

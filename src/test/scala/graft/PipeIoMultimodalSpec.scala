@@ -50,6 +50,20 @@ class PipeIoMultimodalSpec extends SparkSpecBase {
     assert(spark.read.parquet(dst).count() == Tables.orders(spark, sfDir).count())
   }
 
+  test("csv/json/orc/text round-trips preserve data") {
+    val tmp = Files.createTempDirectory("graft_fmt").toString
+    val src = Tables.nation(spark, sfDir)
+    src.write.option("header", "true").csv(s"$tmp/csv")
+    assert(IO.readCsv(spark, s"$tmp/csv").count() == 25)
+    src.write.json(s"$tmp/json")
+    val j = IO.readJson(spark, s"$tmp/json")
+    assert(j.count() == 25 && j.columns.sorted.toSeq == src.columns.sorted.toSeq)
+    src.write.orc(s"$tmp/orc")
+    assert(IO.readOrc(spark, s"$tmp/orc").count() == 25)
+    Tables.documents(spark, sfDir).select(col("text")).write.text(s"$tmp/text")
+    assert(IO.readText(spark, s"$tmp/text").count() == Tables.documents(spark, sfDir).count())
+  }
+
   test("multimodal stub pipeline: decode → resize → frame-sample plumbing") {
     val media = MultimodalOps.asMediaRecords(spark, docs)
     val decoded = MultimodalOps.decodeStub(spark, media)
