@@ -44,5 +44,7 @@ object GraftExtensions {
     ("shingles", info("shingles", "distinct word n-gram shingles"),
       (e: Seq[Expression]) => ShingleArray(e(0), e(1).eval().asInstanceOf[Number].intValue())),
     ("band_hashes", info("band_hashes", "LSH band hashes of a MinHash signature"),
-      (e: Seq[Expression]) => BandHashes(e(0), e(1).eval().asInstanceOf[Number].intValue())))
+      (e: Seq[Expression]) => BandHashes(e(0), e(1).eval().asInstanceOf[Number].intValue())),
+    ("rolling_min_hash", info("rolling_min_hash", "winnowing min rolling hash"),
+      (e: Seq[Expression]) => RollingMinHash(e(0), e(1).eval().asInstanceOf[Number].intValue())))
 }

@@ -73,6 +73,8 @@ object SparkEntry {
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d))),
+    "rolling_fingerprint" -> ((s, d) => TextAnalysis.rollingFingerprint(Tables.documents(s, d))),
+    "dedup_jaccard_ppjoin" -> ((s, d) => DedupOps.ngramJaccardPairsPrefix(Tables.documents(s, d))),
     "multimodal_meta" -> ((s, d) => MultimodalOps.multimodalMeta(Tables.documents(s, d))),
     // §2 preference-(c) showcase: custom LogicalPlan+Strategy+Exec operator
     "topk_custom_operator" -> ((s, d) => {
@@ -278,6 +280,19 @@ object SparkEntry {
       """SELECT md5(text) AS h, min(doc_id) AS canonical_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text)""",
     "dedup_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(t)>=3
+             THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+                                 FOR i IN generate_series(1, len(t)-2)])
+             ELSE [] END AS s FROM tok),
+         ex AS (SELECT doc_id, unnest(s) AS sg, len(s) AS nsh FROM sh WHERE len(s)>0),
+         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
+             any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+           FROM ex a JOIN ex b ON a.sg=b.sg AND a.doc_id<b.doc_id GROUP BY 1,2)
+         SELECT a_id, b_id, round(inter/(na+nb-inter),6) AS jacc FROM pairs
+         WHERE round(inter/(na+nb-inter),6) >= 0.5""",
+    "dedup_jaccard_ppjoin" ->
       """WITH tok AS (SELECT doc_id,
              list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
          sh AS (SELECT doc_id, CASE WHEN len(t)>=3

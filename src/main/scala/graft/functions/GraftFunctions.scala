@@ -26,7 +26,14 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("band_hashes",
       exprs => BandHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("rolling_min_hash",
+      exprs => RollingMinHash(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
   }
+
+  /** Winnowing-style min rolling hash over k-byte windows (native expr). */
+  def rollingMinHash(text: Column, k: Int): Column =
+    call_function("rolling_min_hash", text, org.apache.spark.sql.functions.lit(k))
 
   /** Distinct word n-gram shingles of a token array (native expr). */
   def shingleArray(tokens: Column, n: Int): Column =

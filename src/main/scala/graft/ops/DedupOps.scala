@@ -76,6 +76,38 @@ object DedupOps {
       .select(col("a_id"), col("b_id"), col("jacc"))
   }
 
+  /** Exact n-gram Jaccard with PPJoin-style PREFIX FILTERING — the 100 TB
+    * shape of the exact op (Xiao et al. 2008, "Efficient Similarity Joins
+    * for Near Duplicate Detection"). Theorem: if J(a,b) ≥ τ, the
+    * (|x| − ⌈τ·|x|⌉ + 1)-element prefixes of both docs under a global
+    * shingle order MUST share a shingle. Ordering by (df asc, sg) makes
+    * prefixes the RAREST shingles, so candidate-join posting lists shrink
+    * dramatically versus the full inverted index — with zero recall loss
+    * (verification computes exact Jaccard on the full shingle sets). */
+  def ngramJaccardPairsPrefix(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleDocs(docs)
+    val ex = sh.select(col("doc_id"), explode(col("s")).as("sg"), size(col("s")).as("nsh"))
+    val dfs = ex.groupBy(col("sg")).agg(count(lit(1)).as("df"))
+    val prefix = ex.join(dfs, "sg")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sg"))))
+      .filter(col("rnk") <= col("nsh") - ceil(col("nsh") * tau) + 1)
+      .select(col("doc_id"), col("sg"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("s").as("sa")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("s").as("sb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jacc", round(col("inter") /
+        (size(col("sa")) + size(col("sb")) - col("inter")), 6))
+      .filter(col("jacc") >= tau)
+      .select(col("a_id"), col("b_id"), col("jacc"))
+  }
+
   /** Base hashes of a shingle array (materialize BEFORE minhashFromHashes —
     * interpreted lambdas re-evaluate inlined inputs per permutation). */
   def shingleHashes(shingleCol: Column): Column =

@@ -73,6 +73,16 @@ object TextAnalysis {
       length(col("text")).cast("long").as("n_chars"))
   }
 
+  /** Rolling-hash (winnowing) fingerprints: min polynomial hash over k-byte
+    * windows — the content-defined-chunking primitive (rows-only: the hash
+    * is engine-internal; properties spec'd in OpsSpec). */
+  def rollingFingerprint(docs: DataFrame, k: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.rollingMinHash(col("text"), k).as("rh"),
+      length(col("text")).cast("long").as("n_chars"))
+  }
+
   /** Deterministic document fingerprint + length metadata. */
   def docFingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

@@ -100,6 +100,31 @@ class OpsSpec extends SparkSpecBase {
     assert(sh.getAs[scala.collection.Seq[String]]("s").toSeq == Seq("a b c", "b c d"))
   }
 
+  test("PPJoin prefix filtering loses no pairs vs full inverted index") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(DedupOps.ngramJaccardPairs(docs, tau = 0.5))
+    val pp = pairs(DedupOps.ngramJaccardPairsPrefix(docs, tau = 0.5))
+    assert(pp == full && full.nonEmpty)
+  }
+
+  test("rolling min-hash: deterministic, shift-invariant on shared content") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT rolling_min_hash('the quick brown fox jumps over the lazy dog', 8) AS a, " +
+      "rolling_min_hash(concat('PREFIX ', 'the quick brown fox jumps over the lazy dog'), 8) AS b")
+      .head
+    // identical 8-byte windows exist in both → shared candidate min windows;
+    // determinism: same input → same value
+    val again = spark.sql(
+      "SELECT rolling_min_hash('the quick brown fox jumps over the lazy dog', 8) AS a").head
+    assert(r.getLong(0) == again.getLong(0))
+    val short = spark.sql("SELECT rolling_min_hash('abc', 8) AS a").head
+    assert(short.getLong(0) == graft.functions.SimHash64.fnv1a64(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
+  }
+
   test("salted join equals plain join") {
     val orders = Tables.orders(spark, sfDir)
     val nation = Tables.nation(spark, sfDir)
