@@ -46,5 +46,7 @@ object GraftExtensions {
     ("band_hashes", info("band_hashes", "LSH band hashes of a MinHash signature"),
       (e: Seq[Expression]) => BandHashes(e(0), e(1).eval().asInstanceOf[Number].intValue())),
     ("rolling_min_hash", info("rolling_min_hash", "winnowing min rolling hash"),
-      (e: Seq[Expression]) => RollingMinHash(e(0), e(1).eval().asInstanceOf[Number].intValue())))
+      (e: Seq[Expression]) => RollingMinHash(e(0), e(1).eval().asInstanceOf[Number].intValue())),
+    ("sorted_intersect_count", info("sorted_intersect_count", "merge-count of sorted long arrays"),
+      (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))))
 }

@@ -29,7 +29,13 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("rolling_min_hash",
       exprs => RollingMinHash(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
   }
+
+  /** |A ∩ B| for sorted distinct long arrays (native, codegen'd). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function("sorted_intersect_count", a, b)
 
   /** Winnowing-style min rolling hash over k-byte windows (native expr). */
   def rollingMinHash(text: Column, k: Int): Column =

@@ -41,13 +41,34 @@ object DedupOps {
     * candidate verification) re-reads it — at 100 TB this is the standard
     * "checkpoint the shingle relation" step of a dedup pipeline, sized
     * ~tokens×n bytes, spilling to disk when needed. */
+  /** Columns: s = shingle strings; hs = pmod(xxhash64, P) base hashes for
+    * MinHash (domain [0,P) keeps perm arithmetic overflow-free); hv = SORTED
+    * full-64-bit hashes for candidate verification (8 B/element instead of
+    * ~20 B strings through the pair joins, and a codegen'd two-pointer
+    * intersect instead of per-row hash sets; 64-bit space makes a corpus
+    * collision ~1e-11 — irrelevant to the exact-match oracle). */
   private def shingleDocs(docs: DataFrame, n: Int = 3): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .select(col("doc_id"), shinglesFromTokens(col("t"), n).as("s"))
       .filter(size(col("s")) > 0)
+      .select(col("doc_id"), col("s"),
+        transform(col("s"), x => pmod(xxhash64(x), lit(P))).as("hs"),
+        array_sort(transform(col("s"), x => xxhash64(x))).as("hv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
+
+  /** Jaccard verification of candidate (a_id, b_id) pairs against the
+    * persisted shingle relation, over sorted 64-bit hash arrays. */
+  private def verifyPairs(cand: DataFrame, sh: DataFrame, tau: Double): DataFrame =
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("hv").as("ha")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("hv").as("hb")), "b_id")
+      .withColumn("inter", GraftFunctions.sortedIntersectCount(col("ha"), col("hb")))
+      .withColumn("jacc", round(col("inter") /
+        (size(col("ha")) + size(col("hb")) - col("inter")), 6))
+      .filter(col("jacc") >= tau)
+      .select(col("a_id"), col("b_id"), col("jacc"))
 
   /** Exact dedup: content-hash groupBy; canonical copy = min doc_id. */
   def dedupExact(docs: DataFrame): DataFrame =
@@ -94,18 +115,12 @@ object DedupOps {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sg"))))
       .filter(col("rnk") <= col("nsh") - ceil(col("nsh") * tau) + 1)
       .select(col("doc_id"), col("sg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    cand
-      .join(sh.select(col("doc_id").as("a_id"), col("s").as("sa")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("s").as("sb")), "b_id")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jacc", round(col("inter") /
-        (size(col("sa")) + size(col("sb")) - col("inter")), 6))
-      .filter(col("jacc") >= tau)
-      .select(col("a_id"), col("b_id"), col("jacc"))
+    verifyPairs(cand, sh, tau)
   }
 
   /** Base hashes of a shingle array (materialize BEFORE minhashFromHashes —
@@ -132,8 +147,7 @@ object DedupOps {
     // signature in its own projection; band sigs computed ONCE as a small
     // int array, THEN exploded — the explode carries (doc_id, band, sig32)
     // only, never the shingle arrays or the 128-lane signature.
-    val sig = sh.select(col("doc_id"), shingleHashes(col("s")).as("hs"))
-      .select(col("doc_id"), minhashFromHashes(col("hs"), numPerms).as("sig"))
+    val sig = sh.select(col("doc_id"), minhashFromHashes(col("hs"), numPerms).as("sig"))
     val bandSigs = sig.select(col("doc_id"),
       GraftFunctions.bandHashes(col("sig"), bands).as("bsigs"))
     // tiny relation (docs × bands × 3 ints) reused by both join sides —
@@ -146,15 +160,7 @@ object DedupOps {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    // verify candidates against the persisted shingle relation
-    cand
-      .join(sh.select(col("doc_id").as("a_id"), col("s").as("sa")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("s").as("sb")), "b_id")
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jacc", round(col("inter") /
-        (size(col("sa")) + size(col("sb")) - col("inter")), 6))
-      .filter(col("jacc") >= tau)
-      .select(col("a_id"), col("b_id"), col("jacc"))
+    verifyPairs(cand, sh, tau)
   }
 
   /** SimHash fingerprints per doc (map-side, native expression). */

@@ -44,6 +44,30 @@ object Profile {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     time("banded cache build")(banded.count())
     time("full minhash lsh")(DedupOps.minhashLshPairs(docs).count())
+    // PPJoin internals
+    val ex2 = sh.select(col("doc_id"), explode(col("s")).as("sg"), size(col("s")).as("nsh"))
+    val dfs = ex2.groupBy(col("sg")).agg(count(lit(1)).as("df"))
+    val prefix = ex2.join(dfs, "sg")
+      .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("sg"))))
+      .filter(col("rnk") <= col("nsh") - ceil(col("nsh") * 0.5) + 1)
+      .select(col("doc_id"), col("sg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("pp prefix build")(prefix.count())
+    val cand2 = prefix.as("a").join(prefix.as("b"),
+        col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    time("pp raw cand")(cand2.count())
+    val candD = cand2.dropDuplicates("a_id", "b_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("pp distinct cand")(candD.count())
+    val verified = candD
+      .join(sh.select(col("doc_id").as("a_id"), col("s").as("sa")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("s").as("sb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+    time("pp verify")(verified.filter(col("inter") > 20).count())
+    time("full ppjoin")(DedupOps.ngramJaccardPairsPrefix(docs).count())
     spark.stop()
   }
 }
