@@ -38,6 +38,9 @@ object SparkEntry {
     "window_topk_per_group" -> ((s, d) => AggOps.windowTopKPerGroup(Tables.orders(s, d))),
     "window_running_sum" -> ((s, d) => AggOps.windowRunningSum(Tables.orders(s, d))),
     "agg_rollup" -> ((s, d) => AggOps.aggRollup(Tables.lineitem(s, d))),
+    "agg_cube" -> ((s, d) => AggOps.aggCube(Tables.lineitem(s, d))),
+    "pivot_events" -> ((s, d) => AggOps.pivotEvents(Tables.events(s, d))),
+    "set_ops" -> ((s, d) => AggOps.setOps(Tables.orders(s, d))),
     "distinct_count" -> ((s, d) => AggOps.distinctCount(Tables.lineitem(s, d))),
     "orders_by_month" -> ((s, d) => AggOps.ordersByMonth(Tables.orders(s, d))),
     "db_pageview" -> ((s, d) => AggOps.dbPageview(Tables.events(s, d))),
@@ -167,6 +170,33 @@ object SparkEntry {
          coalesce(l_linestatus,'ALL') AS linestatus,
          round(sum(l_quantity),2) AS sum_qty, count(*) AS n_rows
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS returnflag,
+         coalesce(l_linestatus,'ALL') AS linestatus,
+         round(sum(l_extendedprice),2) AS sum_price, count(*) AS n_rows
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "pivot_events" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+         count(*) FILTER (WHERE event_type='click') AS "click",
+         count(*) FILTER (WHERE event_type='error') AS "error",
+         count(*) FILTER (WHERE event_type='purchase') AS "purchase",
+         count(*) FILTER (WHERE event_type='signup') AS "signup",
+         count(*) FILTER (WHERE event_type='view') AS "view"
+         FROM events GROUP BY 1""",
+    "set_ops" ->
+      """SELECT o_custkey, 'both' AS tag FROM (
+           SELECT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+           INTERSECT
+           SELECT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+         UNION ALL
+         SELECT o_custkey, 'only_1996' AS tag FROM (
+           SELECT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+           EXCEPT
+           SELECT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')""",
     "distinct_count" ->
       """SELECT count(DISTINCT l_partkey) AS n_parts,
          count(DISTINCT l_suppkey) AS n_supps,

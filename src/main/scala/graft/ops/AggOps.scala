@@ -123,6 +123,34 @@ object AggOps {
               coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
               col("sum_qty"), col("n_rows"))
 
+  /** CUBE grouping sets over two dims (all 4 grouping combinations). */
+  def aggCube(lineitem: DataFrame): DataFrame =
+    lineitem.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+              col("sum_price"), col("n_rows"))
+
+  /** PIVOT: event counts per month × event type (wide table). Explicit pivot
+    * values keep the schema static — required for plan stability at scale. */
+  def pivotEvents(events: DataFrame): DataFrame =
+    events.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  /** Set operations: customers ordering in BOTH years (INTERSECT), and in
+    * 1996 but not 1997 (EXCEPT) — tagged and unioned into one relation. */
+  def setOps(orders: DataFrame): DataFrame = {
+    def buyers(yr: Int) = orders
+      .filter(col("o_orderdate") >= lit(s"$yr-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit(s"${yr + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val both = buyers(1996).intersect(buyers(1997)).withColumn("tag", lit("both"))
+    val only96 = buyers(1996).except(buyers(1997)).withColumn("tag", lit("only_1996"))
+    both.unionAll(only96)
+  }
+
   /** Exact distinct counts (the oracle-checkable face of cardinality ops;
     * at 100 TB prefer approx_count_distinct — see benchmarks). */
   def distinctCount(lineitem: DataFrame): DataFrame =
