@@ -40,6 +40,17 @@ object IO {
     writeParquet(re, outPath, partitionCol.toSeq)
   }
 
+  /** Bucketed table write: pre-shuffles rows into nBuckets hash buckets per
+    * bucket column (with per-bucket sort), so later equi-joins/aggregations
+    * on that column read co-located data and plan WITHOUT a shuffle
+    * exchange — the 100 TB answer to "this join shuffles every time".
+    * (Catalog parquet table; the layout is plain parquet + bucket metadata.) */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
+                    nBuckets: Int = 32): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(tableName)
+
   /** HAR analog: compact a many-small-files dataset to ~targetFileBytes
     * files. File count derived from the actual input size (cheap metadata
     * scan), so it adapts at any SF. */

@@ -64,6 +64,20 @@ class PipeIoMultimodalSpec extends SparkSpecBase {
     assert(IO.readText(spark, s"$tmp/text").count() == Tables.documents(spark, sfDir).count())
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    IO.writeBucketed(Tables.orders(spark, sfDir), "orders_b", "o_custkey", 4)
+    IO.writeBucketed(Tables.customer(spark, sfDir), "customer_b", "c_custkey", 4)
+    val joined = spark.table("customer_b").hint("merge")
+      .join(spark.table("orders_b"), col("c_custkey") === col("o_custkey"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() ==
+      Tables.customer(spark, sfDir).join(Tables.orders(spark, sfDir),
+        col("c_custkey") === col("o_custkey")).count())
+  }
+
   test("multimodal stub pipeline: decode → resize → frame-sample plumbing") {
     val media = MultimodalOps.asMediaRecords(spark, docs)
     val decoded = MultimodalOps.decodeStub(spark, media)

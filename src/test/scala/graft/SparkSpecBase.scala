@@ -16,6 +16,7 @@ object SparkSpecBase {
       .master("local[4]")
       .appName("graft-tests")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
