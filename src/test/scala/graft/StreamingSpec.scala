@@ -31,6 +31,25 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("file-source streaming: parquet directory stream matches batch aggregation") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val events = Tables.events(spark, sfDir)
+    events.limit(200).write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$tmp/in")
+    val q = Streams.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("file_hourly_t")
+      .outputMode(OutputMode.Update).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_hourly_t")
+        .groupBy("hour_start", "event_type").agg(org.apache.spark.sql.functions.max("n_events"))
+        .count()
+      val batch = graft.ops.AggOps.eventsHourly(
+        spark.read.parquet(s"$tmp/in")).count()
+      assert(streamed == batch && batch > 0)
+    } finally q.stop()
+  }
+
   test("sessionize stream: gap closure emits completed sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
