@@ -45,6 +45,7 @@ object SparkEntry {
     "orders_by_month" -> ((s, d) => AggOps.ordersByMonth(Tables.orders(s, d))),
     "db_pageview" -> ((s, d) => AggOps.dbPageview(Tables.events(s, d))),
     "json_props_agg" -> ((s, d) => AggOps.jsonPropsAgg(Tables.events(s, d))),
+    "asof_join" -> ((s, d) => AggOps.asofLastPurchase(Tables.events(s, d))),
     "approx_sketch" -> ((s, d) => AggOps.approxSketch(Tables.lineitem(s, d))),
     "sessionize" -> ((s, d) => AggOps.sessionize(Tables.events(s, d))),
     "events_hourly" -> ((s, d) => AggOps.eventsHourly(Tables.events(s, d))),
@@ -209,6 +210,15 @@ object SparkEntry {
     "db_pageview" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
          FROM events GROUP BY event_type""",
+    "asof_join" ->
+      """SELECT event_id, user_id, event_type,
+         last_value(CASE WHEN event_type='purchase' THEN CAST(floor(epoch(ts)) AS BIGINT) END IGNORE NULLS)
+           OVER w AS last_purchase_epoch,
+         round(last_value(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)
+           OVER w, 2) AS last_purchase_value
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
     "json_props_agg" ->
       """SELECT event_type,
          CAST(sum(json_extract_string(props,'$.k')::BIGINT) AS BIGINT) AS sum_k,
@@ -219,8 +229,8 @@ object SparkEntry {
     "sessionize" ->
       """WITH flagged AS (
            SELECT user_id, ts, event_id,
-             CASE WHEN lag(epoch(ts)::BIGINT) OVER w IS NULL
-                    OR epoch(ts)::BIGINT - lag(epoch(ts)::BIGINT) OVER w > 1800
+             CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
                   THEN 1 ELSE 0 END AS new_session
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

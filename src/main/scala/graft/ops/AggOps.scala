@@ -189,6 +189,23 @@ object AggOps {
            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"))
   }
 
+  /** AS-OF join (point-in-time lookup), composed from a single window — the
+    * preference-(a) form of an operator Spark lacks natively: for every
+    * event, the value/time of the user's most recent purchase at-or-before
+    * it. One shuffle on user_id, no range join, no explosion; the carry-
+    * forward (`last(..., ignoreNulls)`) is O(1) per row. Deterministic
+    * tie-break via (ts, event_id). */
+  def asofLastPurchase(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(
+      col("event_id"), col("user_id"), col("event_type"),
+      last(when(col("event_type") === "purchase", unix_timestamp(col("ts"))),
+        ignoreNulls = true).over(w).as("last_purchase_epoch"),
+      round(last(when(col("event_type") === "purchase", col("value")),
+        ignoreNulls = true).over(w), 2).as("last_purchase_value"))
+  }
+
   /** Semi-structured extraction: pull typed fields out of the JSON props
     * column and aggregate. get_json_object is codegen'd; at scale prefer
     * from_json with an explicit schema once the shape is known (single parse,
