@@ -65,6 +65,18 @@ class PipeIoMultimodalSpec extends SparkSpecBase {
   }
 
   test("bucketed tables join without a shuffle exchange") {
+    // in-memory metastore is fresh per JVM but the warehouse dir persists
+    Seq("orders_b", "customer_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+    }
     IO.writeBucketed(Tables.orders(spark, sfDir), "orders_b", "o_custkey", 4)
     IO.writeBucketed(Tables.customer(spark, sfDir), "customer_b", "c_custkey", 4)
     val joined = spark.table("customer_b").hint("merge")
