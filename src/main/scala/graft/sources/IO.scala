@@ -40,6 +40,25 @@ object IO {
     writeParquet(re, outPath, partitionCol.toSeq)
   }
 
+  /** SequenceFile interop — the MR-era key/value container every reference
+    * job reads/writes (hadoop-mapreduce-client-core/.../lib/input/
+    * SequenceFileInputFormat.java:1). Stored as (LongWritable key,
+    * Text value); lets graft exchange data in place with legacy MR jobs. */
+  def writeSequenceFile(df: DataFrame, keyCol: String, valueCol: String, path: String): Unit = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    df.select(col(keyCol).cast("long"), col(valueCol).cast("string"))
+      .rdd.map(r => (new LongWritable(r.getLong(0)), new Text(r.getString(1))))
+      .saveAsSequenceFile(path)
+  }
+
+  def readSequenceFile(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import spark.implicits._
+    spark.sparkContext.sequenceFile[LongWritable, Text](path)
+      .map { case (k, v) => (k.get(), v.toString) }
+      .toDF("key", "value")
+  }
+
   /** Bucketed table write: pre-shuffles rows into nBuckets hash buckets per
     * bucket column (with per-bucket sort), so later equi-joins/aggregations
     * on that column read co-located data and plan WITHOUT a shuffle

@@ -64,6 +64,25 @@ class PipeIoMultimodalSpec extends SparkSpecBase {
     assert(IO.readText(spark, s"$tmp/text").count() == Tables.documents(spark, sfDir).count())
   }
 
+  test("sequence file round-trip (MR-era interop format)") {
+    val tmp = Files.createTempDirectory("graft_seq").toString
+    IO.writeSequenceFile(docs, "doc_id", "text", s"$tmp/seq")
+    val back = IO.readSequenceFile(spark, s"$tmp/seq")
+    assert(back.count() == docs.count())
+    val joined = back.join(docs, col("key") === col("doc_id"))
+      .filter(col("value") =!= col("text")).count()
+    assert(joined == 0, "values must round-trip byte-identical")
+  }
+
+  test("observe counters (MR Counters analog) report exact job-side metrics") {
+    val (observed, obs) = graft.ops.CounterOps.withCounters(docs, "text")
+    observed.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("rows") == docs.count())
+    assert(m("null_rows") == 0L)
+    assert(m("bytes").asInstanceOf[Long] > 0L)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // in-memory metastore is fresh per JVM but the warehouse dir persists
     Seq("orders_b", "customer_b").foreach { t =>
