@@ -34,6 +34,18 @@ object DataGen {
       .withColumn("value", round(col("r2") / lit(M.toDouble), 9))
   }
 
+  /** Sampling — the InputSampler/RandomSampler surface (reference:
+    * hadoop-mapreduce-client-core/.../lib/partition/InputSampler.java:1,
+    * which feeds TeraSort's partitioner). uniform: Bernoulli row sample;
+    * stratified: per-key fractions via sampleBy (seeded, map-side). */
+  def sampleUniform(df: org.apache.spark.sql.DataFrame, fraction: Double,
+                    seed: Long = 42L): org.apache.spark.sql.DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+
+  def sampleStratified(df: org.apache.spark.sql.DataFrame, strataCol: String,
+                       fractions: Map[String, Double], seed: Long = 42L): org.apache.spark.sql.DataFrame =
+    df.stat.sampleBy(strataCol, fractions, seed)
+
   /** QuasiMonteCarlo(Pi) analog (QuasiMonteCarlo.java:1): deterministic
     * pseudo-random points in the unit square → in-circle ratio. Same LCG as
     * the oracle, so even the "Monte Carlo" is hash-checkable. */

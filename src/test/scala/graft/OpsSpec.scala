@@ -125,6 +125,22 @@ class OpsSpec extends SparkSpecBase {
       org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
   }
 
+  test("uniform and stratified sampling hit expected rates") {
+    val n = li.count().toDouble
+    val uni = DataGen.sampleUniform(li, 0.1).count().toDouble
+    assert(math.abs(uni / n - 0.1) < 0.03, s"uniform rate ${uni / n}")
+    val fr = Map("A" -> 0.2, "N" -> 0.05, "R" -> 0.1)
+    val strat = DataGen.sampleStratified(li, "l_returnflag", fr)
+      .groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = li.groupBy("l_returnflag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    fr.foreach { case (k, f) =>
+      val rate = strat.getOrElse(k, 0L).toDouble / base(k)
+      assert(math.abs(rate - f) < 0.05, s"stratum $k rate $rate vs $f")
+    }
+  }
+
   test("salted join equals plain join") {
     val orders = Tables.orders(spark, sfDir)
     val nation = Tables.nation(spark, sfDir)
