@@ -46,6 +46,7 @@ object SparkEntry {
     "db_pageview" -> ((s, d) => AggOps.dbPageview(Tables.events(s, d))),
     "json_props_agg" -> ((s, d) => AggOps.jsonPropsAgg(Tables.events(s, d))),
     "asof_join" -> ((s, d) => AggOps.asofLastPurchase(Tables.events(s, d))),
+    "range_join" -> ((s, d) => JoinOps.rangeJoinValueBuckets(Tables.events(s, d))),
     "approx_sketch" -> ((s, d) => AggOps.approxSketch(Tables.lineitem(s, d))),
     "sessionize" -> ((s, d) => AggOps.sessionize(Tables.events(s, d))),
     "events_hourly" -> ((s, d) => AggOps.eventsHourly(Tables.events(s, d))),
@@ -210,6 +211,13 @@ object SparkEntry {
     "db_pageview" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
          FROM events GROUP BY event_type""",
+    "range_join" ->
+      """SELECT bucket, count(*) AS n_events, round(sum(value),2) AS sum_value
+         FROM events JOIN (VALUES
+           (0.0, 20.0, 'b0_20'), (20.0, 40.0, 'b20_40'), (40.0, 60.0, 'b40_60'),
+           (60.0, 80.0, 'b60_80'), (80.0, 1000000000.0, 'b80_up')) t(lo, hi, bucket)
+         ON value >= lo AND value < hi
+         GROUP BY bucket""",
     "asof_join" ->
       """SELECT event_id, user_id, event_type,
          last_value(CASE WHEN event_type='purchase' THEN CAST(floor(epoch(ts)) AS BIGINT) END IGNORE NULLS)

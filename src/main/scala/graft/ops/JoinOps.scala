@@ -50,6 +50,23 @@ object JoinOps {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
 
+  /** Range (non-equi) join: map each event value into a bucket interval
+    * [lo, hi) from a small broadcast dimension — the broadcast-nested-loop
+    * range-join pattern. At 100 TB the bucket table is tiny (broadcast) so
+    * the fact side streams map-side with zero shuffle before the final agg;
+    * for big-big range joins, bucketize both sides to an equi-key first. */
+  def rangeJoinValueBuckets(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val buckets = Seq(
+      (0.0, 20.0, "b0_20"), (20.0, 40.0, "b20_40"), (40.0, 60.0, "b40_60"),
+      (60.0, 80.0, "b60_80"), (80.0, 1e9, "b80_up"))
+      .toDF("lo", "hi", "bucket")
+    events.join(broadcast(buckets), col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+  }
+
   /** Skew-mitigation pattern: salt the hot side's key into `buckets` sub-keys
     * and explode the small side across all buckets. Semantically an inner
     * equi-join; physically the hot key's rows spread over `buckets` tasks.
