@@ -28,6 +28,14 @@ object SparkEntry {
       AggOps.q5LocalSupplier(Tables.region(s, d), Tables.nation(s, d), Tables.customer(s, d),
         Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q6_forecast_revenue" -> ((s, d) => AggOps.q6ForecastRevenue(Tables.lineitem(s, d))),
+    "q4_order_priority" -> ((s, d) =>
+      AggOps.q4OrderPriority(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q7_volume_shipping" -> ((s, d) =>
+      AggOps.q7VolumeShipping(Tables.supplier(s, d), Tables.lineitem(s, d),
+        Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    "q9_nation_revenue" -> ((s, d) =>
+      AggOps.q9NationRevenue(Tables.supplier(s, d), Tables.lineitem(s, d),
+        Tables.part(s, d), Tables.orders(s, d), Tables.nation(s, d))),
     "q10_returned_items" -> ((s, d) =>
       AggOps.q10ReturnedItems(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
         Tables.nation(s, d))),
@@ -129,6 +137,35 @@ object SparkEntry {
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
            AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+             WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         GROUP BY o_orderpriority""",
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         strftime(l_shipdate, '%Y') AS l_year,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey=o_orderkey
+         JOIN customer ON o_custkey=c_custkey
+         JOIN supplier ON l_suppkey=s_suppkey
+         JOIN nation n1 ON s_nationkey=n1.n_nationkey
+         JOIN nation n2 ON c_nationkey=n2.n_nationkey
+         WHERE (n1.n_name='NATION_1' AND n2.n_name='NATION_2')
+            OR (n1.n_name='NATION_2' AND n2.n_name='NATION_1')
+         GROUP BY 1, 2, 3""",
+    "q9_nation_revenue" ->
+      """SELECT n_name AS nation, strftime(o_orderdate, '%Y') AS o_year,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM lineitem
+         JOIN part ON l_partkey=p_partkey
+         JOIN orders ON l_orderkey=o_orderkey
+         JOIN supplier ON l_suppkey=s_suppkey
+         JOIN nation ON s_nationkey=n_nationkey
+         WHERE p_type='PROMO'
+         GROUP BY 1, 2""",
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
          round(sum(l_extendedprice*(1-l_discount)),2) AS revenue

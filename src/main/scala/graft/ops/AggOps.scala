@@ -94,6 +94,52 @@ object AggOps {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
 
+  /** TPC-H Q4 (adapted): priority counts of orders with a late shipment
+    * (no commit/receipt dates in this schema → ship > order + 90 days).
+    * EXISTS → left_semi; date arithmetic stays in the pushed filter. */
+  def q4OrderPriority(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .join(lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+
+  /** TPC-H Q7 (adapted): shipping volume between two nation pairs by year.
+    * Both nation lookups broadcast; one fact shuffle. */
+  def q7VolumeShipping(supplier: DataFrame, lineitem: DataFrame, orders: DataFrame,
+                       customer: DataFrame, nation: DataFrame): DataFrame = {
+    val n1 = nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+              (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        date_format(col("l_shipdate"), "yyyy").as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** TPC-H Q9 (adapted): promo-part revenue by supplier nation × order year
+    * (no partsupp cost column in this schema → revenue, not profit). */
+  def q9NationRevenue(supplier: DataFrame, lineitem: DataFrame, part: DataFrame,
+                      orders: DataFrame, nation: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part.filter(col("p_type") === "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        date_format(col("o_orderdate"), "yyyy").as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+
   /** Top-k rows per group via ranked window — the scalable "per-key top-N". */
   def windowTopKPerGroup(orders: DataFrame, k: Int = 3): DataFrame = {
     orders.select(col("o_custkey"), col("o_orderkey"),
