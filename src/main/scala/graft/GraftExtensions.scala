@@ -24,6 +24,8 @@ import graft.plans.TopKStrategy
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKRankedStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RowNumberTopKRewrite)
     GraftExtensions.functionSpecs.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }

@@ -1,0 +1,110 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Optimizer rule: the canonical SQL top-k idiom
+  *
+  *   SELECT * FROM (SELECT …, row_number() OVER (PARTITION BY g ORDER BY o)
+  *                  AS rn FROM t) WHERE rn <= k
+  *
+  * plans as Window (full per-partition sort of t) + Filter. This rule
+  * rewrites the exact Filter∘Window(row_number) pattern to
+  * `TopKRankedNode` — bounded per-group heaps, O(n log k), no sort — while
+  * PRESERVING the rank column (same exprId, so downstream references
+  * resolve unchanged). Conservative guards: single row_number window
+  * expression, non-empty partition/order specs, pure `rn <= k` / `rn < k`
+  * literal predicate. Injected via GraftExtensions.injectOptimizerRule. */
+object RowNumberTopKRewrite extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond,
+        Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
+          partitionSpec, orderSpec, child, _))
+        if partitionSpec.nonEmpty && orderSpec.nonEmpty =>
+      boundFromCond(cond, alias.toAttribute) match {
+        case Some(k) if k > 0 =>
+          TopKRankedNode(partitionSpec, orderSpec, k, alias.toAttribute, child)
+        case _ => f
+      }
+  }
+
+  /** rn <= k / rn < k / k >= rn / k > rn with an integer literal. */
+  private def boundFromCond(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k)
+    case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k - 1)
+    case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => Some(k)
+    case GreaterThan(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => Some(k - 1)
+    case EqualTo(a: Attribute, IntegerLiteral(1)) if a.semanticEquals(rn) => Some(1)
+    case _ => None
+  }
+}
+
+/** Logical top-k-per-group WITH rank output (child.output :+ rank). */
+case class TopKRankedNode(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
+                          k: Int, rankAttr: Attribute, child: LogicalPlan) extends UnaryNode {
+  override def output = child.output :+ rankAttr
+  override protected def withNewChildInternal(newChild: LogicalPlan): LogicalPlan =
+    copy(child = newChild)
+}
+
+object TopKRankedStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKRankedNode(group, ordering, k, rankAttr, child) =>
+      TopKRankedExec(group, ordering, k, rankAttr, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical: bounded heap per group, then per-group sort of ≤k rows to
+  * assign ranks 1..k — O(n log k + groups·k log k), never a full sort. */
+case class TopKRankedExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
+                          k: Int, rankAttr: Attribute, child: SparkPlan) extends UnaryExecNode {
+  override def output = child.output :+ rankAttr
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupExprs) :: Nil
+  override def outputPartitioning = child.outputPartitioning
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val outAttrs = output
+    val group = groupExprs
+    val order = ordering
+    val kk = k
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(group, childOutput)
+      val ord = new LazilyGeneratedOrdering(order, childOutput)
+      val outProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val groups = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var pq = groups.get(key)
+        if (pq == null) {
+          pq = new java.util.PriorityQueue[InternalRow](kk + 1, ord.reverse)
+          groups.put(key.copy(), pq)
+        }
+        if (pq.size < kk) pq.add(row.copy())
+        else if (ord.compare(row, pq.peek()) < 0) { pq.poll(); pq.add(row.copy()) }
+      }
+      import scala.jdk.CollectionConverters._
+      val rankRow = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      groups.values().iterator().asScala.flatMap { pq =>
+        val rows = pq.iterator().asScala.toArray.sorted(ord)
+        rows.iterator.zipWithIndex.map { case (r, i) =>
+          rankRow.update(0, i + 1)
+          outProj(joined(r, rankRow)).copy(): InternalRow
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
+    copy(child = newChild)
+}

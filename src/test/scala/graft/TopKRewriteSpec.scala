@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The optimizer rule: row_number-over-window + rn<=k filter auto-rewrites
+  * to the bounded-heap ranked top-k exec (rank preserved) — and produces
+  * results identical to the un-rewritten plan. */
+class TopKRewriteSpec extends SparkSpecBase {
+
+  private def ranked = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+  }
+
+  test("Filter(rn<=k, Window(row_number)) plans as TopKRanked, no sort") {
+    val df = ranked.filter(col("rn") <= 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKRanked"), plan)
+    assert(!plan.contains("Sort "), s"rewritten top-k must not sort:\n$plan")
+  }
+
+  test("rewrite preserves results + rank values exactly") {
+    val withRule = ranked.filter(col("rn") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // disable the rule → vanilla Window path
+    val prev = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+    try {
+      spark.conf.set("spark.sql.optimizer.excludedRules",
+        "graft.plans.RowNumberTopKRewrite")
+      val vanilla = ranked.filter(col("rn") <= 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      assert(withRule == vanilla && vanilla.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.optimizer.excludedRules", v)
+      case None => spark.conf.unset("spark.sql.optimizer.excludedRules")
+    }
+  }
+
+  test("guards: extra predicates or non-row_number windows are NOT rewritten") {
+    val filtered = ranked.filter(col("rn") <= 3 && col("o_totalprice") > 0)
+    assert(!filtered.queryExecution.optimizedPlan.toString.contains("TopKRanked"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    val rk = Tables.orders(spark, sfDir).withColumn("r", rank().over(w))
+      .filter(col("r") <= 2)
+    assert(!rk.queryExecution.optimizedPlan.toString.contains("TopKRanked"))
+  }
+}
