@@ -55,6 +55,7 @@ object SparkEntry {
     "json_props_agg" -> ((s, d) => AggOps.jsonPropsAgg(Tables.events(s, d))),
     "asof_join" -> ((s, d) => AggOps.asofLastPurchase(Tables.events(s, d))),
     "range_join" -> ((s, d) => JoinOps.rangeJoinValueBuckets(Tables.events(s, d))),
+    "correlated_subquery" -> ((s, d) => AggOps.correlatedMinPerType(s, Tables.part(s, d))),
     "approx_sketch" -> ((s, d) => AggOps.approxSketch(Tables.lineitem(s, d))),
     "sessionize" -> ((s, d) => AggOps.sessionize(Tables.events(s, d))),
     "events_hourly" -> ((s, d) => AggOps.eventsHourly(Tables.events(s, d))),
@@ -248,6 +249,11 @@ object SparkEntry {
     "db_pageview" ->
       """SELECT event_type, count(*) AS n_events, round(sum(value),2) AS sum_value
          FROM events GROUP BY event_type""",
+    "correlated_subquery" ->
+      """SELECT p_partkey, p_type, round(p_retailprice, 2) AS price
+         FROM part p
+         WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                                WHERE p2.p_type = p.p_type)""",
     "range_join" ->
       """SELECT bucket, count(*) AS n_events, round(sum(value),2) AS sum_value
          FROM events JOIN (VALUES

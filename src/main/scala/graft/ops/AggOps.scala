@@ -140,6 +140,20 @@ object AggOps {
         date_format(col("o_orderdate"), "yyyy").as("o_year"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
 
+  /** Correlated scalar subquery through the SQL TEXT interface (spark.sql):
+    * parts priced at the minimum of their type. Catalyst decorrelates the
+    * subquery into an aggregate + join — same plan shape as the hand-written
+    * form, demonstrating the full SQL front-end over graft's tables. */
+  def correlatedMinPerType(spark: org.apache.spark.sql.SparkSession, part: DataFrame): DataFrame = {
+    part.createOrReplaceTempView("graft_part_v")
+    spark.sql(
+      """SELECT p_partkey, p_type, round(p_retailprice, 2) AS price
+        |FROM graft_part_v p
+        |WHERE p_retailprice = (SELECT min(p2.p_retailprice)
+        |                       FROM graft_part_v p2
+        |                       WHERE p2.p_type = p.p_type)""".stripMargin)
+  }
+
   /** Top-k rows per group via ranked window — the scalable "per-key top-N". */
   def windowTopKPerGroup(orders: DataFrame, k: Int = 3): DataFrame = {
     orders.select(col("o_custkey"), col("o_orderkey"),
