@@ -36,6 +36,10 @@ object SparkEntry {
     "q9_nation_revenue" -> ((s, d) =>
       AggOps.q9NationRevenue(Tables.supplier(s, d), Tables.lineitem(s, d),
         Tables.part(s, d), Tables.orders(s, d), Tables.nation(s, d))),
+    "q14_promo_share" -> ((s, d) =>
+      AggOps.q14PromoShare(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q18_large_orders" -> ((s, d) =>
+      AggOps.q18LargeOrders(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q10_returned_items" -> ((s, d) =>
       AggOps.q10ReturnedItems(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d),
         Tables.nation(s, d))),
@@ -167,6 +171,22 @@ object SparkEntry {
          JOIN nation ON s_nationkey=n_nationkey
          WHERE p_type='PROMO'
          GROUP BY 1, 2""",
+    "q14_promo_share" ->
+      """SELECT round(
+           sum(CASE WHEN p_type='PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END) * 100.0
+             / sum(l_extendedprice*(1-l_discount)), 4) AS promo_share,
+         count(*) AS n_rows
+         FROM lineitem JOIN part ON l_partkey=p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""",
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+         round(o_totalprice,2) AS o_totalprice_r, total_qty_r
+         FROM orders
+         JOIN (SELECT l_orderkey, round(sum(l_quantity),2) AS total_qty_r
+               FROM lineitem GROUP BY l_orderkey
+               HAVING sum(l_quantity) > 150) b ON o_orderkey = b.l_orderkey
+         JOIN customer ON o_custkey = c_custkey""",
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, n_name,
          round(sum(l_extendedprice*(1-l_discount)),2) AS revenue

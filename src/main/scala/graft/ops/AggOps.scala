@@ -140,6 +140,33 @@ object AggOps {
         date_format(col("o_orderdate"), "yyyy").as("o_year"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
 
+  /** TPC-H Q14: promo revenue share — conditional aggregation ratio. */
+  def q14PromoShare(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        sum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) * 100.0 /
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_share"),
+        count(lit(1)).as("n_rows"))
+
+  /** TPC-H Q18: large-volume customers — IN over a grouped HAVING subquery
+    * (plans as an aggregate + semi join on the fact key). */
+  def q18LargeOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                     minQty: Double = 150): DataFrame = {
+    val bigOrders = lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+      .select(col("l_orderkey"), round(col("total_qty"), 2).as("total_qty_r"))
+    orders.join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        round(col("o_totalprice"), 2).as("o_totalprice_r"), col("total_qty_r"))
+  }
+
   /** Correlated scalar subquery through the SQL TEXT interface (spark.sql):
     * parts priced at the minimum of their type. Catalyst decorrelates the
     * subquery into an aggregate + join — same plan shape as the hand-written
