@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -14,15 +14,26 @@ import org.apache.spark.sql.types._
   * 11 s vs 0.4 s for the signature itself at sf0.1); this is one eval of the
   * child per row. */
 case class BandHashes(child: Expression, bands: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   require(bands >= 1)
   override def inputTypes = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "band_hashes"
 
-  override def nullSafeEval(v: Any): Any = {
-    val sig = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    BandHashes.compute(v.asInstanceOf[ArrayData], bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, sig =>
+      s"${ev.value} = graft.functions.BandHashes$$.MODULE$$.compute($sig, $bands);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BandHashes {
+  def compute(sig: ArrayData, bands: Int): GenericArrayData = {
     val n = sig.numElements()
     val rowsPerBand = math.max(1, n / bands)
     val out = new Array[Long](bands)
@@ -41,7 +52,4 @@ case class BandHashes(child: Expression, bands: Int)
     }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }

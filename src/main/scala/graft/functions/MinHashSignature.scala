@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -16,11 +16,11 @@ import org.apache.spark.sql.types._
   * function path, and Catalyst freely inlines it into downstream lambda
   * consumers, re-evaluating the full O(perms×shingles) computation per
   * reference (measured 878 s for 5 000 docs at sf0.1). This tight eval loop
-  * does ~6.6k long ops per doc: ~0.1 s for the same input. CodegenFallback
-  * is fine — the loop body dominates the one virtual call per row.
+  * does ~6.6k long ops per doc: ~0.1 s for the same input; codegen emits a
+  * static call so the expression stays inside whole-stage codegen.
   */
 case class MinHashSignature(child: Expression, numPerms: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -28,8 +28,23 @@ case class MinHashSignature(child: Expression, numPerms: Int)
 
   @transient private lazy val (as, bs) = MinHashSignature.coeffs(numPerms)
 
-  override def nullSafeEval(v: Any): Any = {
-    val hs = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    MinHashSignature.compute(v.asInstanceOf[ArrayData], as, bs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("mhAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("mhBs", bs, "long[]")
+    nullSafeCodeGen(ctx, ev, hs =>
+      s"${ev.value} = graft.functions.MinHashSignature$$.MODULE$$.compute($hs, $asRef, $bsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  def compute(hs: ArrayData, as: Array[Long], bs: Array[Long]): GenericArrayData = {
+    val numPerms = as.length
     val n = hs.numElements()
     val out = new Array[Long](numPerms)
     java.util.Arrays.fill(out, Long.MaxValue)
@@ -39,7 +54,7 @@ case class MinHashSignature(child: Expression, numPerms: Int)
         val h = hs.getLong(i)
         var p = 0
         while (p < numPerms) {
-          val x = (h * as(p) + bs(p)) % MinHashSignature.P
+          val x = (h * as(p) + bs(p)) % P
           if (x < out(p)) out(p) = x
           p += 1
         }
@@ -49,11 +64,6 @@ case class MinHashSignature(child: Expression, numPerms: Int)
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object MinHashSignature {
   val P = 2147483647L // 2^31−1: h < P and a < 2^31 keep h·a+b < 2^62 (no overflow)
 
   /** Deterministic data-free coefficients (same LCG as DedupOps.permCoeffs). */

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -15,16 +15,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * global minimum also collide — the building block for content-defined
   * chunk dedup. O(bytes) per row, map-side. */
 case class RollingMinHash(child: Expression, k: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   require(k >= 1)
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_min_hash"
 
-  override def nullSafeEval(v: Any): Any = {
-    val bytes = v.asInstanceOf[UTF8String].getBytes
-    if (bytes.length < k) return SimHash64.fnv1a64(v.asInstanceOf[UTF8String])
+  override def nullSafeEval(v: Any): Any =
+    RollingMinHash.compute(v.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = graft.functions.RollingMinHash$$.MODULE$$.compute($str, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingMinHash {
+  def compute(v: UTF8String, k: Int): Long = {
+    val bytes = v.getBytes
+    if (bytes.length < k) return SimHash64.fnv1a64(v)
     val B = 257L
     // B^(k-1) with 64-bit wraparound (consistent on both add and remove side)
     var pow = 1L
@@ -41,7 +53,4 @@ case class RollingMinHash(child: Expression, k: Int)
     }
     min
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }

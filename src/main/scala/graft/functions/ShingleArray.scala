@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,17 +14,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * First-occurrence order preserved (matches array_distinct).
   */
 case class ShingleArray(child: Expression, n: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   require(n >= 1)
   override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingles"
 
-  @transient private lazy val space = UTF8String.fromString(" ")
+  override def nullSafeEval(v: Any): Any =
+    ShingleArray.compute(v.asInstanceOf[ArrayData], n)
 
-  override def nullSafeEval(v: Any): Any = {
-    val toks = v.asInstanceOf[ArrayData]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, toks =>
+      s"${ev.value} = graft.functions.ShingleArray$$.MODULE$$.compute($toks, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleArray {
+  private val space = UTF8String.fromString(" ")
+
+  def compute(toks: ArrayData, n: Int): GenericArrayData = {
     val m = toks.numElements() - n + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String]()
@@ -38,7 +49,4 @@ case class ShingleArray(child: Expression, n: Int)
     }
     new GenericArrayData(seen.toArray().asInstanceOf[Array[Any]])
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -17,19 +17,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * O(tokens × 64) counter updates and dominates any virtual-call overhead.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any =
+    SimHash64.compute(v.asInstanceOf[ArrayData])
+
+  // static-call codegen: the expression stays inside whole-stage codegen,
+  // the loop body lives in one JIT-friendly method
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.SimHash64$$.MODULE$$.compute($arr);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def compute(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var t = 0
     while (t < arr.numElements()) {
       if (!arr.isNullAt(t)) {
-        val h = SimHash64.fnv1a64(arr.getUTF8String(t))
+        val h = fnv1a64(arr.getUTF8String(t))
         var j = 0
         while (j < 64) {
           if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -43,11 +56,6 @@ case class SimHash64(child: Expression)
     out
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object SimHash64 {
   /** FNV-1a 64-bit over UTF-8 bytes — deterministic across engines/versions. */
   def fnv1a64(s: UTF8String): Long = {
     val bytes = s.getBytes
