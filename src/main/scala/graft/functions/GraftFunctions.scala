@@ -31,7 +31,14 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("spacesaving_topk",
+      exprs => SpaceSavingTopK(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(), "built-in")
   }
+
+  /** Space-Saving heavy-hitters aggregate (custom TypedImperativeAggregate). */
+  def spacesavingTopK(item: Column, capacity: Int): Column =
+    call_function("spacesaving_topk", item, org.apache.spark.sql.functions.lit(capacity))
 
   /** |A ∩ B| for sorted distinct long arrays (native, codegen'd). */
   def sortedIntersectCount(a: Column, b: Column): Column =

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.ops.TextOps
+
+/** The custom TypedImperativeAggregate: Space-Saving heavy hitters. */
+class SketchSpec extends SparkSpecBase {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("capacity >= distinct items → sketch equals the exact word count") {
+    GraftFunctions.register(spark)
+    val words = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+    val sketch = words
+      .agg(GraftFunctions.spacesavingTopK(col("w"), 128).as("top")).head
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("top")
+      .map(r => r.getString(0) -> r.getLong(1))
+    val exact = TextOps.wordCount(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy { case (w, n) => (-n, w) }
+    assert(sketch.toSeq == exact.toSeq,
+      s"exact-mode sketch must equal the full groupBy count")
+  }
+
+  test("tiny capacity still surfaces true heavy hitters of a skewed stream") {
+    GraftFunctions.register(spark)
+    // guarantee applies to items with freq > N/capacity: make two such items
+    val skewed = spark.range(0, 20000, 1, 8).selectExpr(
+      """CASE WHEN id % 10 < 4 THEN 'hot1'
+              WHEN id % 10 < 7 THEN 'hot2'
+              ELSE concat('cold_', id % 997) END AS w""")
+    val sketch = skewed
+      .agg(GraftFunctions.spacesavingTopK(col("w"), 8).as("top")).head
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("top")
+    val top2 = sketch.take(2).map(_.getString(0)).toSet
+    assert(top2 == Set("hot1", "hot2"), s"got $sketch")
+    // counts over-estimate but never under-estimate (space-saving invariant)
+    assert(sketch.head.getLong(1) >= 8000L)
+  }
+
+  test("sketch works from SQL text and per group") {
+    GraftFunctions.register(spark)
+    docs.select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+      .createOrReplaceTempView("graft_words_v")
+    val perLang = spark.sql(
+      "SELECT lang, spacesaving_topk(w, 16) AS top FROM graft_words_v GROUP BY lang")
+      .collect()
+    assert(perLang.length == 5)
+    perLang.foreach { r =>
+      val top = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("top")
+      assert(top.nonEmpty && top.map(_.getLong(1)).sliding(2).forall {
+        case scala.collection.Seq(a, b) => a >= b
+        case _ => true
+      })
+    }
+  }
+}
