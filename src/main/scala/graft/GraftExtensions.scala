@@ -50,5 +50,8 @@ object GraftExtensions {
     ("rolling_min_hash", info("rolling_min_hash", "winnowing min rolling hash"),
       (e: Seq[Expression]) => RollingMinHash(e(0), e(1).eval().asInstanceOf[Number].intValue())),
     ("sorted_intersect_count", info("sorted_intersect_count", "merge-count of sorted long arrays"),
-      (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))))
+      (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))),
+    ("nearest_centroids", info("nearest_centroids", "top-k nearest centroid indexes by cosine"),
+      (e: Seq[Expression]) => NearestCentroids(e(0), GraftFunctions.evalCentroids(e(1)),
+        e(2).eval().asInstanceOf[Number].intValue())))
 }

@@ -307,8 +307,8 @@ object SparkEntry {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          sessions AS (
            SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
            FROM flagged)
          SELECT user_id, session_id, count(*) AS n_events,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
@@ -505,10 +505,13 @@ object SparkEntry {
                    / (CASE WHEN length(text)>0 THEN length(text) ELSE 1 END)::DOUBLE, 6))*0.2, 6) AS quality
            FROM tok),
          canon AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         surv AS (SELECT doc_id FROM q WHERE quality >= 0.5
+                    AND doc_id IN (SELECT doc_id FROM canon)),
          sh AS (SELECT doc_id, CASE WHEN len(t)>=3
              THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
                                  FOR i IN generate_series(1, len(t)-2)])
-             ELSE [] END AS s FROM tok),
+             ELSE [] END AS s FROM tok
+           WHERE doc_id IN (SELECT doc_id FROM surv)),
          ex AS (SELECT doc_id, unnest(s) AS sg, len(s) AS nsh FROM sh WHERE len(s)>0),
          pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
              any_value(a.nsh) AS na, any_value(b.nsh) AS nb

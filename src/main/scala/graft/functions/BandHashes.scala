@@ -33,15 +33,21 @@ case class BandHashes(child: Expression, bands: Int)
 }
 
 object BandHashes {
+  /** Balanced slicing: band b covers lanes [b·n/bands, (b+1)·n/bands) — when
+    * bands divides n this is exactly the contiguous n/bands split; otherwise
+    * the remainder lanes are distributed instead of silently dropped. When
+    * bands > n some slices would be empty and every row would collide in
+    * those bands (exploding the LSH self-join), so that is rejected. */
   def compute(sig: ArrayData, bands: Int): GenericArrayData = {
     val n = sig.numElements()
-    val rowsPerBand = math.max(1, n / bands)
+    require(bands <= n, s"band_hashes: bands=$bands exceeds signature length $n" +
+      " (empty bands would make every row collide)")
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
       var h = 0xcbf29ce484222325L ^ b
-      var j = b * rowsPerBand
-      val end = math.min(n, j + rowsPerBand)
+      var j = (b.toLong * n / bands).toInt
+      val end = ((b + 1).toLong * n / bands).toInt
       while (j < end) {
         h ^= sig.getLong(j)
         h *= 0x100000001b3L

@@ -34,6 +34,18 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("spacesaving_topk",
       exprs => SpaceSavingTopK(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("nearest_centroids",
+      exprs => NearestCentroids(exprs(0), evalCentroids(exprs(1)),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+  }
+
+  /** Fold a foldable array<array<float>> argument into the model matrix. */
+  private[graft] def evalCentroids(e: org.apache.spark.sql.catalyst.expressions.Expression): Array[Array[Float]] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val outer = e.eval().asInstanceOf[ArrayData]
+    Array.tabulate(outer.numElements()) { j =>
+      outer.getArray(j).toFloatArray()
+    }
   }
 
   /** Space-Saving heavy-hitters aggregate (custom TypedImperativeAggregate). */
@@ -62,6 +74,13 @@ object GraftFunctions {
 
   /** Cosine similarity of two array<float> columns (codegen'd, double acc). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** Indexes of the k nearest centroids by cosine (map-side argmax over the
+    * bounded model matrix — no join, no window). */
+  def nearestCentroids(vec: Column, centroids: Array[Array[Float]], k: Int): Column =
+    call_function("nearest_centroids", vec,
+      org.apache.spark.sql.functions.typedlit(centroids.map(_.toSeq).toSeq),
+      org.apache.spark.sql.functions.lit(k))
 
   /** 64-bit SimHash fingerprint of an array<string> token column. */
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)

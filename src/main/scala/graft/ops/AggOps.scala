@@ -186,9 +186,12 @@ object AggOps {
     orders.select(col("o_custkey"), col("o_orderkey"),
         round(col("o_totalprice"), 2).as("o_totalprice_r"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice_r").desc, col("o_orderkey")))
-        .cast("long"))
+        Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice_r").desc, col("o_orderkey"))))
       .filter(col("rn") <= k)
+      // Cast AFTER the filter: the driver's oracle emits BIGINT ranks, but the
+      // Filter∘Window(row_number) shape must stay intact underneath so
+      // RowNumberTopKRewrite (GraftExtensions) can plan it as TopKRankedExec.
+      .withColumn("rn", col("rn").cast("long"))
   }
 
   /** Running aggregate over an ordered per-key window. */
@@ -313,6 +316,12 @@ object AggOps {
       approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
       expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)")
         .as("price_quantiles"))
+      // Scalar quantile columns (not an array) so row-level comparers that
+      // hash cell values can handle the output.
+      .select(col("approx_parts"), col("approx_orders"),
+        round(col("price_quantiles")(0), 2).as("q50"),
+        round(col("price_quantiles")(1), 2).as("q95"),
+        round(col("price_quantiles")(2), 2).as("q99"))
 
   /** Tumbling-window event counts — the batch twin of the streaming agg in
     * graft.streaming (same grouping, watermark added on the stream side). */

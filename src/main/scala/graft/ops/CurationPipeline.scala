@@ -26,11 +26,14 @@ object CurationPipeline {
       .select(col("doc_id"), col("n_tokens"), col("quality"))
     // canonical exact copies (min doc_id per content hash)
     val canonical = DedupOps.dedupExact(docs).select(col("canonical_id").as("doc_id"))
-    // near-dup losers: the higher doc_id of each verified pair
-    val losers = DedupOps.ngramJaccardPairs(docs, tau = nearDupTau)
+    val preNearDup = quality.join(canonical, Seq("doc_id"), "left_semi")
+    // Near-dup pairs are computed over the post-quality canonical SURVIVORS,
+    // not the full corpus: if the lower-id member of a pair was already
+    // dropped (quality / exact dedup), the higher-id copy must NOT also be
+    // removed — otherwise every copy of that content could vanish.
+    val survivorDocs = docs.join(preNearDup.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val losers = DedupOps.ngramJaccardPairs(survivorDocs, tau = nearDupTau)
       .select(col("b_id").as("doc_id"))
-    quality
-      .join(canonical, Seq("doc_id"), "left_semi")
-      .join(losers, Seq("doc_id"), "left_anti")
+    preNearDup.join(losers, Seq("doc_id"), "left_anti")
   }
 }

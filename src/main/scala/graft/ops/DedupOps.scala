@@ -142,6 +142,8 @@ object DedupOps {
     * is 1.0 (holds for near-dup thresholds ≥ ~0.8 with 32×4 bands). */
   def minhashLshPairs(docs: DataFrame, tau: Double = 0.8,
                       numPerms: Int = 128, bands: Int = 32): DataFrame = {
+    require(numPerms % bands == 0,
+      s"minhashLshPairs: bands=$bands must divide numPerms=$numPerms")
     GraftFunctions.register(docs.sparkSession)
     val sh = shingleDocs(docs)
     // signature in its own projection; band sigs computed ONCE as a small
@@ -170,13 +172,39 @@ object DedupOps {
       GraftFunctions.simhash64(TextOps.tokens(col("text"))).as("fp"))
   }
 
-  /** SimHash near-dup pairs: 16-bit band buckets (pigeonhole guarantees any
-    * pair with hamming ≤ 3 shares a band), then exact hamming filter. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val fp = simhashFingerprints(docs)
+  /** SimHash near-dup pairs with SOUND banding: the 64 fingerprint bits are
+    * split into `maxHamming + 1` balanced contiguous slices, so by
+    * pigeonhole ANY pair within the advertised radius leaves at least one
+    * band untouched and is guaranteed to collide there (100% recall at
+    * ≤ maxHamming; the exact hamming filter then removes false positives).
+    * Default maxHamming=6 → 7 bands of 9–10 bits.
+    *
+    * Scale note: fewer bits per band ⇒ bigger buckets (n/2^width docs per
+    * bucket ⇒ quadratic within bucket). At 10^10 docs either lower the
+    * radius (more bands ⇒ narrower is NOT possible — fewer bands widen
+    * them; lower maxHamming ⇒ fewer, wider bands... radius 3 → 4×16-bit
+    * bands) or run the multi-level variant: band collide first, then
+    * re-split colliders on a second fingerprint — this operator keeps the
+    * single-level sound form. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame =
+    simhashPairsFromFingerprints(simhashFingerprints(docs), maxHamming)
+
+  /** Banding + exact-hamming verify over an existing (doc_id, fp) relation —
+    * the same op with the fingerprint step factored out (also what the
+    * planted-pair recall spec drives directly). */
+  def simhashPairsFromFingerprints(fp: DataFrame, maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming out of [0,64)")
+    GraftFunctions.register(fp.sparkSession)
+    val nBands = maxHamming + 1
+    // band b covers bits [b*64/nBands, (b+1)*64/nBands) — balanced slices
     val banded = fp.select(col("doc_id"), col("fp"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("band_bits", expr("(fp >> (band * 16)) & 65535"))
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("lo", (col("band") * 64 / nBands).cast("int"))
+      .withColumn("hi", ((col("band") + 1) * 64 / nBands).cast("int"))
+      .withColumn("band_bits",
+        when(col("hi") - col("lo") >= 64, col("fp")) // single 64-bit band (maxHamming=0)
+          .otherwise(expr("shiftrightunsigned(fp, lo) & (shiftleft(1L, hi - lo) - 1)")))
+      .select(col("doc_id"), col("fp"), col("band"), col("band_bits"))
     val l = banded.select(col("doc_id").as("a_id"), col("fp").as("fa"), col("band"), col("band_bits"))
     val r = banded.select(col("doc_id").as("b_id"), col("fp").as("fb"), col("band"), col("band_bits"))
     l.join(r, Seq("band", "band_bits"))

@@ -20,15 +20,19 @@ object PipeOps {
 
   /** Pipe `keyCol\ttextCol` lines through an external command, yielding
     * (key, out) rows. Tab-separated framing like hadoop-streaming's default
-    * TextInputWriter. */
+    * TextInputWriter. Lines without a tab or with a non-numeric key (filters
+    * and diagnostics commonly emit these) are skipped, mirroring
+    * hadoop-streaming's tolerance of key-only records, instead of failing
+    * the task. */
   def pipeThrough(spark: SparkSession, df: DataFrame, keyCol: String, textCol: String,
                   cmd: Seq[String]): DataFrame = {
     import spark.implicits._
     val lines = df.select(concat_ws("\t", col(keyCol).cast("string"), col(textCol)))
       .as[String].rdd
-    lines.pipe(cmd).map { line =>
+    lines.pipe(cmd).flatMap { line =>
       val i = line.indexOf('\t')
-      (line.substring(0, i).toLong, line.substring(i + 1))
+      if (i < 0) None
+      else line.substring(0, i).toLongOption.map(k => (k, line.substring(i + 1)))
     }.toDF(keyCol, "out")
   }
 

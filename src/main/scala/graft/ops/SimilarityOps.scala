@@ -1,25 +1,108 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
-import graft.functions.GraftFunctions.cosineSim
+import graft.functions.GraftFunctions.{cosineSim, nearestCentroids}
 
 /** Similarity search over an embedding column (array<float>).
   *
   * Brute-force cosine is the correctness baseline (and oracle twin); the
-  * IVF path is the 100 TB shape: centroid assignment is a map-side argmax
-  * against a broadcast centroid set, and a query probes only `nprobe`
-  * buckets, shrinking the candidate set ~nlist/nprobe×. The cosine kernel is
-  * a native codegen'd Catalyst expression (graft.functions.CosineSimilarity),
-  * so scans stay in one whole-stage-codegen stage — no UDF boundary.
+  * IVF path is the 100 TB shape: centroid assignment is a MAP-SIDE argmax
+  * over the bounded centroid model (graft.functions.NearestCentroids — one
+  * codegen'd column, no join, no window), and a query probes only `nprobe`
+  * buckets, shrinking the candidate set ~nlist/nprobe×. The near-dup join
+  * is bucketed the same way, with bucket-pair pruning via the angular
+  * triangle inequality — EXACT output, no all-pairs nested loop. The cosine
+  * kernel is a native codegen'd Catalyst expression
+  * (graft.functions.CosineSimilarity), so scans stay in one
+  * whole-stage-codegen stage — no UDF boundary.
   */
 object SimilarityOps {
 
-  /** All-pairs near-dup: pairs with round(cos,5) ≥ tau. Quadratic — correct
-    * baseline + oracle face; at scale run ivfTopK / simhash blocking first. */
-  def embeddingNearDup(spark: SparkSession, emb: DataFrame, tau: Double = 0.4): DataFrame = {
+  /** Deterministic "training": every `stride`th vector, capped at nlist —
+    * the bounded model-state step (the Spark MLlib KMeansModel pattern: the
+    * model lives on the driver, nlist × dim floats, and ships with the
+    * plan). The ONLY collect in graft, and it collects a fixed-size model,
+    * never data. */
+  private[graft] def trainCentroids(emb: DataFrame, nlist: Int, stride: Int): Array[Array[Float]] = {
+    val strided = emb.filter(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy(col("vec_id")).limit(nlist)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    if (strided.nonEmpty) strided
+    else emb.orderBy(col("vec_id")).limit(nlist) // corpus smaller than stride
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+  }
+
+  /** cos(vec, centroids[idx]) via a literal centroid matrix lookup —
+    * builtin element_at over a foldable array stays codegen'd. */
+  private def cosToCentroid(vec: Column, centroids: Array[Array[Float]], idx: Column): Column =
+    cosineSim(vec, element_at(typedlit(centroids.map(_.toSeq).toSeq), idx + 1))
+
+  /** Exact near-dup pairs (cos ≥ tau) WITHOUT the quadratic broadcast
+    * nested loop: vectors are bucketed by nearest centroid (map-side), each
+    * bucket's max assignment angle is its radius, and a bucket PAIR is
+    * joined only if the angular triangle inequality says it could hold a
+    * qualifying pair: θ(a,b) ≥ θ(ca,cb) − r_a − r_b, so any pair with
+    * θ(ca,cb) − r_a − r_b > arccos(tau) is pruned wholesale. Every surviving
+    * candidate is verified with exact cosine — identical output to the
+    * all-pairs form at any scale (zero recall loss; pruning power grows
+    * with how clustered the corpus is). The bucket join is an equi-join on
+    * bucket ids — shuffle-partitioned, AQE-skew-splittable, never a BNLJ.
+    * (Requires tau > 0: zero-norm vectors have cos ≡ 0 to everything, so
+    * they can never appear in the output and mispruning them is harmless;
+    * their π/2 assignment angle only widens radii, which is conservative.) */
+  def embeddingNearDup(spark: SparkSession, emb: DataFrame, tau: Double = 0.4,
+                       nlist: Int = 16, centroidStride: Int = 31): DataFrame = {
+    GraftFunctions.register(spark)
+    val centroids = trainCentroids(emb, nlist, centroidStride)
+
+    val assigned = emb.select(
+        col("vec_id"), col("embedding"),
+        nearestCentroids(col("embedding"), centroids, 1)(0).as("bucket"))
+      .withColumn("theta",
+        acos(greatest(lit(-1.0), least(lit(1.0),
+          cosToCentroid(col("embedding"), centroids, col("bucket"))))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // per-bucket radius: tiny aggregate (≤ nlist rows) → driver model state
+    val radius = Array.fill(centroids.length)(0.0)
+    assigned.groupBy(col("bucket")).agg(max(col("theta")).as("r"))
+      .collect().foreach(r => radius(r.getInt(0)) = r.getDouble(1))
+
+    // admissible ORDERED bucket pairs (i,j): both directions listed, so the
+    // a_id < b_id filter keeps each unordered vector pair exactly once
+    val thetaTau = math.acos(math.min(1.0, math.max(-1.0, tau)))
+    def cosC(i: Int, j: Int): Double = {
+      val (a, b) = (centroids(i), centroids(j))
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var t = 0
+      while (t < math.min(a.length, b.length)) {
+        dot += a(t).toDouble * b(t); na += a(t).toDouble * a(t); nb += b(t).toDouble * b(t); t += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val admissible = for {
+      i <- centroids.indices; j <- centroids.indices
+      cc = math.acos(math.min(1.0, math.max(-1.0, cosC(i, j))))
+      if cc - radius(i) - radius(j) <= thetaTau
+    } yield (i, j)
+    import spark.implicits._
+    val adm = broadcast(admissible.toDF("ba", "bb"))
+
+    val a = assigned.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("bucket").as("ba"))
+    val b = assigned.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("bucket").as("bb"))
+    a.join(adm, "ba").join(b, Seq("bb"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", round(cosineSim(col("ea"), col("eb")), 5))
+      .filter(col("cos") >= tau)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
+  /** The quadratic all-pairs baseline (spec reference only — the bucketed
+    * form above is the operator; this one exists to prove it exact). */
+  def embeddingNearDupAllPairs(spark: SparkSession, emb: DataFrame, tau: Double = 0.4): DataFrame = {
     GraftFunctions.register(spark)
     val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
@@ -45,35 +128,28 @@ object SimilarityOps {
       .select(col("q_id"), col("n_id"), col("cos"), col("rn").cast("long").as("rn"))
   }
 
-  /** IVF-style ANN: deterministic "training" picks every strideth vector as a
-    * centroid; vectors are assigned map-side to their nearest centroid
-    * (broadcast argmax); queries probe only the nprobe nearest buckets.
+  /** IVF-style ANN: deterministic "training" picks nlist strided vectors as
+    * centroids; every vector is assigned MAP-SIDE to its nearest centroid
+    * (NearestCentroids — one codegen'd column, no join/window in the
+    * assignment stage); queries probe only the nprobe nearest buckets. Each
+    * (query, neighbour) candidate arises at most once (one bucket per
+    * neighbour × distinct probe buckets), so no dedup pass is needed.
     * Same output schema as bruteForceTopK — recall measured in the spec. */
   def ivfTopK(spark: SparkSession, emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-              centroidStride: Int = 50, nprobe: Int = 3): DataFrame = {
+              nlist: Int = 16, nprobe: Int = 3, centroidStride: Int = 50): DataFrame = {
     GraftFunctions.register(spark)
-    val centroids = emb.filter(pmod(col("vec_id"), lit(centroidStride)) === 0)
-      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    val centroids = trainCentroids(emb, nlist, centroidStride)
+    val probeK = math.min(nprobe, centroids.length)
 
-    def nearestBuckets(df: DataFrame, idCol: String, embCol: String, nBuckets: Int): DataFrame =
-      df.join(broadcast(centroids))
-        .withColumn("c_cos", round(cosineSim(col(embCol), col("ce")), 9))
-        .withColumn("c_rn", row_number().over(
-          Window.partitionBy(col(idCol)).orderBy(col("c_cos").desc, col("c_id"))))
-        .filter(col("c_rn") <= nBuckets)
-
-    val assigned = nearestBuckets(
-      emb.select(col("vec_id").as("n_id"), col("embedding").as("ne")), "n_id", "ne", 1)
-      .select(col("n_id"), col("ne"), col("c_id").as("bucket"))
-    val probes = nearestBuckets(
-      emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe")), "q_id", "qe", nprobe)
-      .select(col("q_id"), col("qe"), col("c_id").as("bucket"))
+    val assigned = emb.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
+      nearestCentroids(col("embedding"), centroids, 1)(0).as("bucket"))
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        explode(nearestCentroids(col("embedding"), centroids, probeK)).as("bucket"))
 
     val scored = assigned.join(broadcast(probes), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", round(cosineSim(col("qe"), col("ne")), 6))
-      .dropDuplicates("q_id", "n_id")
     scored.withColumn("rn", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))))
       .filter(col("rn") <= k)

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sources & sinks — the HDFS-surface analog.
@@ -69,6 +69,60 @@ object IO {
     df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(tableName)
+
+  /** MultipleOutputs analog, one-pass form (reference: hadoop-mapreduce-
+    * client-core/.../lib/output/MultipleOutputs.java:1 — one job emitting to
+    * several named outputs). Rows are routed by `labelCol` into
+    * `outDir/split=<label>/` in a SINGLE job and a SINGLE scan — the
+    * curation-pipeline "kept / rejected / flagged" fan-out without reading
+    * the corpus N times. Rows with a null label are dropped (no sink).
+    * Labels must be disjoint by construction (each row has one label); for
+    * overlapping sinks use writeSplit. */
+  def writeRouted(df: DataFrame, outDir: String, labelCol: Column,
+                  format: String = "parquet"): Unit =
+    df.withColumn("split", labelCol)
+      .filter(col("split").isNotNull)
+      .write.mode(SaveMode.Overwrite).format(format)
+      .partitionBy("split").save(outDir)
+
+  /** MultipleOutputs analog, overlapping form: each named sink gets the rows
+    * matching its predicate; a row may satisfy several predicates (like a MR
+    * reducer calling mos.write twice). The source plan is materialized ONCE
+    * (persist) and each sink re-reads the in-memory/disk copy instead of
+    * rescanning the input. Returns the sink paths. */
+  def writeSplit(df: DataFrame, outDir: String, splits: Map[String, Column],
+                 format: String = "parquet"): Map[String, String] = {
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try splits.map { case (name, cond) =>
+      val path = s"$outDir/$name"
+      cached.filter(cond).write.mode(SaveMode.Overwrite).format(format).save(path)
+      name -> path
+    }
+    finally cached.unpersist()
+  }
+
+  /** CombineFileInputFormat analog (reference: hadoop-mapreduce-client-core/
+    * .../lib/input/CombineFileInputFormat.java:1): read a directory of many
+    * small files with a BOUNDED task count. Spark's split planner already
+    * packs files up to spark.sql.files.maxPartitionBytes/openCostInBytes,
+    * but those are session-global; this helper sizes the partition count
+    * from the actual listing (driver-side metadata only) and coalesces —
+    * no shuffle, each task reads several whole small files. */
+  def combineRead(spark: SparkSession, path: String, format: String = "parquet",
+                  targetPartitionBytes: Long = 128L * 1024 * 1024,
+                  openCostInBytes: Long = 4L * 1024 * 1024): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(hPath, true)
+    var bytes = 0L; var nFiles = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_")) { bytes += f.getLen; nFiles += 1 }
+    }
+    val effective = bytes + nFiles * openCostInBytes
+    val n = math.max(1L, (effective + targetPartitionBytes - 1) / targetPartitionBytes).toInt
+    spark.read.format(format).load(path).coalesce(n)
+  }
 
   /** HAR analog: compact a many-small-files dataset to ~targetFileBytes
     * files. File count derived from the actual input size (cheap metadata

@@ -86,9 +86,11 @@ class OpsSpec extends SparkSpecBase {
     val approxParts = row.getAs[Long]("approx_parts")
     assert(math.abs(approxParts - exactParts).toDouble / exactParts < 0.1,
       s"HLL estimate $approxParts vs exact $exactParts")
-    val q = row.getAs[scala.collection.Seq[Double]]("price_quantiles")
+    val q50 = row.getAs[Double]("q50")
+    val q99 = row.getAs[Double]("q99")
     val exactMedian = li.select(expr("percentile(l_extendedprice, 0.5)")).head.getDouble(0)
-    assert(q.length == 3 && q(0) > 0 && math.abs(q(0) - exactMedian) / exactMedian < 0.05)
+    assert(q50 > 0 && math.abs(q50 - exactMedian) / exactMedian < 0.05)
+    assert(q99 >= row.getAs[Double]("q95") && row.getAs[Double]("q95") >= q50)
   }
 
   test("graft SQL functions resolve via GraftExtensions injection (no manual register)") {

@@ -17,6 +17,15 @@ class PipeIoMultimodalSpec extends SparkSpecBase {
     assert(joined.nonEmpty && joined.forall(_.getBoolean(0)))
   }
 
+  test("pipeThrough tolerates tab-free / diagnostic output lines (hadoop-streaming parity)") {
+    // grep emits only matching lines; non-matching records vanish — and a
+    // command emitting a tab-free diagnostic line must not kill the task
+    val out = PipeOps.pipeThrough(spark, docs, "doc_id", "text",
+      Seq("sh", "-c", "echo 'diagnostic: no tab here'; grep -v '^$' | head -5"))
+    assert(out.count() >= 0) // would throw StringIndexOutOfBounds before the guard
+    assert(out.columns.toSeq == Seq("doc_id", "out"))
+  }
+
   test("mapPartitionsTyped streams per-partition") {
     import spark.implicits._
     val ds = spark.range(0, 100, 1, 4).as[Long]
@@ -48,6 +57,48 @@ class PipeIoMultimodalSpec extends SparkSpecBase {
     val nDstFiles = new java.io.File(dst).listFiles().count(_.getName.endsWith(".parquet"))
     assert(nSrcFiles == 37 && nDstFiles < nSrcFiles)
     assert(spark.read.parquet(dst).count() == Tables.orders(spark, sfDir).count())
+  }
+
+  test("writeRouted (MultipleOutputs analog): one job routes rows to named sinks") {
+    val tmp = Files.createTempDirectory("graft_routed").toString
+    val orders = Tables.orders(spark, sfDir)
+    IO.writeRouted(orders, tmp,
+      when(col("o_totalprice") >= 200000, lit("large"))
+        .when(col("o_totalprice") >= 100000, lit("medium"))) // else null → dropped
+    val dirs = new java.io.File(tmp).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("split=large", "split=medium"))
+    val large = spark.read.parquet(s"$tmp/split=large")
+    val medium = spark.read.parquet(s"$tmp/split=medium")
+    assert(large.count() == orders.filter(col("o_totalprice") >= 200000).count())
+    assert(medium.count() == orders.filter(
+      col("o_totalprice") >= 100000 && col("o_totalprice") < 200000).count())
+  }
+
+  test("writeSplit (overlapping sinks): each sink gets its predicate's rows from one materialization") {
+    val tmp = Files.createTempDirectory("graft_split").toString
+    val docs2 = Tables.documents(spark, sfDir)
+    val paths = IO.writeSplit(docs2, tmp, Map(
+      "english" -> (col("lang") === "en"),
+      "longdocs" -> (length(col("text")) > 100))) // overlaps with english
+    assert(spark.read.parquet(paths("english")).count() ==
+      docs2.filter(col("lang") === "en").count())
+    assert(spark.read.parquet(paths("longdocs")).count() ==
+      docs2.filter(length(col("text")) > 100).count())
+    // overlap really lands in both sinks
+    val both = docs2.filter(col("lang") === "en" && length(col("text")) > 100).count()
+    assert(spark.read.parquet(paths("english")).filter(length(col("text")) > 100).count() == both)
+  }
+
+  test("combineRead bounds task count over a many-small-files directory") {
+    val tmp = Files.createTempDirectory("graft_combine").toString
+    Tables.lineitem(spark, sfDir).repartition(200).write.parquet(tmp)
+    val nFiles = new java.io.File(tmp).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles == 200)
+    val combined = IO.combineRead(spark, tmp,
+      targetPartitionBytes = 8L * 1024 * 1024, openCostInBytes = 64L * 1024)
+    assert(combined.rdd.getNumPartitions <= 8,
+      s"200 small files must pack into few partitions, got ${combined.rdd.getNumPartitions}")
+    assert(combined.count() == Tables.lineitem(spark, sfDir).count())
   }
 
   test("csv/json/orc/text round-trips preserve data") {

@@ -39,6 +39,22 @@ class SketchSpec extends SparkSpecBase {
     assert(sketch.head.getLong(1) >= 8000L)
   }
 
+  test("adversarial all-distinct stream: bounded buffer, heavy hitter still survives merges") {
+    GraftFunctions.register(spark)
+    // worst case for eviction (every item unseen → evict per row) across 8
+    // partitions, with one hitter above N/capacity interleaved so the
+    // MERGEABLE guarantee (not just per-partition) is what finds it
+    val n = 100000L
+    val stream = spark.range(0, n, 1, 8).selectExpr(
+      "CASE WHEN id % 5 = 0 THEN 'hot' ELSE concat('cold_', id) END AS w")
+    val sketch = stream
+      .agg(GraftFunctions.spacesavingTopK(col("w"), 64).as("top")).head
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("top")
+    val hot = sketch.find(_.getString(0) == "hot")
+    assert(hot.isDefined, s"freq(hot)=20000 > N/capacity=${n / 64} must be present")
+    assert(hot.get.getLong(1) >= 20000L, "counts never under-estimate")
+  }
+
   test("sketch works from SQL text and per group") {
     GraftFunctions.register(spark)
     docs.select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))

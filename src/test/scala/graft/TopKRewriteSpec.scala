@@ -41,6 +41,13 @@ class TopKRewriteSpec extends SparkSpecBase {
     }
   }
 
+  test("windowTopKPerGroup (the driver-path query) itself plans as TopKRanked") {
+    val df = graft.ops.AggOps.windowTopKPerGroup(Tables.orders(spark, sfDir))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKRanked"), s"driver query must hit the heap exec:\n$plan")
+  }
+
   test("guards: extra predicates or non-row_number windows are NOT rewritten") {
     val filtered = ranked.filter(col("rn") <= 3 && col("o_totalprice") > 0)
     assert(!filtered.queryExecution.optimizedPlan.toString.contains("TopKRanked"))
