@@ -38,6 +38,13 @@ object SparkEntry {
         Tables.part(s, d), Tables.orders(s, d), Tables.nation(s, d))),
     "q14_promo_share" -> ((s, d) =>
       AggOps.q14PromoShare(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q2_min_cost_supplier" -> ((s, d) =>
+      AggOps.q2MinCostSupplier(s, Tables.part(s, d), Tables.supplier(s, d),
+        Tables.lineitem(s, d), Tables.nation(s, d), Tables.region(s, d))),
+    "q8_market_share" -> ((s, d) =>
+      AggOps.q8MarketShare(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.region(s, d))),
     "q18_large_orders" -> ((s, d) =>
       AggOps.q18LargeOrders(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q10_returned_items" -> ((s, d) =>
@@ -171,6 +178,36 @@ object SparkEntry {
          JOIN nation ON s_nationkey=n_nationkey
          WHERE p_type='PROMO'
          GROUP BY 1, 2""",
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+           SELECT l_partkey, l_suppkey,
+                  floor(min(l_extendedprice / l_quantity) * 10000) / 10000 AS unit_cost
+           FROM lineitem GROUP BY l_partkey, l_suppkey),
+         aps AS (
+           SELECT ps.l_partkey, ps.l_suppkey, ps.unit_cost, s.s_name, n.n_name
+           FROM ps JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           WHERE r.r_name = 'ASIA')
+         SELECT p.p_partkey, p.p_name, a.s_name, a.n_name, a.unit_cost
+         FROM part p JOIN aps a ON p.p_partkey = a.l_partkey
+         WHERE p.p_type = 'ECONOMY'
+           AND a.unit_cost = (SELECT min(x.unit_cost) FROM aps x
+                              WHERE x.l_partkey = p.p_partkey)""",
+    "q8_market_share" ->
+      """SELECT strftime(o_orderdate, '%Y') AS o_year,
+         round(sum(CASE WHEN n2.n_name = 'NATION_7'
+                        THEN l_extendedprice*(1-l_discount) ELSE 0.0 END)
+               / sum(l_extendedprice*(1-l_discount)), 6) AS mkt_share
+         FROM lineitem
+         JOIN orders ON l_orderkey=o_orderkey
+         JOIN customer ON o_custkey=c_custkey
+         JOIN nation n1 ON c_nationkey=n1.n_nationkey
+         JOIN region ON n1.n_regionkey=r_regionkey
+         JOIN supplier ON l_suppkey=s_suppkey
+         JOIN nation n2 ON s_nationkey=n2.n_nationkey
+         WHERE r_name='ASIA'
+         GROUP BY 1""",
     "q14_promo_share" ->
       """SELECT round(
            sum(CASE WHEN p_type='PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END) * 100.0

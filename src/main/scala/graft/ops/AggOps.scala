@@ -181,6 +181,63 @@ object AggOps {
         |                       WHERE p2.p_type = p.p_type)""".stripMargin)
   }
 
+  /** TPC-H Q2 (adapted): minimum-cost supplier per ECONOMY part among ASIA
+    * suppliers, with lineitem as the partsupp proxy (per part×supplier unit
+    * cost = min extendedprice/quantity shipped). Written through the SQL
+    * text interface as the ORIGINAL multi-level correlated form — Catalyst
+    * decorrelates the scalar subquery into an aggregate + join, so the plan
+    * is one shuffle per aggregate plus broadcast dims, never a per-row
+    * re-execution. */
+  def q2MinCostSupplier(spark: org.apache.spark.sql.SparkSession, part: DataFrame,
+                        supplier: DataFrame, lineitem: DataFrame,
+                        nation: DataFrame, region: DataFrame): DataFrame = {
+    part.createOrReplaceTempView("graft_q2_part")
+    supplier.createOrReplaceTempView("graft_q2_supplier")
+    lineitem.createOrReplaceTempView("graft_q2_lineitem")
+    nation.createOrReplaceTempView("graft_q2_nation")
+    region.createOrReplaceTempView("graft_q2_region")
+    spark.sql(
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         floor(min(l_extendedprice / l_quantity) * 10000) / 10000 AS unit_cost
+        |  FROM graft_q2_lineitem GROUP BY l_partkey, l_suppkey),
+        |aps AS (
+        |  SELECT ps.l_partkey, ps.l_suppkey, ps.unit_cost, s.s_name, n.n_name
+        |  FROM ps JOIN graft_q2_supplier s ON ps.l_suppkey = s.s_suppkey
+        |  JOIN graft_q2_nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN graft_q2_region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'ASIA')
+        |SELECT p.p_partkey, p.p_name, a.s_name, a.n_name, a.unit_cost
+        |FROM graft_q2_part p JOIN aps a ON p.p_partkey = a.l_partkey
+        |WHERE p.p_type = 'ECONOMY'
+        |  AND a.unit_cost = (SELECT min(x.unit_cost) FROM aps x
+        |                     WHERE x.l_partkey = p.p_partkey)""".stripMargin)
+  }
+
+  /** TPC-H Q8 (adapted): NATION_7's market share of ASIA-customer order
+    * volume by year — two nation lookups (customer side restricts to the
+    * region, supplier side labels the seller), conditional-agg ratio.
+    * All dims broadcast; one fact shuffle for the year rollup. */
+  def q8MarketShare(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                    supplier: DataFrame, nation: DataFrame, region: DataFrame,
+                    targetNation: String = "NATION_7"): DataFrame = {
+    val custNation = nation.join(broadcast(region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val suppNation = nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("c_nk"), "left_semi")
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .groupBy(date_format(col("o_orderdate"), "yyyy").as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === targetNation, col("volume")).otherwise(0.0)) /
+        sum(col("volume")), 6).as("mkt_share"))
+  }
+
   /** Top-k rows per group via ranked window — the scalable "per-key top-N". */
   def windowTopKPerGroup(orders: DataFrame, k: Int = 3): DataFrame = {
     orders.select(col("o_custkey"), col("o_orderkey"),

@@ -90,7 +90,7 @@ class PipeIoMultimodalSpec extends SparkSpecBase {
   }
 
   test("combineRead bounds task count over a many-small-files directory") {
-    val tmp = Files.createTempDirectory("graft_combine").toString
+    val tmp = Files.createTempDirectory("graft_combine").toString + "/many"
     Tables.lineitem(spark, sfDir).repartition(200).write.parquet(tmp)
     val nFiles = new java.io.File(tmp).listFiles().count(_.getName.endsWith(".parquet"))
     assert(nFiles == 200)
