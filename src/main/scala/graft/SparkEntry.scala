@@ -45,6 +45,16 @@ object SparkEntry {
       AggOps.q8MarketShare(Tables.lineitem(s, d), Tables.orders(s, d),
         Tables.customer(s, d), Tables.supplier(s, d), Tables.nation(s, d),
         Tables.region(s, d))),
+    "q15_top_supplier" -> ((s, d) =>
+      AggOps.q15TopSupplier(Tables.supplier(s, d), Tables.lineitem(s, d))),
+    "q16_supplier_count" -> ((s, d) =>
+      AggOps.q16SupplierCount(s, Tables.part(s, d), Tables.supplier(s, d),
+        Tables.lineitem(s, d))),
+    "q17_small_qty_revenue" -> ((s, d) =>
+      AggOps.q17SmallQtyRevenue(s, Tables.part(s, d), Tables.lineitem(s, d))),
+    "q20_promo_suppliers" -> ((s, d) =>
+      AggOps.q20PromoSuppliers(Tables.supplier(s, d), Tables.nation(s, d),
+        Tables.lineitem(s, d), Tables.part(s, d))),
     "q18_large_orders" -> ((s, d) =>
       AggOps.q18LargeOrders(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q10_returned_items" -> ((s, d) =>
@@ -208,6 +218,36 @@ object SparkEntry {
          JOIN nation n2 ON s_nationkey=n2.n_nationkey
          WHERE r_name='ASIA'
          GROUP BY 1""",
+    "q15_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey, round(sum(l_extendedprice*(1-l_discount)),2) AS total_rev
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY l_suppkey)
+         SELECT s_suppkey, s_name, total_rev
+         FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         WHERE total_rev = (SELECT max(total_rev) FROM rev)""",
+    "q16_supplier_count" ->
+      """SELECT p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM part JOIN lineitem ON p_partkey = l_partkey
+         WHERE p_type <> 'PROMO'
+           AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY p_type, p_size""",
+    "q17_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE p_type = 'SMALL'
+           AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                             FROM lineitem l2
+                             WHERE l2.l_partkey = p_partkey)""",
+    "q20_promo_suppliers" ->
+      """SELECT s_suppkey, s_name, n_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE s_suppkey IN (
+           SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_type = 'PROMO'
+           GROUP BY l_suppkey HAVING sum(l_quantity) > 100)""",
     "q14_promo_share" ->
       """SELECT round(
            sum(CASE WHEN p_type='PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END) * 100.0

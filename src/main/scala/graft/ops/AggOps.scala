@@ -238,6 +238,73 @@ object AggOps {
         sum(col("volume")), 6).as("mkt_share"))
   }
 
+  /** TPC-H Q15 (adapted): top supplier(s) by quarterly revenue — aggregate,
+    * then keep the rows matching the GLOBAL max (scalar-subquery shape; in
+    * DataFrame form the 1-row max relation is broadcast, so there is no
+    * second pass over the fact). */
+  def q15TopSupplier(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("total_rev"))
+    val maxRev = rev.agg(max(col("total_rev")).as("mx"))
+    rev.join(broadcast(maxRev), col("total_rev") === col("mx"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+  }
+
+  /** TPC-H Q16 (adapted): distinct supplier count per (p_type, p_size) for
+    * non-PROMO parts, EXCLUDING complained-about suppliers — the NOT IN
+    * form plans as a null-aware anti join (broadcast: the exclusion list is
+    * tiny), then count(distinct) per group. */
+  def q16SupplierCount(spark: org.apache.spark.sql.SparkSession, part: DataFrame,
+                       supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    part.createOrReplaceTempView("graft_q16_part")
+    supplier.createOrReplaceTempView("graft_q16_supplier")
+    lineitem.createOrReplaceTempView("graft_q16_lineitem")
+    spark.sql(
+      """SELECT p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM graft_q16_part JOIN graft_q16_lineitem ON p_partkey = l_partkey
+        |WHERE p_type <> 'PROMO'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM graft_q16_supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_type, p_size""".stripMargin)
+  }
+
+  /** TPC-H Q17 (adapted): revenue from small-quantity orders of SMALL parts
+    * — quantity below 20% of that part's average (correlated scalar AVG
+    * subquery; Catalyst decorrelates to an aggregate + join on p_partkey). */
+  def q17SmallQtyRevenue(spark: org.apache.spark.sql.SparkSession, part: DataFrame,
+                         lineitem: DataFrame): DataFrame = {
+    part.createOrReplaceTempView("graft_q17_part")
+    lineitem.createOrReplaceTempView("graft_q17_lineitem")
+    spark.sql(
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM graft_q17_lineitem JOIN graft_q17_part ON p_partkey = l_partkey
+        |WHERE p_type = 'SMALL'
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM graft_q17_lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin)
+  }
+
+  /** TPC-H Q20 (adapted): suppliers who shipped > minQty units of PROMO
+    * parts, with their nation — IN over a grouped HAVING subquery nested
+    * inside a dim join (semi join on the aggregated fact). */
+  def q20PromoSuppliers(supplier: DataFrame, nation: DataFrame, lineitem: DataFrame,
+                        part: DataFrame, minQty: Double = 100): DataFrame = {
+    val promoQty = lineitem
+      .join(broadcast(part.filter(col("p_type") === "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("promo_qty"))
+      .filter(col("promo_qty") > minQty)
+    supplier
+      .join(promoQty, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+  }
+
   /** Top-k rows per group via ranked window — the scalable "per-key top-N". */
   def windowTopKPerGroup(orders: DataFrame, k: Int = 3): DataFrame = {
     orders.select(col("o_custkey"), col("o_orderkey"),
