@@ -4,7 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window}
+import org.apache.spark.sql.types.{IntegerType, LongType}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -32,15 +33,43 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
           TopKRankedNode(partitionSpec, orderSpec, k, alias.toAttribute, child)
         case _ => f
       }
+    // Same idiom with an integral-cast projection in between — the common
+    // `.withColumn("rn", row_number().over(w).cast("long")).filter(…)`
+    // DataFrame shape: Filter(cast_rn <= k, Project(…, Cast(rn)…, Window)).
+    // The cast is monotonic, so bounding the cast output bounds the rank.
+    case f @ Filter(cond, Project(projList,
+        Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
+          partitionSpec, orderSpec, child, _)))
+        if partitionSpec.nonEmpty && orderSpec.nonEmpty =>
+      val rn = alias.toAttribute
+      val boundable = rn +: projList.collect {
+        case a @ Alias(c: Cast, _)
+            if c.child.semanticEquals(rn) &&
+               (c.dataType == LongType || c.dataType == IntegerType) => a.toAttribute
+      }
+      boundable.iterator.map(attr => boundFromCond(cond, attr))
+          .collectFirst { case Some(k) if k > 0 => k } match {
+        case Some(k) =>
+          Project(projList, TopKRankedNode(partitionSpec, orderSpec, k, rn, child))
+        case _ => f
+      }
   }
 
-  /** rn <= k / rn < k / k >= rn / k > rn with an integer literal. */
+  /** rn <= k / rn < k / k >= rn / k > rn with an int or long literal. */
+  private object IntLikeLiteral {
+    def unapply(e: Expression): Option[Int] = e match {
+      case IntegerLiteral(k) => Some(k)
+      case Literal(k: Long, LongType) if k <= Int.MaxValue && k >= Int.MinValue => Some(k.toInt)
+      case _ => None
+    }
+  }
+
   private def boundFromCond(cond: Expression, rn: Attribute): Option[Int] = cond match {
-    case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k)
-    case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k - 1)
-    case GreaterThanOrEqual(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => Some(k)
-    case GreaterThan(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => Some(k - 1)
-    case EqualTo(a: Attribute, IntegerLiteral(1)) if a.semanticEquals(rn) => Some(1)
+    case LessThanOrEqual(a: Attribute, IntLikeLiteral(k)) if a.semanticEquals(rn) => Some(k)
+    case LessThan(a: Attribute, IntLikeLiteral(k)) if a.semanticEquals(rn) => Some(k - 1)
+    case GreaterThanOrEqual(IntLikeLiteral(k), a: Attribute) if a.semanticEquals(rn) => Some(k)
+    case GreaterThan(IntLikeLiteral(k), a: Attribute) if a.semanticEquals(rn) => Some(k - 1)
+    case EqualTo(a: Attribute, IntLikeLiteral(1)) if a.semanticEquals(rn) => Some(1)
     case _ => None
   }
 }

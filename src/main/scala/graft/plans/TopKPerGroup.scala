@@ -56,7 +56,13 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(group, childOutput)
       val ord = new LazilyGeneratedOrdering(order, childOutput)
-      // head of each queue = WORST kept row (reverse ordering) → O(log k) evict
+      // head of each queue = WORST kept row (reverse ordering) → O(log k) evict.
+      // State is bounded at (groups-per-partition × k) rows and never spills:
+      // the operator targets small-k per-key top-N where that product fits in
+      // task memory (the requiredChildDistribution hash-partitions groups, so
+      // per-task group counts shrink as parallelism grows). For huge k·groups
+      // the Window + WindowGroupLimit path is the right plan — the rewrite
+      // rule only fires on literal-k filters, which keeps k small by design.
       val groups = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
       while (iter.hasNext) {
         val row = iter.next()

@@ -48,6 +48,14 @@ class TopKRewriteSpec extends SparkSpecBase {
     assert(plan.contains("TopKRanked"), s"driver query must hit the heap exec:\n$plan")
   }
 
+  test("cast-then-filter shape (Project(Cast(rn)) between Filter and Window) also rewrites") {
+    val df = ranked.withColumn("rn", col("rn").cast("long")).filter(col("rn") <= 3)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKRanked"), s"cast idiom must still hit the heap exec:\n$plan")
+    assert(rows.nonEmpty && rows.forall(_.getLong(3) <= 3L))
+  }
+
   test("guards: extra predicates or non-row_number windows are NOT rewritten") {
     val filtered = ranked.filter(col("rn") <= 3 && col("o_totalprice") > 0)
     assert(!filtered.queryExecution.optimizedPlan.toString.contains("TopKRanked"))
