@@ -55,6 +55,19 @@ object SparkEntry {
     "q20_promo_suppliers" -> ((s, d) =>
       AggOps.q20PromoSuppliers(Tables.supplier(s, d), Tables.nation(s, d),
         Tables.lineitem(s, d), Tables.part(s, d))),
+    "q11_important_parts" -> ((s, d) =>
+      AggOps.q11ImportantParts(s, Tables.supplier(s, d), Tables.lineitem(s, d))),
+    "q12_returnflag_priority" -> ((s, d) =>
+      AggOps.q12ReturnflagPriority(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q13_customer_distribution" -> ((s, d) =>
+      AggOps.q13CustomerDistribution(Tables.customer(s, d), Tables.orders(s, d))),
+    "q19_discounted_revenue" -> ((s, d) =>
+      AggOps.q19DiscountedRevenue(Tables.part(s, d), Tables.lineitem(s, d))),
+    "q21_lone_returners" -> ((s, d) =>
+      AggOps.q21LoneReturners(s, Tables.supplier(s, d), Tables.orders(s, d),
+        Tables.lineitem(s, d))),
+    "q22_global_sales" -> ((s, d) =>
+      AggOps.q22GlobalSales(s, Tables.customer(s, d), Tables.orders(s, d))),
     "q18_large_orders" -> ((s, d) =>
       AggOps.q18LargeOrders(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q10_returned_items" -> ((s, d) =>
@@ -100,6 +113,7 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => DedupOps.dedupExact(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(Tables.documents(s, d))),
+    "dedup_groups" -> ((s, d) => DedupOps.dedupGroups(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(Tables.documents(s, d))),
     "embedding_neardup" -> ((s, d) => SimilarityOps.embeddingNearDup(s, Tables.embeddings(s, d))),
     "ann_bruteforce_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, Tables.embeddings(s, d))),
@@ -108,6 +122,8 @@ object SparkEntry {
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d))),
+    "tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
+    "ngram_counts" -> ((s, d) => TextAnalysis.ngramCounts(Tables.documents(s, d))),
     "rolling_fingerprint" -> ((s, d) => TextAnalysis.rollingFingerprint(Tables.documents(s, d))),
     "dedup_jaccard_ppjoin" -> ((s, d) => DedupOps.ngramJaccardPairsPrefix(Tables.documents(s, d))),
     "multimodal_meta" -> ((s, d) => MultimodalOps.multimodalMeta(Tables.documents(s, d))),
@@ -248,6 +264,58 @@ object SparkEntry {
            SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
            WHERE p_type = 'PROMO'
            GROUP BY l_suppkey HAVING sum(l_quantity) > 100)""",
+    "q11_important_parts" ->
+      """SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         WHERE s_nationkey IN (0, 1, 2)
+         GROUP BY l_partkey
+         HAVING sum(l_extendedprice * (1 - l_discount)) > (
+           SELECT 0.001 * sum(l_extendedprice * (1 - l_discount))
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+           WHERE s_nationkey IN (0, 1, 2))""",
+    "q12_returnflag_priority" ->
+      """SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+             AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+             AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY l_returnflag""",
+    "q13_customer_distribution" ->
+      """WITH per_cust AS (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           GROUP BY c_custkey)
+         SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count""",
+    "q19_discounted_revenue" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#9'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""",
+    "q21_lone_returners" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier
+         JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+         JOIN orders ON o_orderkey = l1.l_orderkey
+         WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY s_name""",
+    "q22_global_sales" ->
+      """SELECT c_custkey % 10 AS cntrycode, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+         FROM customer
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_custkey % 10""",
     "q14_promo_share" ->
       """SELECT round(
            sum(CASE WHEN p_type='PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END) * 100.0
@@ -507,6 +575,28 @@ object SparkEntry {
            FROM ex a JOIN ex b ON a.sg=b.sg AND a.doc_id<b.doc_id GROUP BY 1,2)
          SELECT a_id, b_id, round(inter/(na+nb-inter),6) AS jacc FROM pairs
          WHERE round(inter/(na+nb-inter),6) >= 0.8""",
+    "dedup_groups" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(t)>=3
+             THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+                                 FOR i IN generate_series(1, len(t)-2)])
+             ELSE [] END AS s FROM tok),
+         ex AS (SELECT doc_id, unnest(s) AS sg, len(s) AS nsh FROM sh WHERE len(s)>0),
+         cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
+             any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+           FROM ex a JOIN ex b ON a.sg=b.sg AND a.doc_id<b.doc_id GROUP BY 1,2),
+         pairs AS (SELECT a_id, b_id FROM cand
+           WHERE round(inter/(na+nb-inter),6) >= 0.8),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+         r(id, comp) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, r.comp FROM edges e JOIN r ON e.dst = r.id),
+         lab AS (SELECT id, min(comp) AS comp FROM r GROUP BY id)
+         SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS group_id
+         FROM documents d LEFT JOIN lab l ON d.doc_id = l.id""",
     "embedding_neardup" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),5) AS cos
@@ -565,6 +655,27 @@ object SparkEntry {
          length(text) AS n_chars,
          len(list_filter(string_split_regex(text,'\s+'), x->x<>'')) AS n_tokens
          FROM documents""",
+    "tfidf_top_terms" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         ex AS (SELECT doc_id, unnest(t) AS term FROM tok),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (SELECT doc_id, term, tf,
+             round(tf * ln(n / df), 6) AS tfidf
+           FROM tf JOIN df USING (term) CROSS JOIN n),
+         ranked AS (SELECT *, row_number() OVER
+             (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM scored)
+         SELECT doc_id, term, tf, tfidf, rn FROM ranked WHERE rn <= 3""",
+    "ngram_counts" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct([t[i]||' '||t[i+1]
+                  FOR i IN generate_series(1, len(t)-1)]) AS s FROM tok),
+         ex AS (SELECT unnest(s) AS ngram FROM sh)
+         SELECT ngram, count(*) AS n_docs FROM ex
+         GROUP BY ngram HAVING count(*) >= 2""",
     "multimodal_meta" ->
       """SELECT doc_id, strlen(text) AS byte_len, md5(text) AS content_md5,
          CASE WHEN ascii(text[1])%3=0 THEN 'image'

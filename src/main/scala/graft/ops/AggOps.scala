@@ -305,6 +305,119 @@ object AggOps {
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
   }
 
+  /** TPC-H Q11 (adapted; no partsupp table — lineitem value plays the
+    * partsupp value role): per-part supplied value restricted to one
+    * nation-set's suppliers, keeping parts whose value exceeds a fixed
+    * fraction of the GLOBAL total over the same restriction. The HAVING
+    * compares a group agg against an uncorrelated scalar subquery — Catalyst
+    * plans the total as its own partial-agg tree and broadcasts the 1-row
+    * result, so the fact table is scanned twice but shuffled only as
+    * partial aggregates (reference analog: two chained MR jobs,
+    * hadoop-mapreduce-examples/.../WordMedian.java:1 two-pass shape). */
+  def q11ImportantParts(spark: org.apache.spark.sql.SparkSession, supplier: DataFrame,
+                        lineitem: DataFrame, fraction: Double = 0.001): DataFrame = {
+    supplier.createOrReplaceTempView("graft_q11_supplier")
+    lineitem.createOrReplaceTempView("graft_q11_lineitem")
+    spark.sql(
+      s"""SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+         |FROM graft_q11_lineitem JOIN graft_q11_supplier ON l_suppkey = s_suppkey
+         |WHERE s_nationkey IN (0, 1, 2)
+         |GROUP BY l_partkey
+         |HAVING sum(l_extendedprice * (1 - l_discount)) > (
+         |  SELECT $fraction * sum(l_extendedprice * (1 - l_discount))
+         |  FROM graft_q11_lineitem JOIN graft_q11_supplier ON l_suppkey = s_suppkey
+         |  WHERE s_nationkey IN (0, 1, 2))""".stripMargin)
+  }
+
+  /** TPC-H Q12 (adapted; l_returnflag plays the ship-mode role): counts of
+    * high- vs low-priority orders per flag over a ship-date year — join +
+    * conditional aggregation (sum of CASE), one shuffle after partial aggs. */
+  def q12ReturnflagPriority(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_count"))
+
+  /** TPC-H Q13: orders-per-customer distribution INCLUDING zero-order
+    * customers — left outer join with the exclusion predicate in the ON
+    * clause (not a post-filter: that would drop the NULL rows), then a
+    * second aggregation over the per-customer counts. */
+  def q13CustomerDistribution(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey") &&
+        col("o_orderpriority") =!= "1-URGENT", "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q19: disjunctive (OR-of-ANDs) predicate revenue. The brand/size/
+    * quantity disjunction cannot be pushed as one conjunct, but Catalyst
+    * extracts the common join key and pushes per-side IN/range bounds
+    * (`p_brand IN (...)`, `l_quantity <= 30`) into both parquet scans. */
+  def q19DiscountedRevenue(part: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem.join(part, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#9" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+
+  /** TPC-H Q21 (adapted; returnflag plays the late-receipt role): suppliers
+    * that were the ONLY supplier with a returned line on a finished
+    * multi-supplier order — correlated EXISTS + NOT EXISTS against the same
+    * fact table, decorrelated by Catalyst into semi/anti joins on
+    * l_orderkey. */
+  def q21LoneReturners(spark: org.apache.spark.sql.SparkSession, supplier: DataFrame,
+                       orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    supplier.createOrReplaceTempView("graft_q21_supplier")
+    orders.createOrReplaceTempView("graft_q21_orders")
+    lineitem.createOrReplaceTempView("graft_q21_lineitem")
+    spark.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM graft_q21_supplier
+        |JOIN graft_q21_lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN graft_q21_orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM graft_q21_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_q21_lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name""".stripMargin)
+  }
+
+  /** TPC-H Q22 (adapted; c_custkey mod 10 plays the phone-prefix country
+    * code): wealthy customers (balance above the positive-balance average —
+    * uncorrelated scalar subquery) with NO orders (NOT EXISTS → anti join),
+    * grouped by synthetic country code. */
+  def q22GlobalSales(spark: org.apache.spark.sql.SparkSession, customer: DataFrame,
+                     orders: DataFrame): DataFrame = {
+    customer.createOrReplaceTempView("graft_q22_customer")
+    orders.createOrReplaceTempView("graft_q22_orders")
+    spark.sql(
+      """SELECT c_custkey % 10 AS cntrycode, count(*) AS numcust,
+        |       round(sum(c_acctbal), 2) AS totacctbal
+        |FROM graft_q22_customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM graft_q22_customer
+        |                   WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_q22_orders
+        |                  WHERE o_custkey = c_custkey)
+        |GROUP BY c_custkey % 10""".stripMargin)
+  }
+
   /** Top-k rows per group via ranked window — the scalable "per-key top-N". */
   def windowTopKPerGroup(orders: DataFrame, k: Int = 3): DataFrame = {
     orders.select(col("o_custkey"), col("o_orderkey"),

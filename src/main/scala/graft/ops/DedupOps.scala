@@ -165,6 +165,64 @@ object DedupOps {
     verifyPairs(cand, sh, tau)
   }
 
+  /** Resolve near-dup PAIRS into duplicate GROUPS — connected components by
+    * iterative min-label propagation (the distributed-join formulation of
+    * Kiveris et al. 2014, "Connected Components in MapReduce and Beyond").
+    * Input: (a_id, b_id) pair rows. Output: (id, comp) where comp is the
+    * minimum doc_id reachable through the pair graph — the canonical member.
+    *
+    * Scale shape: each iteration is one shuffle (edge join + min-agg);
+    * convergence is O(diameter) iterations, and near-dup clusters are tiny
+    * (pairs come from a ≥ tau similarity join, so components are near-cliques
+    * of duplicates — diameter 1-3 in practice). Each iteration's result is
+    * localCheckpoint'ed to truncate lineage (on a real cluster with
+    * preemptible executors, set a reliable checkpoint dir and use
+    * `checkpoint()` instead). Convergence test is a scalar isEmpty — no data
+    * is collected to the driver. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // propagate each node's label to its neighbors, keep the minimum
+      val next = edges
+        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
+        .select(col("src").as("id"), col("comp"))
+        .unionByName(labels)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter(col("n.comp") =!= col("o.comp"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Full dedup group assignment over the corpus: every doc mapped to the
+    * canonical (minimum) doc_id of its near-dup component; singletons map to
+    * themselves. Pair generation uses the scale-safe MinHash-LSH path
+    * (recall 1.0 at tau ≥ ~0.8 with 32×4 bands, so output matches the exact
+    * n-gram-Jaccard oracle). This is the last stage of the standard dedup
+    * pipeline: pairs → groups → keep one per group. */
+  def dedupGroups(docs: DataFrame, tau: Double = 0.8): DataFrame = {
+    val pairs = minhashLshPairs(docs, tau).select(col("a_id"), col("b_id"))
+    val comp = connectedComponents(pairs)
+    docs.select(col("doc_id"))
+      .join(comp.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("group_id"))
+  }
+
   /** SimHash fingerprints per doc (map-side, native expression). */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
@@ -191,27 +249,48 @@ object DedupOps {
 
   /** Banding + exact-hamming verify over an existing (doc_id, fp) relation —
     * the same op with the fingerprint step factored out (also what the
-    * planted-pair recall spec drives directly). */
+    * planted-pair recall spec drives directly).
+    *
+    * The banded self-join runs over DISTINCT fingerprints, not docs: exact
+    * duplicates (hamming 0 — the overwhelming majority in any near-dup
+    * corpus) collapse to one row each before the quadratic stage, and doc
+    * pairs are recovered afterwards by joining the fp→doc mapping onto the
+    * surviving fingerprint pairs. Candidate-join cost goes from O(docs² /
+    * buckets) to O(distinct-fps² / buckets); output is unchanged. */
   def simhashPairsFromFingerprints(fp: DataFrame, maxHamming: Int = 6): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming out of [0,64)")
     GraftFunctions.register(fp.sparkSession)
     val nBands = maxHamming + 1
+    val docs = fp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val distinctFp = docs.select(col("fp")).distinct()
     // band b covers bits [b*64/nBands, (b+1)*64/nBands) — balanced slices
-    val banded = fp.select(col("doc_id"), col("fp"),
+    val banded = distinctFp.select(col("fp"),
         explode(sequence(lit(0), lit(nBands - 1))).as("band"))
       .withColumn("lo", (col("band") * 64 / nBands).cast("int"))
       .withColumn("hi", ((col("band") + 1) * 64 / nBands).cast("int"))
       .withColumn("band_bits",
         when(col("hi") - col("lo") >= 64, col("fp")) // single 64-bit band (maxHamming=0)
           .otherwise(expr("shiftrightunsigned(fp, lo) & (shiftleft(1L, hi - lo) - 1)")))
-      .select(col("doc_id"), col("fp"), col("band"), col("band_bits"))
-    val l = banded.select(col("doc_id").as("a_id"), col("fp").as("fa"), col("band"), col("band_bits"))
-    val r = banded.select(col("doc_id").as("b_id"), col("fp").as("fb"), col("band"), col("band_bits"))
-    l.join(r, Seq("band", "band_bits"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        GraftFunctions.hamming64(col("fa"), col("fb")).as("hamming"))
-      .dropDuplicates("a_id", "b_id")
+      .select(col("fp"), col("band"), col("band_bits"))
+    // near fingerprint PAIRS (fa < fb numerically; hamming 1..maxHamming)
+    val fpPairs = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.band_bits") === col("y.band_bits") &&
+        col("x.fp") < col("y.fp"))
+      .select(col("x.fp").as("fa"), col("y.fp").as("fb"))
+      .dropDuplicates("fa", "fb")
+      .withColumn("hamming", GraftFunctions.hamming64(col("fa"), col("fb")))
       .filter(col("hamming") <= maxHamming)
+    // expand fp pairs back to doc pairs (doc order normalized a_id < b_id)
+    val cross = fpPairs
+      .join(docs.select(col("doc_id").as("xa"), col("fp").as("fa")), "fa")
+      .join(docs.select(col("doc_id").as("xb"), col("fp").as("fb")), "fb")
+      .select(least(col("xa"), col("xb")).as("a_id"),
+        greatest(col("xa"), col("xb")).as("b_id"), col("hamming"))
+    // exact-duplicate fingerprints: all within-group pairs at hamming 0
+    val same = docs.select(col("doc_id").as("a_id"), col("fp")).as("p")
+      .join(docs.select(col("doc_id").as("b_id"), col("fp")).as("q"), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(0).cast("int").as("hamming"))
+    cross.unionByName(same)
   }
 }

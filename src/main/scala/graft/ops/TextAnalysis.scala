@@ -83,6 +83,49 @@ object TextAnalysis {
       length(col("text")).cast("long").as("n_chars"))
   }
 
+  /** TF-IDF top terms per document. Two aggregations over the exploded
+    * token relation: document frequency per term (one shuffle over ≤ |vocab|
+    * keys, broadcast back), then per-(doc, term) counts ranked by
+    * tf × ln(N / df) with a per-doc top-k window. At 100 TB the df relation
+    * is vocabulary-sized (millions of rows, not corpus-sized) so the
+    * broadcast holds; the ranking shuffle is the per-doc term list, capped
+    * by the WindowGroupLimit pushdown (or TopKRankedExec under
+    * GraftExtensions) to k rows per doc before the final exchange.
+    * Ties broken by term asc; tfidf rounded to 6dp BEFORE ranking so the
+    * cross-engine sort is unambiguous. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val n = docs.count() // scalar N for the idf constant — not a data collect
+    val terms = docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"),
+        col("rn").cast("long").as("rn"))
+  }
+
+  /** Word n-gram DOCUMENT frequencies — the contamination-check primitive
+    * (how many documents contain each n-gram; shingleArray is distinct per
+    * doc by construction). One explode + one shuffle on the n-gram key; at
+    * scale the partial aggregation absorbs the explosion before the
+    * exchange, and minDocs prunes the long tail map-side of the sink. */
+  def ngramCounts(docs: DataFrame, n: Int = 2, minDocs: Long = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(explode(
+        graft.functions.GraftFunctions.shingleArray(TextOps.tokens(col("text")), n))
+        .as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Deterministic document fingerprint + length metadata. */
   def docFingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

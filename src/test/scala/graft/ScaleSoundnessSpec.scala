@@ -102,4 +102,25 @@ class ScaleSoundnessSpec extends SparkSpecBase {
       DedupOps.minhashLshPairs(Tables.documents(spark, sfDir), bands = 33)
     }
   }
+
+  test("connectedComponents: min-label propagation over chains, stars and cliques") {
+    import spark.implicits._
+    // adversarial for propagation: a 12-node PATH (needs multiple rounds for
+    // the min label to travel end-to-end), a star, a triangle clique, and an
+    // isolated pair; labels must be the component minimum for every node.
+    val path = (1L until 12L).map(i => (i, i + 1))           // comp min = 1
+    val star = Seq((100L, 101L), (100L, 102L), (100L, 103L)) // comp min = 100
+    val clique = Seq((200L, 201L), (201L, 202L), (200L, 202L))
+    val pair = Seq((300L, 301L))
+    // reversed/shuffled edge order must not matter
+    val pairs = scala.util.Random.shuffle(path ++ star ++ clique ++ pair)
+      .map { case (a, b) => (b, a) }.toDF("a_id", "b_id")
+    val got = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 12L).foreach(i => assert(got(i) == 1L, s"path node $i"))
+    (100L to 103L).foreach(i => assert(got(i) == 100L, s"star node $i"))
+    (200L to 202L).foreach(i => assert(got(i) == 200L, s"clique node $i"))
+    (300L to 301L).foreach(i => assert(got(i) == 300L, s"pair node $i"))
+    assert(got.size == 12 + 4 + 3 + 2)
+  }
 }
