@@ -118,6 +118,7 @@ object SparkEntry {
     "embedding_neardup" -> ((s, d) => SimilarityOps.embeddingNearDup(s, Tables.embeddings(s, d))),
     "ann_bruteforce_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, Tables.embeddings(s, d))),
     "ann_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopK(s, Tables.embeddings(s, d))),
+    "ann_lsh_topk" -> ((s, d) => SimilarityOps.annLshTopK(s, Tables.embeddings(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),

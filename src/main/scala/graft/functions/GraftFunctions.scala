@@ -37,6 +37,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("nearest_centroids",
       exprs => NearestCentroids(exprs(0), evalCentroids(exprs(1)),
         exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("hyperplane_lsh",
+      exprs => HyperplaneLsh(exprs(0), evalCentroids(exprs(1)),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 
   /** Fold a foldable array<array<float>> argument into the model matrix. */
@@ -81,6 +85,15 @@ object GraftFunctions {
     call_function("nearest_centroids", vec,
       org.apache.spark.sql.functions.typedlit(centroids.map(_.toSeq).toSeq),
       org.apache.spark.sql.functions.lit(k))
+
+  /** Multi-table sign-LSH bucket ids (array<int>, namespaced per table) —
+    * map-side bucketing for the LSH-ANN path. */
+  def hyperplaneLsh(vec: Column, planes: Array[Array[Float]],
+                    tables: Int, bits: Int): Column =
+    call_function("hyperplane_lsh", vec,
+      org.apache.spark.sql.functions.typedlit(planes.map(_.toSeq).toSeq),
+      org.apache.spark.sql.functions.lit(tables),
+      org.apache.spark.sql.functions.lit(bits))
 
   /** 64-bit SimHash fingerprint of an array<string> token column. */
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)

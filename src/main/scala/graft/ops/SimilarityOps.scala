@@ -128,6 +128,46 @@ object SimilarityOps {
       .select(col("q_id"), col("n_id"), col("cos"), col("rn").cast("long").as("rn"))
   }
 
+  /** Sign-LSH ANN (the "or LSH-bucketed" half of the scale path, next to
+    * IVF): vectors get `tables` namespaced bucket ids MAP-SIDE
+    * (graft.functions.HyperplaneLsh — one codegen'd column), candidates are
+    * vectors sharing ANY table bucket with a query, deduped, then scored
+    * exactly and ranked. Multi-table recall: a pair at angle θ survives
+    * with 1 − (1 − (1 − θ/π)^bits)^tables — tune (tables, bits) to the
+    * corpus (defaults favor high-similarity neighbours; this synthetic
+    * near-random corpus needs few bits — the planted-cluster recall spec
+    * is the meaningful check). Unlike IVF the same pair can collide in
+    * several tables, hence the dropDuplicates before scoring (keys only —
+    * the embedding columns rejoin after). */
+  def annLshTopK(spark: SparkSession, emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+                 tables: Int = 8, bits: Int = 4, seed: Long = 42L): DataFrame = {
+    GraftFunctions.register(spark)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val planes = graft.functions.HyperplaneLsh.genPlanes(tables * bits, dim, seed)
+
+    val bucketed = emb.select(col("vec_id").as("n_id"),
+        explode(GraftFunctions.hyperplaneLsh(col("embedding"), planes, tables, bits))
+          .as("bucket"))
+    val probeBuckets = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        explode(GraftFunctions.hyperplaneLsh(col("embedding"), planes, tables, bits))
+          .as("bucket"))
+    val candKeys = bucketed.join(broadcast(probeBuckets), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+
+    val scored = candKeys
+      .join(emb.select(col("vec_id").as("n_id"), col("embedding").as("ne")), "n_id")
+      .join(broadcast(emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))), "q_id")
+      .withColumn("cos", round(cosineSim(col("qe"), col("ne")), 6))
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rn").cast("long").as("rn"))
+  }
+
   /** IVF-style ANN: deterministic "training" picks nlist strided vectors as
     * centroids; every vector is assigned MAP-SIDE to its nearest centroid
     * (NearestCentroids — one codegen'd column, no join/window in the

@@ -33,6 +33,19 @@ object Streams {
       .select(col("window.start").as("hour_start"), col("event_type"),
               col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup with bounded state: drop events whose dedup key
+    * was already seen, keeping state only within the watermark horizon —
+    * the ingest-time half of the dedup family (DedupOps covers the batch
+    * corpus side). At 100 TB/day ingest this is the standard "at-least-once
+    * source → exactly-once sink" repair: state is partitioned by key hash
+    * across executors and watermark-evicted, so memory is O(keys per
+    * horizon), not O(history). Works on any expression — pass md5(text)
+    * for content dedup or event_id for replay dedup. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String] = Seq("event_id"),
+                  watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Custom-state sessionization: flatMapGroupsWithState with event-time
     * timeout. A session closes when the gap exceeds gapSec (decided against
     * the watermark clock), emitting (user, start, end, n). */

@@ -54,6 +54,29 @@ class OpsSpec extends SparkSpecBase {
     assert(ivf.map(_._1) == bf.map(_._1), "every query answered")
   }
 
+  test("sign-LSH ANN: planted-cluster recall, plus structure on real embeddings") {
+    import spark.implicits._
+    // planted data where LSH provably works: 100 bases, each with a partner
+    // at cosine ≥ ~0.95 (small additive noise). θ ≈ 18° ⇒ per-bit collide
+    // p ≈ 0.9, 8 tables × 4 bits ⇒ recall ≈ 1 − (1 − 0.9⁴)^8 ≈ 0.996.
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val rows = (0 until 100).flatMap { i =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val partner = base.map(v => v + (rnd.nextGaussian() * 0.1f).toFloat)
+      Seq((i.toLong, base), (i + 1000L, partner))
+    }
+    val planted = rows.toDF("vec_id", "embedding")
+    val got = SimilarityOps.annLshTopK(spark, planted, nQueries = 100, k = 1)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hits = got.count { case (q, n) => n == q + 1000L }
+    assert(hits >= 95, s"planted partner must be the top-1 neighbour; got $hits/100")
+    // real (near-random) embeddings: every query answered, k rows each
+    val real = SimilarityOps.annLshTopK(spark, emb)
+    val byQ = real.groupBy("q_id").count().collect()
+    assert(byQ.length == 10 && byQ.forall(_.getLong(1) <= 5))
+  }
+
   test("teraSort output validates: zero inversions, checksum matches direct sum") {
     val v = SortOps.sortValidate(spark, li).head
     assert(v.getAs[Long]("inversions") == 0L)

@@ -50,6 +50,26 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dedupStream: replayed events within the watermark horizon are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_t")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Ev(1, ts(0), 1, "view", 1.0), Ev(2, ts(1), 1, "view", 2.0),
+        Ev(1, ts(0), 1, "view", 1.0)) // exact replay of event 1
+      q.processAllAvailable()
+      input.addData(Ev(2, ts(2), 1, "view", 2.0), Ev(3, ts(3), 2, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_t").collect().map(_.getAs[Long]("event_id")).toList
+      assert(ids.sorted == List(1L, 2L, 3L),
+        s"each event_id must survive exactly once, got $ids")
+    } finally q.stop()
+  }
+
   test("file sink + checkpoint: exactly-once across a query restart") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_eo").toString
     val events = Tables.events(spark, sfDir)
