@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.ops._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §7 (plan).
@@ -128,6 +129,14 @@ object SparkEntry {
     "rolling_fingerprint" -> ((s, d) => TextAnalysis.rollingFingerprint(Tables.documents(s, d))),
     "dedup_jaccard_ppjoin" -> ((s, d) => DedupOps.ngramJaccardPairsPrefix(Tables.documents(s, d))),
     "multimodal_meta" -> ((s, d) => MultimodalOps.multimodalMeta(Tables.documents(s, d))),
+    "pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
+    "decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      CurationPipeline.decontaminate(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0))
+    }),
+    "pack_sequences" -> ((s, d) => CurationPipeline.packSequences(Tables.documents(s, d))),
     "curation_pipeline" -> ((s, d) => CurationPipeline.curate(Tables.documents(s, d))),
     // §2 preference-(c) showcase: custom LogicalPlan+Strategy+Exec operator
     "topk_custom_operator" -> ((s, d) => {
@@ -656,6 +665,41 @@ object SparkEntry {
          length(text) AS n_chars,
          len(list_filter(string_split_regex(text,'\s+'), x->x<>'')) AS n_tokens
          FROM documents""",
+    "pii_scrub" ->
+      """SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+             '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g') AS text_scrubbed,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+              + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
+              + len(regexp_extract_all(text, '\+?[0-9][0-9() -]{7,}[0-9]')) AS BIGINT)
+             AS n_redactions
+         FROM documents""",
+    "decontaminate" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(t)>=3
+             THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+                                 FOR i IN generate_series(1, len(t)-2)])
+             ELSE [] END AS s FROM tok),
+         bench AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 100 = 0),
+         corp AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 100 <> 0),
+         contaminated AS (SELECT doc_id FROM corp JOIN bench USING (gram)
+           GROUP BY doc_id HAVING count(*) >= 5)
+         SELECT doc_id FROM documents
+         WHERE doc_id % 100 <> 0
+           AND doc_id NOT IN (SELECT doc_id FROM contaminated)""",
+    "pack_sequences" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         tt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM tok),
+         c AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM tt)
+         SELECT doc_id, n_tokens, CAST(floor(cb / 512) AS BIGINT) AS seq_id FROM c""",
     "tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id,
              list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),

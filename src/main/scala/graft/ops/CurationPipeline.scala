@@ -36,4 +36,59 @@ object CurationPipeline {
       .select(col("b_id").as("doc_id"))
     preNearDup.join(losers, Seq("doc_id"), "left_anti")
   }
+
+  /** Benchmark decontamination (the eval-leak guard every training corpus
+    * needs): drop corpus docs sharing ≥ minOverlap distinct word n-grams
+    * with the benchmark set's n-gram UNION. The benchmark gram set is
+    * vocabulary-sized — explode + distinct + broadcast — so the corpus side
+    * stays one scan + one semi-structured join + one groupBy; survivors via
+    * anti join. Returns surviving (doc_id) rows. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    n: Int = 3, minOverlap: Long = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(graft.functions.GraftFunctions.shingleArray(
+        TextOps.tokens(col("text")), n)).as("gram"))
+    val benchGrams = grams(benchmark).select(col("gram")).distinct()
+    val contaminated = grams(corpus)
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+    corpus.select(col("doc_id"))
+      .join(contaminated.select(col("doc_id")), Seq("doc_id"), "left_anti")
+  }
+
+  /** Token-budget sequence packing (the training-batch assembly step):
+    * concatenate docs in doc_id order into a token stream and assign each
+    * doc the index of the `budget`-token sequence where it STARTS —
+    * seq_id = floor(tokens_before / budget). The global ordered cumsum is
+    * the TeraSort two-phase shape, not a single-partition window: range
+    * partition by doc_id, per-partition cumsum window, plus a broadcast of
+    * per-partition totals (one tiny row per partition). Deterministic
+    * regardless of sampled range boundaries — tokens_before is a global
+    * quantity. */
+  def packSequences(docs: DataFrame, budget: Long = 512L,
+                    partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .repartitionByRange(partitions, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val offsets = t.groupBy(col("pid")).agg(sum(col("n_tokens")).as("ptotal"))
+      .withColumn("offset",
+        coalesce(sum(col("ptotal")).over(
+          // ≤ `partitions` rows total — the single-partition window is the
+          // point (it's the tiny phase-2 of the two-phase cumsum); the
+          // constant partition key just keeps the no-partition warning out
+          // of log audits.
+          Window.partitionBy(lit(0)).orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    val intraW = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("intra", coalesce(sum(col("n_tokens")).over(intraW), lit(0L)))
+      .join(broadcast(offsets), "pid")
+      .select(col("doc_id"), col("n_tokens"),
+        floor((col("intra") + col("offset")) / budget).as("seq_id"))
+  }
 }

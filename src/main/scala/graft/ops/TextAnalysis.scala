@@ -83,6 +83,25 @@ object TextAnalysis {
       length(col("text")).cast("long").as("n_chars"))
   }
 
+  /** PII scrubbing: redact emails, SSN-shaped ids, then phone-shaped digit
+    * runs (order matters — SSNs would otherwise half-match the phone
+    * pattern). Pure map-side regexp_replace chain, whole-stage codegen'd;
+    * patterns are RE2-safe (no backrefs/lookaround) so the DuckDB oracle
+    * runs them verbatim. n_redactions counts matched spans pre-replacement. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    val phone = "\\+?[0-9][0-9() -]{7,}[0-9]"
+    val n = (p: String) => size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long")
+    docs.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), email, "<EMAIL>"),
+          ssn, "<SSN>"),
+        phone, "<PHONE>").as("text_scrubbed"),
+      (n(email) + n(ssn) + n(phone)).as("n_redactions"))
+  }
+
   /** TF-IDF top terms per document. Two aggregations over the exploded
     * token relation: document frequency per term (one shuffle over ≤ |vocab|
     * keys, broadcast back), then per-(doc, term) counts ranked by

@@ -28,6 +28,51 @@ class PipelineIntegrationSpec extends SparkSpecBase {
     assert(ids.subsetOf(canon))
   }
 
+  test("piiScrub: emails, SSNs and phone runs redacted; counts match") {
+    import spark.implicits._
+    val pii = Seq(
+      (1L, "contact me at alice.smith+spam@example.co.uk today"),
+      (2L, "ssn 123-45-6789 and phone +1 (555) 123-4567 on file"),
+      (3L, "clean document with no identifiers at all"),
+      (4L, "two mails a@b.io c@d.org")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(pii).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == "contact me at <EMAIL> today" && out(1L)._2 == 1L)
+    assert(out(2L)._1 == "ssn <SSN> and phone <PHONE> on file")
+    assert(out(3L) == ("clean document with no identifiers at all", 0L))
+    assert(out(4L)._1 == "two mails <EMAIL> <EMAIL>" && out(4L)._2 == 2L)
+  }
+
+  test("packSequences: seq_id is the exact global token cumsum at ANY partition count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val counts = (0L until 200L).map(i => (i, 1 + rnd.nextInt(40)))
+    val synth = counts.map { case (i, n) => (i, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val expected = {
+      var cum = 0L
+      counts.map { case (i, n) => val s = cum / 512L; cum += n; i -> s }.toMap
+    }
+    Seq(3, 7, 32).foreach { p =>
+      val got = CurationPipeline.packSequences(synth, 512L, p)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == expected, s"partition count $p changed packing")
+    }
+  }
+
+  test("decontaminate: docs overlapping the benchmark set are dropped, others kept") {
+    import spark.implicits._
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // 6 shared 3-grams
+      (2L, "totally different words nothing in common here at all"),
+      (3L, "alpha beta gamma unrelated tail keeps overlap below threshold"))
+      .toDF("doc_id", "text")
+    val kept = CurationPipeline.decontaminate(corpus, bench, minOverlap = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"got $kept")
+  }
+
   test("multimodal features flow into the similarity kernel") {
     // stub feature extraction: byte histogram over the media payload as a
     // float vector — the real pipeline would emit a model embedding here
