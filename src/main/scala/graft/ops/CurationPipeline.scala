@@ -32,7 +32,10 @@ object CurationPipeline {
     // dropped (quality / exact dedup), the higher-id copy must NOT also be
     // removed — otherwise every copy of that content could vanish.
     val survivorDocs = docs.join(preNearDup.select(col("doc_id")), Seq("doc_id"), "left_semi")
-    val losers = DedupOps.ngramJaccardPairs(survivorDocs, tau = nearDupTau)
+    // PPJoin prefix-filtered pair join: identical output to the full
+    // inverted-index form (both hash-match the same oracle), ~4× cheaper
+    // here and the zero-recall-loss exact path at 100 TB.
+    val losers = DedupOps.ngramJaccardPairsPrefix(survivorDocs, tau = nearDupTau)
       .select(col("b_id").as("doc_id"))
     preNearDup.join(losers, Seq("doc_id"), "left_anti")
   }
