@@ -93,6 +93,9 @@ object SparkEntry {
     "correlated_subquery" -> ((s, d) => AggOps.correlatedMinPerType(s, Tables.part(s, d))),
     "approx_sketch" -> ((s, d) => AggOps.approxSketch(Tables.lineitem(s, d))),
     "sessionize" -> ((s, d) => AggOps.sessionize(Tables.events(s, d))),
+    "funnel_conversion" -> ((s, d) => AggOps.funnelConversion(Tables.events(s, d))),
+    "user_retention" -> ((s, d) => AggOps.userRetention(Tables.events(s, d))),
+    "hll_reaggregate" -> ((s, d) => AggOps.hllReaggregate(Tables.events(s, d))),
     "events_hourly" -> ((s, d) => AggOps.eventsHourly(Tables.events(s, d))),
     // §2.1 MapReduce example surface
     "wordcount" -> ((s, d) => TextOps.wordCount(Tables.documents(s, d))),
@@ -473,6 +476,29 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
          count(*) AS n_events, round(sum(value),2) AS sum_value
          FROM events GROUP BY 1, 2""",
+    "funnel_conversion" ->
+      """WITH s1 AS (SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS t1
+           FROM events WHERE event_type='view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t2
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type='click' AND CAST(floor(epoch(e.ts)) AS BIGINT) > t1
+           GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t3
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type='purchase' AND CAST(floor(epoch(e.ts)) AS BIGINT) > t2
+           GROUP BY e.user_id)
+         SELECT (SELECT count(*) FROM s1) AS n_view,
+                (SELECT count(*) FROM s2) AS n_view_click,
+                (SELECT count(*) FROM s3) AS n_view_click_purchase""",
+    "user_retention" ->
+      """WITH first AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+           FROM events GROUP BY user_id),
+         active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+         SELECT cohort_day, CAST(d - cohort_day AS BIGINT) AS day_k,
+           count(*) AS n_returned
+         FROM first JOIN active USING (user_id)
+         WHERE d - cohort_day BETWEEN 1 AND 7
+         GROUP BY cohort_day, day_k""",
     "wordcount" ->
       """SELECT word, count(*) AS n FROM (
            SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)

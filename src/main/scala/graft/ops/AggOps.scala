@@ -562,6 +562,60 @@ object AggOps {
 
   /** Tumbling-window event counts — the batch twin of the streaming agg in
     * graft.streaming (same grouping, watermark added on the stream side). */
+  /** Ordered funnel conversion (view → click → purchase): per stage, the
+    * earliest qualifying time must STRICTLY follow the previous stage's.
+    * Times are compared at epoch-second resolution on both engines (Spark
+    * unix_timestamp floors; the oracle floors epoch() explicitly) so the
+    * cross-engine comparison is exact. Each stage is one filtered agg +
+    * one equi-join on user_id — three small shuffles over per-user rows,
+    * no window. */
+  def funnelConversion(events: DataFrame): DataFrame = {
+    val secs = unix_timestamp(col("ts"))
+    def stage(evType: String, prev: DataFrame, prevT: String, outT: String) =
+      events.filter(col("event_type") === evType)
+        .select(col("user_id"), secs.as("s"))
+        .join(prev, "user_id")
+        .filter(col("s") > col(prevT))
+        .groupBy(col("user_id")).agg(min(col("s")).as(outT))
+    val s1 = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(secs).as("t1"))
+    val s2 = stage("click", s1.select(col("user_id"), col("t1")), "t1", "t2")
+    val s3 = stage("purchase", s2.select(col("user_id"), col("t2")), "t2", "t3")
+    s1.agg(count(lit(1)).as("n_view")).crossJoin(
+        s2.agg(count(lit(1)).as("n_view_click"))).crossJoin(
+        s3.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
+  /** Cohort retention: users grouped by first-seen day; for day offsets
+    * 1..7, how many returned. Two aggs over (user, day) pairs + one join —
+    * the distinct-activity relation is the shuffle, everything after is
+    * per-user-day. Dates truncate in UTC on both engines. */
+  def userRetention(events: DataFrame, maxDays: Int = 7): DataFrame = {
+    val first = events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val active = events.select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    first.join(active, "user_id")
+      .withColumn("day_k", datediff(col("d"), col("cohort_day")).cast("long"))
+      .filter(col("day_k").between(1, maxDays))
+      .groupBy(col("cohort_day"), col("day_k"))
+      .agg(count(lit(1)).as("n_returned"))
+  }
+
+  /** Mergeable-sketch re-aggregation: per-day HLL sketches of the user set,
+    * unioned up to per-event-type totals — the pre-aggregated-rollup pattern
+    * (store tiny daily sketches, answer month queries by register-max union,
+    * never rescan raw events). HLL union is lossless, so the re-aggregated
+    * estimate is IDENTICAL to the single-pass estimate — the spec asserts
+    * equality, the driver checks rows-only (estimates aren't
+    * oracle-matchable against DuckDB's different HLL). */
+  def hllReaggregate(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
+        count(lit(1)).as("n_days"))
+  }
+
   def eventsHourly(events: DataFrame): DataFrame =
     events.groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))

@@ -55,6 +55,24 @@ class SketchSpec extends SparkSpecBase {
     assert(hot.get.getLong(1) >= 20000L, "counts never under-estimate")
   }
 
+  test("HLL re-aggregation is lossless: union-of-daily == single-pass, near exact") {
+    import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate}
+    val events = Tables.events(spark, sfDir)
+    val reagg = graft.ops.AggOps.hllReaggregate(events)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val single = events.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = events.groupBy(col("event_type"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(reagg == single, s"union of daily partials must equal one-pass sketch: $reagg vs $single")
+    exact.foreach { case (k, n) =>
+      assert(math.abs(reagg(k) - n).toDouble / n <= 0.05,
+        s"$k: est ${reagg(k)} vs exact $n drifts > 5%")
+    }
+  }
+
   test("sketch works from SQL text and per group") {
     GraftFunctions.register(spark)
     docs.select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
