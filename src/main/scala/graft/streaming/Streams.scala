@@ -33,6 +33,30 @@ object Streams {
       .select(col("window.start").as("hour_start"), col("event_type"),
               col("n_events"), col("sum_value"))
 
+  /** Incremental rollup (the MR "re-run the job over a growing directory"
+    * analog, without the re-scan): each micro-batch appends PARTIAL
+    * aggregates to a parquet rollup table; readers merge on read with one
+    * more groupBy. Partials are mergeable because sum/count are — the same
+    * contract as the MR combiner. At 100 TB/day this turns the daily
+    * recompute into a per-batch append of KB-sized partials plus a
+    * rollup-sized final merge. */
+  def incrementalRollup(events: DataFrame, outDir: String, checkpointDir: String) =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
+  /** Merge-on-read for the incremental rollup table: partials → totals. */
+  def readRollup(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+      .groupBy(col("hour"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        round(sum(col("sum_value")), 2).as("sum_value"))
+
   /** Streaming exact dedup with bounded state: drop events whose dedup key
     * was already seen, keeping state only within the watermark horizon —
     * the ingest-time half of the dedup family (DedupOps covers the batch

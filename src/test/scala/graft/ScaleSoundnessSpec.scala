@@ -103,6 +103,35 @@ class ScaleSoundnessSpec extends SparkSpecBase {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (the 100 TB hot-key path)") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force SMJ: skew-join only applies there
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32kb",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16kb",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 150k of 200k rows share key 0 — one shuffle partition dwarfs the rest
+      val big = spark.range(200000)
+        .select(when(col("id") < 150000, 0L).otherwise(col("id") % 50000).as("k"),
+          col("id").as("v"))
+      val dim = spark.range(50000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = big.join(dim, "k")
+      // collect() executes joined's own adaptive plan (count() would build a
+      // separate one and leave this plan isFinalPlan=false)
+      val n = joined.collect().length
+      assert(n == 200000, s"inner join row count wrong: $n")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE must mark the skewed partition for splitting:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("connectedComponents: min-label propagation over chains, stars and cliques") {
     import spark.implicits._
     // adversarial for propagation: a 12-node PATH (needs multiple rounds for

@@ -50,6 +50,22 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("incrementalRollup: appended partials merge to the exact batch answer") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rollup").toString
+    val events = Tables.events(spark, sfDir)
+    events.limit(300).write.parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+    val q = Streams.incrementalRollup(stream, s"$tmp/rollup", s"$tmp/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val merged = Streams.readRollup(spark, s"$tmp/rollup")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = graft.ops.AggOps.eventsHourly(spark.read.parquet(s"$tmp/in"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(merged == batch && batch.nonEmpty,
+      s"merge-on-read must equal batch recompute; diff=${(merged -- batch) ++ (batch -- merged)}")
+  }
+
   test("dedupStream: replayed events within the watermark horizon are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
