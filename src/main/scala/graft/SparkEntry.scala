@@ -94,6 +94,9 @@ object SparkEntry {
     "approx_sketch" -> ((s, d) => AggOps.approxSketch(Tables.lineitem(s, d))),
     "sessionize" -> ((s, d) => AggOps.sessionize(Tables.events(s, d))),
     "funnel_conversion" -> ((s, d) => AggOps.funnelConversion(Tables.events(s, d))),
+    "value_histogram" -> ((s, d) => AggOps.valueHistogram(Tables.events(s, d))),
+    "percentiles_by_type" -> ((s, d) => AggOps.percentilesByType(Tables.events(s, d))),
+    "value_stats_by_type" -> ((s, d) => AggOps.valueStatsByType(Tables.events(s, d))),
     "user_retention" -> ((s, d) => AggOps.userRetention(Tables.events(s, d))),
     "hll_reaggregate" -> ((s, d) => AggOps.hllReaggregate(Tables.events(s, d))),
     "events_hourly" -> ((s, d) => AggOps.eventsHourly(Tables.events(s, d))),
@@ -490,6 +493,24 @@ object SparkEntry {
          SELECT (SELECT count(*) FROM s1) AS n_view,
                 (SELECT count(*) FROM s2) AS n_view_click,
                 (SELECT count(*) FROM s3) AS n_view_click_purchase""",
+    "value_histogram" ->
+      """SELECT least(greatest(CAST(floor((value - 0.0) / 5.0) AS BIGINT), 0), 19) AS bucket,
+           count(*) AS n, round(min(value), 2) AS min_v, round(max(value), 2) AS max_v
+         FROM events
+         GROUP BY least(greatest(CAST(floor((value - 0.0) / 5.0) AS BIGINT), 0), 19)""",
+    "percentiles_by_type" ->
+      """SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+         FROM events GROUP BY event_type""",
+    "value_stats_by_type" ->
+      """SELECT event_type,
+           round(avg(value), 6) AS avg_v,
+           round(stddev_samp(value), 6) AS stddev_v,
+           round(var_samp(value), 6) AS var_v,
+           round(corr(value, hour(ts)), 6) AS corr_v_hour
+         FROM events GROUP BY event_type""",
     "user_retention" ->
       """WITH first AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
            FROM events GROUP BY user_id),

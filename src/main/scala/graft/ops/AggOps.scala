@@ -616,6 +616,42 @@ object AggOps {
         count(lit(1)).as("n_days"))
   }
 
+  /** Equi-width histogram over a numeric column: one map-side bucket
+    * projection + one shuffle on ≤ nBuckets keys. */
+  def valueHistogram(events: DataFrame, lo: Double = 0.0, hi: Double = 100.0,
+                     nBuckets: Int = 20): DataFrame = {
+    val width = (hi - lo) / nBuckets
+    events
+      .withColumn("bucket",
+        least(greatest(floor((col("value") - lo) / width), lit(0L)), lit(nBuckets - 1L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), round(min(col("value")), 2).as("min_v"),
+        round(max(col("value")), 2).as("max_v"))
+  }
+
+  /** Exact interpolated percentiles per group (the SQL-standard continuous
+    * definition — DuckDB's quantile_cont computes the same). Exact
+    * percentile needs the group's values together: one shuffle, sort within
+    * group. The approx_sketch op is the 100 TB path (mergeable KLL-style
+    * sketch, no full sort); this is the exact twin for validation. */
+  def percentilesByType(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+
+  /** Second-moment statistics per group: sample stddev/variance and the
+    * value↔hour-of-day correlation — all single-pass mergeable aggregates
+    * (sum of powers), partial-agg'd before one exchange. */
+  def valueStatsByType(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(
+        round(avg(col("value")), 6).as("avg_v"),
+        round(stddev_samp(col("value")), 6).as("stddev_v"),
+        round(var_samp(col("value")), 6).as("var_v"),
+        round(corr(col("value"), hour(col("ts"))), 6).as("corr_v_hour"))
+
   def eventsHourly(events: DataFrame): DataFrame =
     events.groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
