@@ -37,6 +37,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("nearest_centroids",
       exprs => NearestCentroids(exprs(0), evalCentroids(exprs(1)),
         exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("zorder64",
+      exprs => Zorder64(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_lsh",
       exprs => HyperplaneLsh(exprs(0), evalCentroids(exprs(1)),
         exprs(2).eval().asInstanceOf[Number].intValue(),
@@ -85,6 +87,10 @@ object GraftFunctions {
     call_function("nearest_centroids", vec,
       org.apache.spark.sql.functions.typedlit(centroids.map(_.toSeq).toSeq),
       org.apache.spark.sql.functions.lit(k))
+
+  /** 64-bit Morton (Z-order) interleave of two long keys — the
+    * multi-dimensional layout key (see graft.sources.IO.zorderWrite). */
+  def zorder64(a: Column, b: Column): Column = call_function("zorder64", a, b)
 
   /** Multi-table sign-LSH bucket ids (array<int>, namespaced per table) —
     * map-side bucketing for the LSH-ANN path. */

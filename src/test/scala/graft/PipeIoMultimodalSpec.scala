@@ -89,6 +89,32 @@ class PipeIoMultimodalSpec extends SparkSpecBase {
     assert(spark.read.parquet(paths("english")).filter(length(col("text")) > 100).count() == both)
   }
 
+  test("zorderWrite clusters BOTH key columns per file (multi-dim pruning layout)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/z"
+    val li = Tables.lineitem(spark, sfDir)
+    IO.zorderWrite(li, tmp, "l_partkey", "l_suppkey", files = 16)
+    // per-file min/max ranges of each key ≈ parquet footer stats: with
+    // z-order both dimensions must be narrow; a linear sort on l_partkey
+    // would leave l_suppkey ranges at ~full width in every file
+    val perFile = spark.read.parquet(tmp)
+      .groupBy(input_file_name().as("f"))
+      .agg((max("l_partkey") - min("l_partkey")).as("pw"),
+        (max("l_suppkey") - min("l_suppkey")).as("sw"))
+      .collect()
+    assert(perFile.length >= 8, s"expected ~16 files, got ${perFile.length}")
+    val (globalP, globalS) = {
+      val r = li.agg(max("l_partkey") - min("l_partkey"),
+        max("l_suppkey") - min("l_suppkey")).head
+      (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    }
+    val avgP = perFile.map(_.getLong(1)).sum.toDouble / perFile.length / globalP
+    val avgS = perFile.map(_.getLong(2)).sum.toDouble / perFile.length / globalS
+    assert(avgP <= 0.6 && avgS <= 0.6,
+      f"z-order must narrow both dims: partkey width $avgP%.2f, suppkey width $avgS%.2f of global")
+    // row preservation
+    assert(spark.read.parquet(tmp).count() == li.count())
+  }
+
   test("combineRead bounds task count over a many-small-files directory") {
     val tmp = Files.createTempDirectory("graft_combine").toString + "/many"
     Tables.lineitem(spark, sfDir).repartition(200).write.parquet(tmp)

@@ -55,6 +55,28 @@ class SketchSpec extends SparkSpecBase {
     assert(hot.get.getLong(1) >= 20000L, "counts never under-estimate")
   }
 
+  test("approx sketches track their exact twins within advertised error") {
+    val li = Tables.lineitem(spark, sfDir)
+    val sk = graft.ops.AggOps.approxSketch(li).head
+    val exactParts = li.select(col("l_partkey")).distinct().count()
+    val exactOrders = li.select(col("l_orderkey")).distinct().count()
+    assert(math.abs(sk.getLong(0) - exactParts).toDouble / exactParts <= 0.05,
+      s"approx_parts ${sk.getLong(0)} vs $exactParts")
+    assert(math.abs(sk.getLong(1) - exactOrders).toDouble / exactOrders <= 0.05,
+      s"approx_orders ${sk.getLong(1)} vs $exactOrders")
+    // approx_percentile(acc=1000) must land within 1/1000 rank of exact
+    val exact = li.agg(
+      expr("percentile(l_extendedprice, 0.5)"), expr("percentile(l_extendedprice, 0.95)"),
+      expr("percentile(l_extendedprice, 0.99)")).head
+    val n = li.count().toDouble
+    Seq((sk.getDouble(2), exact.getDouble(0), 0.5), (sk.getDouble(3), exact.getDouble(1), 0.95),
+      (sk.getDouble(4), exact.getDouble(2), 0.99)).foreach { case (a, e, p) =>
+      val rankA = li.filter(col("l_extendedprice") <= a).count() / n
+      assert(math.abs(rankA - p) <= 0.005, f"p$p approx $a rank $rankA%.4f vs target $p")
+      assert(math.abs(a - e) / math.max(e, 1.0) <= 0.05, s"p$p approx $a far from exact $e")
+    }
+  }
+
   test("HLL re-aggregation is lossless: union-of-daily == single-pass, near exact") {
     import org.apache.spark.sql.functions.{hll_sketch_agg, hll_sketch_estimate}
     val events = Tables.events(spark, sfDir)
