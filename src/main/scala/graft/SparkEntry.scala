@@ -283,12 +283,12 @@ object SparkEntry {
     "q11_important_parts" ->
       """SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-         WHERE s_nationkey IN (0, 1, 2)
+         WHERE s_nationkey < 13
          GROUP BY l_partkey
          HAVING sum(l_extendedprice * (1 - l_discount)) > (
            SELECT 0.001 * sum(l_extendedprice * (1 - l_discount))
            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-           WHERE s_nationkey IN (0, 1, 2))""",
+           WHERE s_nationkey < 13)""",
     "q12_returnflag_priority" ->
       """SELECT l_returnflag,
            CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)

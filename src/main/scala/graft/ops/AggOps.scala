@@ -321,12 +321,12 @@ object AggOps {
     spark.sql(
       s"""SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
          |FROM graft_q11_lineitem JOIN graft_q11_supplier ON l_suppkey = s_suppkey
-         |WHERE s_nationkey IN (0, 1, 2)
+         |WHERE s_nationkey < 13
          |GROUP BY l_partkey
          |HAVING sum(l_extendedprice * (1 - l_discount)) > (
          |  SELECT $fraction * sum(l_extendedprice * (1 - l_discount))
          |  FROM graft_q11_lineitem JOIN graft_q11_supplier ON l_suppkey = s_suppkey
-         |  WHERE s_nationkey IN (0, 1, 2))""".stripMargin)
+         |  WHERE s_nationkey < 13)""".stripMargin)
   }
 
   /** TPC-H Q12 (adapted; l_returnflag plays the ship-mode role): counts of

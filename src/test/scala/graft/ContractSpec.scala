@@ -1,0 +1,36 @@
+package graft
+
+/** Driver-contract hygiene: every query is either oracle-checked or on the
+  * documented rows-only list — nothing can silently drift out of the
+  * correctness gate. */
+class ContractSpec extends SparkSpecBase {
+
+  /** Ops whose output is not SQL-expressible in DuckDB (engine-internal
+    * hashes / approx sketches) — each MUST have spec coverage instead. */
+  private val rowsOnly = Set(
+    "ann_ivf_topk",      // IVF recall spec (OpsSpec)
+    "ann_lsh_topk",      // planted-cluster recall spec (OpsSpec)
+    "approx_sketch",     // accuracy-vs-exact spec (SketchSpec)
+    "dedup_simhash",     // banding recall specs (OpsSpec, ScaleSoundnessSpec)
+    "rolling_fingerprint", // property spec (OpsSpec)
+    "hll_reaggregate")   // lossless-union spec (SketchSpec)
+
+  test("every query has an oracle or is on the documented rows-only list") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
+    assert((qs -- os) == rowsOnly, s"undocumented rows-only queries: ${qs -- os -- rowsOnly}" +
+      s"; stale rows-only entries: ${rowsOnly -- (qs -- os)}")
+  }
+
+  test("every query executes at sf0.001 (row counts are the sf0.01 gate's job)") {
+    val dir = "/root/testdata/sf0.001"
+    // some selective queries legitimately yield 0 rows at the smallest SF
+    // (e.g. q7's nation pair is absent among 10 suppliers) — this check is
+    // about execution, the DuckDB gate at sf0.01 checks content
+    SparkEntry.queries.foreach { case (name, q) =>
+      val n = q(spark, dir).count()
+      assert(n >= 0, s"$name failed to execute at sf0.001")
+    }
+  }
+}
