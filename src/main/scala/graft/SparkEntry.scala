@@ -95,6 +95,9 @@ object SparkEntry {
     "sessionize" -> ((s, d) => AggOps.sessionize(Tables.events(s, d))),
     "funnel_conversion" -> ((s, d) => AggOps.funnelConversion(Tables.events(s, d))),
     "value_histogram" -> ((s, d) => AggOps.valueHistogram(Tables.events(s, d))),
+    "trailing_window_sum" -> ((s, d) => AggOps.trailingWindowSum(Tables.events(s, d))),
+    "grouping_sets_report" -> ((s, d) => AggOps.groupingSetsReport(s, Tables.lineitem(s, d))),
+    "events_gapfill" -> ((s, d) => AggOps.eventsGapfill(Tables.events(s, d))),
     "percentiles_by_type" -> ((s, d) => AggOps.percentilesByType(Tables.events(s, d))),
     "value_stats_by_type" -> ((s, d) => AggOps.valueStatsByType(Tables.events(s, d))),
     "user_retention" -> ((s, d) => AggOps.userRetention(Tables.events(s, d))),
@@ -493,6 +496,27 @@ object SparkEntry {
          SELECT (SELECT count(*) FROM s1) AS n_view,
                 (SELECT count(*) FROM s2) AS n_view_click,
                 (SELECT count(*) FROM s3) AS n_view_click_purchase""",
+    "trailing_window_sum" ->
+      """SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+           round(sum(value) OVER (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS trailing_sum
+         FROM events""",
+    "grouping_sets_report" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    "events_gapfill" ->
+      """WITH h AS (SELECT CAST(floor(floor(epoch(ts)) / 3600) * 3600 AS BIGINT) AS hour_sec,
+             count(*) AS n, round(sum(value), 2) AS sv
+           FROM events GROUP BY 1),
+         b AS (SELECT min(hour_sec) AS lo, max(hour_sec) AS hi FROM h),
+         spine AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_sec FROM b)
+         SELECT spine.hour_sec, coalesce(h.n, 0) AS n_events,
+           coalesce(h.sv, 0.0) AS sum_value
+         FROM spine LEFT JOIN h ON spine.hour_sec = h.hour_sec""",
     "value_histogram" ->
       """SELECT least(greatest(CAST(floor((value - 0.0) / 5.0) AS BIGINT), 0), 19) AS bucket,
            count(*) AS n, round(min(value), 2) AS min_v, round(max(value), 2) AS max_v

@@ -616,6 +616,49 @@ object AggOps {
         count(lit(1)).as("n_days"))
   }
 
+  /** RANGE-frame trailing window: per-user sum of the last `windowSec`
+    * seconds of values at each event. Value-based frames are
+    * tie-insensitive (all rows at the same timestamp share one frame), so
+    * the result is engine-deterministic without an event_id tiebreak. One
+    * shuffle on user_id. */
+  def trailingWindowSum(events: DataFrame, windowSec: Long = 3600L): DataFrame = {
+    val secs = unix_timestamp(col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(secs)
+      .rangeBetween(-windowSec, Window.currentRow)
+    events.select(col("user_id"), col("event_id"), secs.as("ts_sec"),
+      round(sum(col("value")).over(w), 2).as("trailing_sum"))
+  }
+
+  /** Explicit GROUPING SETS (the general grouping-combination form beyond
+    * ROLLUP/CUBE): per-flag totals, per-status totals, and the grand total
+    * in one pass — Catalyst expands then partial-aggregates each set. */
+  def groupingSetsReport(spark: org.apache.spark.sql.SparkSession,
+                         lineitem: DataFrame): DataFrame = {
+    lineitem.createOrReplaceTempView("graft_gs_lineitem")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+        |FROM graft_gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+  }
+
+  /** Time-series gap fill: hourly event counts with missing hours
+    * zero-filled between the corpus min and max hour. The spine is
+    * generated from a 1-row bounds aggregate (sequence + explode — no
+    * driver loop); counts left-join onto it. At 100 TB the spine is
+    * hours-sized (tiny) and broadcast. */
+  def eventsGapfill(events: DataFrame): DataFrame = {
+    val hourSec = (floor(unix_timestamp(col("ts")) / 3600L) * 3600L).cast("long")
+    val counts = events.groupBy(hourSec.as("hour_sec"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    val spine = counts.agg(min(col("hour_sec")).as("lo"), max(col("hour_sec")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_sec"))
+    spine.join(counts, Seq("hour_sec"), "left_outer")
+      .select(col("hour_sec"), coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+  }
+
   /** Equi-width histogram over a numeric column: one map-side bucket
     * projection + one shuffle on ≤ nBuckets keys. */
   def valueHistogram(events: DataFrame, lo: Double = 0.0, hi: Double = 100.0,
