@@ -124,6 +124,20 @@ object IO {
     spark.read.format(format).load(path).coalesce(n)
   }
 
+  /** Upsert by rewrite — the pre-ACID merge idiom (reference analog:
+    * distcp -update overwrites changed files; MR-era pipelines rewrote the
+    * partition): rows from `updates` replace base rows with the same key,
+    * new keys append, everything else carries over. One anti join + union +
+    * write; at 100 TB, partition `base` on the key's natural dimension and
+    * rewrite only affected partitions (dynamic partition overwrite). */
+  def upsertByRewrite(spark: SparkSession, basePath: String, updates: DataFrame,
+                      key: String, outPath: String): Unit = {
+    val base = spark.read.parquet(basePath)
+    base.join(updates.select(col(key)), Seq(key), "left_anti")
+      .unionByName(updates)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
+
   /** Z-order layout: sort the dataset by the Morton interleave of two keys
     * and write a bounded file count. Each output file then covers a small
     * RECTANGLE of (a, b) space, so parquet min/max stats prune scans

@@ -33,6 +33,28 @@ object Streams {
       .select(col("window.start").as("hour_start"), col("event_type"),
               col("n_events"), col("sum_value"))
 
+  /** Stream-stream inner join with watermark-bounded state: click events
+    * joined to view events of the same user within `joinWindowSec`
+    * (click after view). Both sides buffer only up to their watermark
+    * horizon — state is O(events per horizon), the bounded form of the
+    * reduce-side join for two live streams. */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame,
+                    joinWindowSec: Long = 3600L,
+                    watermark: String = "2 hours"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermark)
+    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    v.join(c,
+      col("v_user") === col("c_user") &&
+      col("c_ts") >= col("v_ts") &&
+      col("c_ts") <= col("v_ts") + expr(s"INTERVAL $joinWindowSec SECONDS"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        col("v_ts"), col("c_ts"))
+  }
+
   /** Incremental rollup (the MR "re-run the job over a growing directory"
     * analog, without the re-scan): each micro-batch appends PARTIAL
     * aggregates to a parquet rollup table; readers merge on read with one

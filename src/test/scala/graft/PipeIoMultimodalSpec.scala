@@ -89,6 +89,17 @@ class PipeIoMultimodalSpec extends SparkSpecBase {
     assert(spark.read.parquet(paths("english")).filter(length(col("text")) > 100).count() == both)
   }
 
+  test("upsertByRewrite: updated keys replaced, new keys appended, others untouched") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").write.parquet(s"$tmp/base")
+    val updates = Seq((2L, "B2"), (4L, "d")).toDF("k", "v")
+    IO.upsertByRewrite(spark, s"$tmp/base", updates, "k", s"$tmp/out")
+    val got = spark.read.parquet(s"$tmp/out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d"), s"got $got")
+  }
+
   test("zorderWrite clusters BOTH key columns per file (multi-dim pruning layout)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/z"
     val li = Tables.lineitem(spark, sfDir)

@@ -50,6 +50,27 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream join: clicks pair with prior views inside the window only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = Streams.viewClickJoin(views.toDF(), clicks.toDF(), joinWindowSec = 600L)
+      .writeStream.format("memory").queryName("vc_join_t")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(Ev(1, ts(0), 1, "view", 0), Ev(2, ts(0), 2, "view", 0))
+      clicks.addData(
+        Ev(10, ts(5), 1, "click", 0),   // user 1, 5 min after view → joins
+        Ev(11, ts(20), 2, "click", 0),  // user 2, 20 min after → outside 10-min window
+        Ev(12, ts(5), 3, "click", 0))   // user 3 never viewed
+      q.processAllAvailable()
+      val got = spark.table("vc_join_t").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"), r.getAs[Long]("click_id")))
+      assert(got.toSet == Set((1L, 1L, 10L)), s"got ${got.toList}")
+    } finally q.stop()
+  }
+
   test("incrementalRollup: appended partials merge to the exact batch answer") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_rollup").toString
     val events = Tables.events(spark, sfDir)
