@@ -187,22 +187,25 @@ object DedupOps {
       .distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
+    // propagate each node's label to its neighbors, keep the minimum
+    def propagate(l: DataFrame): DataFrame = edges
+      .join(l.select(col("id").as("dst"), col("comp")), "dst")
+      .select(col("src").as("id"), col("comp"))
+      .unionByName(l)
+      .groupBy("id").agg(min("comp").as("comp"))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // propagate each node's label to its neighbors, keep the minimum
-      val next = edges
-        .join(labels.select(col("id").as("dst"), col("comp")), "dst")
-        .select(col("src").as("id"), col("comp"))
-        .unionByName(labels)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint()
+      // two propagation rounds per convergence check: halves the blocking
+      // driver actions (each one pays scheduling latency), and a converged
+      // labelling is a fixed point so the extra round is a no-op
+      val next = propagate(propagate(labels)).localCheckpoint()
       converged = next.as("n")
         .join(labels.as("o"), "id")
         .filter(col("n.comp") =!= col("o.comp"))
         .isEmpty
       labels = next
-      iter += 1
+      iter += 2
     }
     edges.unpersist()
     labels
