@@ -90,6 +90,15 @@ object SparkEntry {
     "json_props_agg" -> ((s, d) => AggOps.jsonPropsAgg(Tables.events(s, d))),
     "asof_join" -> ((s, d) => AggOps.asofLastPurchase(Tables.events(s, d))),
     "range_join" -> ((s, d) => JoinOps.rangeJoinValueBuckets(Tables.events(s, d))),
+    "range_join_bigbig" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+      val intervals = s.range(1000).select(col("id").as("interval_id"),
+        (col("id") * 0.1).as("lo"), (col("id") * 0.1 + 0.3).as("hi"))
+      JoinOps.rangeJoinBucketed(
+          Tables.events(s, d).select(col("event_id"), col("value")), "value", intervals)
+        .groupBy(col("interval_id"))
+        .agg(count(lit(1)).as("n_points"), round(sum(col("value")), 2).as("sum_value"))
+    }),
     "correlated_subquery" -> ((s, d) => AggOps.correlatedMinPerType(s, Tables.part(s, d))),
     "approx_sketch" -> ((s, d) => AggOps.approxSketch(Tables.lineitem(s, d))),
     "sessionize" -> ((s, d) => AggOps.sessionize(Tables.events(s, d))),
@@ -445,6 +454,13 @@ object SparkEntry {
            (60.0, 80.0, 'b60_80'), (80.0, 1000000000.0, 'b80_up')) t(lo, hi, bucket)
          ON value >= lo AND value < hi
          GROUP BY bucket""",
+    "range_join_bigbig" ->
+      """WITH intervals AS (SELECT i AS interval_id, i * 0.1::DOUBLE AS lo,
+             i * 0.1::DOUBLE + 0.3::DOUBLE AS hi
+           FROM range(1000) t(i))
+         SELECT interval_id, count(*) AS n_points, round(sum(value), 2) AS sum_value
+         FROM intervals JOIN events ON value >= lo AND value < hi
+         GROUP BY interval_id""",
     "asof_join" ->
       """SELECT event_id, user_id, event_type,
          last_value(CASE WHEN event_type='purchase' THEN CAST(floor(epoch(ts)) AS BIGINT) END IGNORE NULLS)

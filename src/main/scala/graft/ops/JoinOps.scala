@@ -67,6 +67,24 @@ object JoinOps {
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** Big-big range join — when the interval side is too large to broadcast,
+    * bucketize BOTH sides to an equi-key: each interval [lo, hi) replicates
+    * to every width-`w` bucket it overlaps, each point maps to exactly one
+    * bucket, then an equi-join on bucket + the exact containment filter.
+    * Shuffle volume is points + interval-replicas (replicas ≈ interval
+    * span / w), never points × intervals; the bucket equi-join shuffles,
+    * AQE-coalesces and skew-splits like any other join. Pick w near the
+    * median interval span so replication stays O(1) per interval. */
+  def rangeJoinBucketed(points: DataFrame, valueCol: String, intervals: DataFrame,
+                        w: Double = 0.5): DataFrame = {
+    val ib = intervals.withColumn("_bucket",
+      explode(sequence(floor(col("lo") / w).cast("long"), floor(col("hi") / w).cast("long"))))
+    val pb = points.withColumn("_bucket", floor(col(valueCol) / w).cast("long"))
+    pb.join(ib, "_bucket")
+      .filter(col(valueCol) >= col("lo") && col(valueCol) < col("hi"))
+      .drop("_bucket")
+  }
+
   /** Skew-mitigation pattern: salt the hot side's key into `buckets` sub-keys
     * and explode the small side across all buckets. Semantically an inner
     * equi-join; physically the hot key's rows spread over `buckets` tasks.

@@ -50,6 +50,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming sessionize agrees with the oracle-green batch sessionize") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // multi-user, multi-session history; a far-future sentinel per user
+    // advances the watermark so every real session closes
+    val real = Seq(
+      Ev(1, ts(0), 7, "view", 1.0), Ev(2, ts(10), 7, "view", 1.0),
+      Ev(3, ts(100), 7, "click", 1.0), // > 30 min gap → second session
+      Ev(4, ts(5), 8, "view", 1.0),
+      Ev(5, ts(20), 8, "purchase", 1.0), Ev(6, ts(30), 8, "view", 1.0))
+    val sentinels = Seq(Ev(90, ts(600), 7, "view", 0.0), Ev(91, ts(600), 8, "view", 0.0))
+    val input = MemoryStream[Ev]
+    val q = Streams.sessionize(input.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("parity_t").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(real: _*)
+      q.processAllAvailable()
+      input.addData(sentinels: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("parity_t").as[Streams.Session].collect()
+        .map(s => (s.user_id, s.session_start.toString, s.session_end.toString, s.n_events))
+        .toSet
+      // batch twin over the SAME real events (sentinels excluded: their
+      // sessions never close in the stream)
+      val batch = graft.ops.AggOps.sessionize(real.toDF(), gapSec = 1800L)
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[String]("session_start") + ".0", r.getAs[String]("session_end") + ".0",
+          r.getAs[Long]("n_events"))).toSet
+      assert(streamed == batch,
+        s"stream/batch mismatch: streamOnly=${streamed -- batch} batchOnly=${batch -- streamed}")
+    } finally q.stop()
+  }
+
   test("stream-stream join: clicks pair with prior views inside the window only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
