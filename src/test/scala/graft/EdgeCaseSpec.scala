@@ -23,6 +23,27 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(TextAnalysis.langId(empty).count() == 0)
   }
 
+  test("round-2 ops on empty/degenerate inputs return empty, not errors") {
+    import spark.implicits._
+    val empty = docsDf(Nil)
+    assert(DedupOps.dedupGroups(empty).count() == 0)
+    assert(DedupOps.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id")).count() == 0)
+    assert(TextAnalysis.tfidfTopTerms(empty).count() == 0)
+    assert(TextAnalysis.ngramCounts(empty).count() == 0)
+    assert(TextAnalysis.piiScrub(empty).count() == 0)
+    assert(CurationPipeline.packSequences(empty).count() == 0)
+    // empty benchmark → nothing is contaminated, whole corpus survives
+    val corpus = docsDf(Seq((1L, "alpha beta gamma delta")))
+    assert(CurationPipeline.decontaminate(corpus, empty).count() == 1)
+    // single-doc corpus: its own group, seq 0
+    val one = docsDf(Seq((5L, "just one doc")))
+    val g = DedupOps.dedupGroups(one).head
+    assert(g.getLong(0) == 5L && g.getLong(1) == 5L)
+    val p = CurationPipeline.packSequences(one).head
+    assert(p.getLong(2) == 0L)
+  }
+
   test("docs shorter than the shingle width produce no pairs but survive") {
     val tiny = docsDf(Seq((1L, "one two"), (2L, "a"), (3L, "")))
     assert(DedupOps.ngramJaccardPairs(tiny).count() == 0)
