@@ -283,17 +283,66 @@ object DedupOps {
       .dropDuplicates("fa", "fb")
       .withColumn("hamming", GraftFunctions.hamming64(col("fa"), col("fb")))
       .filter(col("hamming") <= maxHamming)
-    // expand fp pairs back to doc pairs (doc order normalized a_id < b_id)
+    expandFpPairsToDocPairs(docs, fpPairs)
+  }
+
+  /** Expand distinct-fingerprint pairs to doc pairs (a_id < b_id), plus the
+    * hamming-0 within-group pairs of exactly-equal fingerprints. */
+  private def expandFpPairsToDocPairs(docs: DataFrame, fpPairs: DataFrame): DataFrame = {
     val cross = fpPairs
       .join(docs.select(col("doc_id").as("xa"), col("fp").as("fa")), "fa")
       .join(docs.select(col("doc_id").as("xb"), col("fp").as("fb")), "fb")
       .select(least(col("xa"), col("xb")).as("a_id"),
         greatest(col("xa"), col("xb")).as("b_id"), col("hamming"))
-    // exact-duplicate fingerprints: all within-group pairs at hamming 0
     val same = docs.select(col("doc_id").as("a_id"), col("fp")).as("p")
       .join(docs.select(col("doc_id").as("b_id"), col("fp")).as("q"), Seq("fp"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), lit(0).cast("int").as("hamming"))
     cross.unionByName(same)
+  }
+
+  /** Multi-index variant for HUGE corpora (Norouzi et al. 2012, "Fast Search
+    * in Hamming Space with Multi-Index Hashing"): fewer-but-WIDER bands with
+    * 1-bit probe expansion. Pigeonhole: r errors over k bands leave some
+    * band with ≤ floor(r/k) errors, so with k > r/2 some band is within
+    * hamming 1 — the probe side enumerates each band value plus all its
+    * 1-bit flips and equi-joins against exact band keys.
+    *
+    * Bucket math vs the 0-probe form at radius 6: 7 bands × 9 bits → 512
+    * buckets/band (n/512 per bucket, quadratic within); here 4 bands × 16
+    * bits → 65536 buckets/band (128× smaller buckets, 1/16384 the
+    * per-bucket quadratic term) for 17× more probe rows — the right trade
+    * once n passes ~10^8. Same output as simhashPairsFromFingerprints. */
+  def simhashPairsMultiIndex(fp: DataFrame, maxHamming: Int = 6, bands: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming out of [0,64)")
+    require(bands * 2 > maxHamming,
+      s"multi-index needs bands > maxHamming/2 (got bands=$bands, maxHamming=$maxHamming): " +
+        "pigeonhole must leave some band within hamming 1 of a true pair")
+    require(bands >= 1 && bands <= 64)
+    GraftFunctions.register(fp.sparkSession)
+    val docs = fp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val distinctFp = docs.select(col("fp")).distinct()
+    val sliced = distinctFp.select(col("fp"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("lo", (col("band") * 64 / bands).cast("int"))
+      .withColumn("hi", ((col("band") + 1) * 64 / bands).cast("int"))
+      .withColumn("band_bits",
+        when(col("hi") - col("lo") >= 64, col("fp"))
+          .otherwise(expr("shiftrightunsigned(fp, lo) & (shiftleft(1L, hi - lo) - 1)")))
+    val index = sliced.select(col("fp"), col("band"), col("band_bits"))
+    // probe rows: the exact band value (j=0) plus each 1-bit flip (j-1)
+    val probes = sliced.select(col("fp"), col("band"),
+        explode(expr(
+          "transform(sequence(0, hi - lo), " +
+            "j -> CASE WHEN j = 0 THEN band_bits ELSE band_bits ^ shiftleft(1L, j - 1) END)"))
+          .as("probe_bits"))
+    val fpPairs = probes.as("x").join(index.as("y"),
+        col("x.band") === col("y.band") && col("x.probe_bits") === col("y.band_bits") &&
+        col("x.fp") < col("y.fp"))
+      .select(col("x.fp").as("fa"), col("y.fp").as("fb"))
+      .dropDuplicates("fa", "fb")
+      .withColumn("hamming", GraftFunctions.hamming64(col("fa"), col("fb")))
+      .filter(col("hamming") <= maxHamming)
+    expandFpPairsToDocPairs(docs, fpPairs)
   }
 }
