@@ -167,6 +167,31 @@ object IO {
       .write.mode(SaveMode.Overwrite).parquet(outPath)
   }
 
+  /** Quantile-normalized z-order — the skew-robust form: each key is mapped
+    * to its approximate rank bucket (approxQuantile boundaries, a bounded
+    * driver-side model like the IVF centroids) before interleaving, so a
+    * power-law key can't collapse most rows into a few Morton cells. Rank
+    * space is uniform by construction ⇒ the range partition on z is
+    * balanced ⇒ file sizes are even AND both dims stay rectangular in rank
+    * space. The boundary lookup is a per-row scan over ≤ 2^bits boundaries
+    * (HOF filter) — fine for a layout job that runs once per compaction. */
+  def zorderWriteQuantile(df: DataFrame, outPath: String, colA: String, colB: String,
+                          files: Int = 16, bits: Int = 8): Unit = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val nb = 1 << bits
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    val Array(qa, qb) = df.stat.approxQuantile(
+      Array(colA, colB), probs, 0.001).map(_.toSeq)
+    def rankBucket(c: String, bounds: Seq[Double]) =
+      size(filter(typedlit(bounds), b => b <= col(c).cast("double"))).cast("long")
+    df.withColumn("_z", graft.functions.GraftFunctions.zorder64(
+        rankBucket(colA, qa), rankBucket(colB, qb)))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
+
   /** HAR analog: compact a many-small-files dataset to ~targetFileBytes
     * files. File count derived from the actual input size (cheap metadata
     * scan), so it adapts at any SF. */

@@ -126,6 +126,24 @@ class PipeIoMultimodalSpec extends SparkSpecBase {
     assert(spark.read.parquet(tmp).count() == li.count())
   }
 
+  test("quantile z-order keeps file sizes balanced under a power-law key") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // heavily skewed a (power-law-ish), uniform b: min/max normalization
+    // would map ~90% of rows into a sliver of a-space
+    val skewed = (0 until 20000).map { _ =>
+      (math.pow(10, rnd.nextDouble() * 4), rnd.nextDouble() * 100) }
+      .toDF("a", "b")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zq").toString + "/z"
+    IO.zorderWriteQuantile(skewed, tmp, "a", "b", files = 8)
+    val sizes = spark.read.parquet(tmp)
+      .groupBy(input_file_name()).count().collect().map(_.getLong(1))
+    assert(sizes.length >= 6, s"expected ~8 files, got ${sizes.length}")
+    assert(sizes.max.toDouble / sizes.min <= 2.0,
+      s"rank-normalized z-order must balance files; sizes=${sizes.sorted.mkString(",")}")
+    assert(spark.read.parquet(tmp).count() == 20000L)
+  }
+
   test("combineRead bounds task count over a many-small-files directory") {
     val tmp = Files.createTempDirectory("graft_combine").toString + "/many"
     Tables.lineitem(spark, sfDir).repartition(200).write.parquet(tmp)
