@@ -103,6 +103,19 @@ class ScaleSoundnessSpec extends SparkSpecBase {
     }
   }
 
+  test("ngram maxDf cap: conservative (capped ⊆ uncapped; generous cap is exact)") {
+    val docs = Tables.documents(spark, sfDir)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = asSet(DedupOps.ngramJaccardPairs(docs, tau = 0.8))
+    // cap far above any real df → identical output
+    assert(asSet(DedupOps.ngramJaccardPairs(docs, tau = 0.8, maxDf = Some(1000000))) == uncapped)
+    // tight cap only ever REMOVES pairs (intersection shrinks, sizes don't)
+    val capped = asSet(DedupOps.ngramJaccardPairs(docs, tau = 0.8, maxDf = Some(3)))
+    assert(capped.subsetOf(uncapped), s"capped introduced pairs: ${capped -- uncapped}")
+    assert(uncapped.nonEmpty)
+  }
+
   test("multi-index simhash: identical output to the banded form, 100% planted recall") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -50,6 +50,29 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("SpaceSaving sketch aggregates incrementally in a streaming query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val input = MemoryStream[String]
+    val q = input.toDF().select(org.apache.spark.sql.functions.col("value").as("w"))
+      .groupBy()
+      .agg(org.apache.spark.sql.functions.expr("spacesaving_topk(w, 8)").as("top"))
+      .writeStream.format("memory").queryName("ss_stream_t")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      input.addData("a", "a", "b", "a", "c", "b")
+      q.processAllAvailable()
+      def head = spark.table("ss_stream_t").head
+        .getAs[scala.collection.Seq[org.apache.spark.sql.Row]](0).head
+      assert(head.getString(0) == "a" && head.getLong(1) == 3L, s"got $head")
+      // next batch merges into the SAME sketch state (capacity ≥ distinct → exact)
+      input.addData("c", "c", "c", "c")
+      q.processAllAvailable()
+      assert(head.getString(0) == "c" && head.getLong(1) == 5L, s"after merge got $head")
+    } finally q.stop()
+  }
+
   test("streaming sessionize agrees with the oracle-green batch sessionize") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
