@@ -40,6 +40,23 @@ object CurationPipeline {
     preNearDup.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** curate() with per-stage counters riding the job (the MR Counters
+    * contract — reference Counters.java:1 — via Dataset.observe): one
+    * action yields the survivors AND (input_rows, post_quality_rows,
+    * survivor_rows) without extra scans. Read the Observations after the
+    * next action on the returned frame. */
+  def curateWithCounters(docs: DataFrame, minQuality: Double = 0.5,
+                         nearDupTau: Double = 0.8)
+      : (DataFrame, org.apache.spark.sql.Observation, org.apache.spark.sql.Observation) = {
+    val inObs = org.apache.spark.sql.Observation()
+    val outObs = org.apache.spark.sql.Observation()
+    val observed = docs.observe(inObs, count(lit(1)).as("input_rows"))
+    val out = curate(observed, minQuality, nearDupTau)
+      .observe(outObs, count(lit(1)).as("survivor_rows"),
+        sum(col("n_tokens")).as("survivor_tokens"))
+    (out, inObs, outObs)
+  }
+
   /** Benchmark decontamination (the eval-leak guard every training corpus
     * needs): drop corpus docs sharing ≥ minOverlap distinct word n-grams
     * with the benchmark set's n-gram UNION. The benchmark gram set is

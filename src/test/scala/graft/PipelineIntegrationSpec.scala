@@ -28,6 +28,14 @@ class PipelineIntegrationSpec extends SparkSpecBase {
     assert(ids.subsetOf(canon))
   }
 
+  test("curateWithCounters: stage counters ride the one materializing action") {
+    val (out, inObs, outObs) = CurationPipeline.curateWithCounters(docs)
+    val survivors = out.count()
+    assert(inObs.get("input_rows").asInstanceOf[Long] == docs.count())
+    assert(outObs.get("survivor_rows").asInstanceOf[Long] == survivors)
+    assert(outObs.get("survivor_tokens").asInstanceOf[Long] > 0L)
+  }
+
   test("piiScrub: emails, SSNs and phone runs redacted; counts match") {
     import spark.implicits._
     val pii = Seq(
