@@ -753,18 +753,20 @@ object SparkEntry {
          len(list_filter(string_split_regex(text,'\s+'), x->x<>'')) AS n_tokens
          FROM documents""",
     "pii_scrub" ->
-      """SELECT doc_id,
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(text,
-                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-               '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
-             '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g') AS text_scrubbed,
+      """WITH staged AS (SELECT doc_id, text,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+           FROM documents),
+         staged2 AS (SELECT doc_id, text, t1,
+             regexp_replace(t1, '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS t2
+           FROM staged)
+         SELECT doc_id,
+           regexp_replace(t2, '\+?[0-9][0-9() -]{7,}[0-9]', '<PHONE>', 'g') AS text_scrubbed,
            CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-              + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
-              + len(regexp_extract_all(text, '\+?[0-9][0-9() -]{7,}[0-9]')) AS BIGINT)
+              + len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))
+              + len(regexp_extract_all(t2, '\+?[0-9][0-9() -]{7,}[0-9]')) AS BIGINT)
              AS n_redactions
-         FROM documents""",
+         FROM staged2""",
     "decontaminate" ->
       """WITH tok AS (SELECT doc_id,
              list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),

@@ -30,15 +30,28 @@ final class SpaceSavingBuffer {
 
   def size: Int = counts.size
 
-  /** Add `by` to item's count (inserting at `base + by` if absent). */
+  /** EVERY stored reference must own its bytes: `item` may point into a
+    * reused row buffer, and a stored reference whose bytes later mutate
+    * corrupts both maps (removals miss, stale entries accumulate, eviction
+    * picks the wrong key). NOTE `UTF8String.clone()` is NOT enough — for a
+    * string that exactly wraps its backing array, `getBytes` (and therefore
+    * clone) returns the SAME array, still aliased to the caller's buffer. */
+  private def deepCopy(s: UTF8String): UTF8String = {
+    val b = s.getBytes
+    UTF8String.fromBytes(java.util.Arrays.copyOf(b, b.length))
+  }
+
+  /** Add `by` to item's count (inserting at `base + by` if absent).
+    * Removal is content-based (UTF8String equality), so removing with the
+    * caller's reference still matches the stored copy. */
   def add(item: UTF8String, by: Long, base: Long = 0L): Unit =
     counts.get(item) match {
       case Some(c) =>
         byCount.remove((c, item))
-        counts.update(item, c + by)
-        byCount.add((c + by, item))
+        counts.update(item, c + by) // HashMap keeps its original (copied) key
+        byCount.add((c + by, deepCopy(item)))
       case None =>
-        val it = item.clone()
+        val it = deepCopy(item)
         counts.update(it, base + by)
         byCount.add((base + by, it))
     }

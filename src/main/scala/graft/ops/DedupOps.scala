@@ -179,7 +179,7 @@ object DedupOps {
     * preemptible executors, set a reliable checkpoint dir and use
     * `checkpoint()` instead). Convergence test is a scalar isEmpty — no data
     * is collected to the driver. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -208,6 +208,11 @@ object DedupOps {
       iter += 2
     }
     edges.unpersist()
+    // a silently partial labelling would split one true component into
+    // several groups with no signal — convergence is part of the contract
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter propagation rounds " +
+        "(component diameter exceeds maxIter) — raise maxIter")
     labels
   }
 
@@ -287,7 +292,10 @@ object DedupOps {
   }
 
   /** Expand distinct-fingerprint pairs to doc pairs (a_id < b_id), plus the
-    * hamming-0 within-group pairs of exactly-equal fingerprints. */
+    * hamming-0 within-group pairs of exactly-equal fingerprints. Output is
+    * pair-sized: eagerly materialized so the corpus-scale persisted `docs`
+    * relation can be released immediately (repeated calls in a long-lived
+    * session must not accumulate pinned cache blocks). */
   private def expandFpPairsToDocPairs(docs: DataFrame, fpPairs: DataFrame): DataFrame = {
     val cross = fpPairs
       .join(docs.select(col("doc_id").as("xa"), col("fp").as("fa")), "fa")
@@ -298,7 +306,9 @@ object DedupOps {
       .join(docs.select(col("doc_id").as("b_id"), col("fp")).as("q"), Seq("fp"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), lit(0).cast("int").as("hamming"))
-    cross.unionByName(same)
+    val result = cross.unionByName(same).localCheckpoint()
+    docs.unpersist()
+    result
   }
 
   /** Multi-index variant for HUGE corpora (Norouzi et al. 2012, "Fast Search

@@ -54,10 +54,23 @@ object SimilarityOps {
     * (Requires tau > 0: zero-norm vectors have cos ≡ 0 to everything, so
     * they can never appear in the output and mispruning them is harmless;
     * their π/2 assignment angle only widens radii, which is conservative.) */
+  /** (a_id, b_id, cos)-shaped empty frame for empty-corpus early returns. */
+  private def emptyPairs(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Double)].toDF("a_id", "b_id", "cos")
+  }
+
+  /** (q_id, n_id, cos, rn)-shaped empty frame for empty-corpus early returns. */
+  private def emptyTopK(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Double, Long)].toDF("q_id", "n_id", "cos", "rn")
+  }
+
   def embeddingNearDup(spark: SparkSession, emb: DataFrame, tau: Double = 0.4,
                        nlist: Int = 16, centroidStride: Int = 31): DataFrame = {
     GraftFunctions.register(spark)
     val centroids = trainCentroids(emb, nlist, centroidStride)
+    if (centroids.isEmpty) return emptyPairs(spark)
 
     val assigned = emb.select(
         col("vec_id"), col("embedding"),
@@ -73,8 +86,12 @@ object SimilarityOps {
       .collect().foreach(r => radius(r.getInt(0)) = r.getDouble(1))
 
     // admissible ORDERED bucket pairs (i,j): both directions listed, so the
-    // a_id < b_id filter keeps each unordered vector pair exactly once
-    val thetaTau = math.acos(math.min(1.0, math.max(-1.0, tau)))
+    // a_id < b_id filter keeps each unordered vector pair exactly once.
+    // The prune radius takes tau MINUS the acceptance slack: the verify step
+    // accepts round(cos, 5) >= tau, i.e. true cos down to tau - 5e-6, and
+    // acos/radius arithmetic carries float error — widening the admissible
+    // set only adds verified-and-rejected candidates, never loses a pair.
+    val thetaTau = math.acos(math.min(1.0, math.max(-1.0, tau - 1e-5))) + 1e-9
     def cosC(i: Int, j: Int): Double = {
       val (a, b) = (centroids(i), centroids(j))
       var dot = 0.0; var na = 0.0; var nb = 0.0; var t = 0
@@ -93,11 +110,17 @@ object SimilarityOps {
 
     val a = assigned.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("bucket").as("ba"))
     val b = assigned.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("bucket").as("bb"))
-    a.join(adm, "ba").join(b, Seq("bb"))
+    val result = a.join(adm, "ba").join(b, Seq("bb"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cos", round(cosineSim(col("ea"), col("eb")), 5))
       .filter(col("cos") >= tau)
       .select(col("a_id"), col("b_id"), col("cos"))
+      // pairs are output-sized: eagerly materialize, then release the
+      // corpus-scale cached assignment so repeated calls in a long-lived
+      // session don't accumulate pinned blocks
+      .localCheckpoint()
+    assigned.unpersist()
+    result
   }
 
   /** The quadratic all-pairs baseline (spec reference only — the bucketed
@@ -142,8 +165,9 @@ object SimilarityOps {
   def annLshTopK(spark: SparkSession, emb: DataFrame, nQueries: Int = 10, k: Int = 5,
                  tables: Int = 8, bits: Int = 4, seed: Long = 42L): DataFrame = {
     GraftFunctions.register(spark)
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val planes = graft.functions.HyperplaneLsh.genPlanes(tables * bits, dim, seed)
+    val dimRow = emb.select(size(col("embedding"))).limit(1).collect()
+    if (dimRow.isEmpty) return emptyTopK(spark)
+    val planes = graft.functions.HyperplaneLsh.genPlanes(tables * bits, dimRow(0).getInt(0), seed)
 
     val bucketed = emb.select(col("vec_id").as("n_id"),
         explode(GraftFunctions.hyperplaneLsh(col("embedding"), planes, tables, bits))
@@ -179,6 +203,7 @@ object SimilarityOps {
               nlist: Int = 16, nprobe: Int = 3, centroidStride: Int = 50): DataFrame = {
     GraftFunctions.register(spark)
     val centroids = trainCentroids(emb, nlist, centroidStride)
+    if (centroids.isEmpty) return emptyTopK(spark)
     val probeK = math.min(nprobe, centroids.length)
 
     val assigned = emb.select(col("vec_id").as("n_id"), col("embedding").as("ne"),

@@ -87,19 +87,21 @@ object TextAnalysis {
     * runs (order matters — SSNs would otherwise half-match the phone
     * pattern). Pure map-side regexp_replace chain, whole-stage codegen'd;
     * patterns are RE2-safe (no backrefs/lookaround) so the DuckDB oracle
-    * runs them verbatim. n_redactions counts matched spans pre-replacement. */
+    * runs them verbatim. Each pattern is counted on the text the
+    * replacement actually sees (post-prior-replacements), so n_redactions
+    * equals the number of inserted placeholder tokens — an SSN does not
+    * double-count as a phone. */
   def piiScrub(docs: DataFrame): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
     val phone = "\\+?[0-9][0-9() -]{7,}[0-9]"
-    val n = (p: String) => size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long")
-    docs.select(col("doc_id"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col("text"), email, "<EMAIL>"),
-          ssn, "<SSN>"),
-        phone, "<PHONE>").as("text_scrubbed"),
-      (n(email) + n(ssn) + n(phone)).as("n_redactions"))
+    def n(c: org.apache.spark.sql.Column, p: String) =
+      size(regexp_extract_all(c, lit(p), lit(0))).cast("long")
+    val t1 = regexp_replace(col("text"), email, "<EMAIL>")
+    val t2 = regexp_replace(t1, ssn, "<SSN>")
+    val t3 = regexp_replace(t2, phone, "<PHONE>")
+    docs.select(col("doc_id"), t3.as("text_scrubbed"),
+      (n(col("text"), email) + n(t1, ssn) + n(t2, phone)).as("n_redactions"))
   }
 
   /** TF-IDF top terms per document. Two aggregations over the exploded

@@ -37,10 +37,15 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
     // `.withColumn("rn", row_number().over(w).cast("long")).filter(…)`
     // DataFrame shape: Filter(cast_rn <= k, Project(…, Cast(rn)…, Window)).
     // The cast is monotonic, so bounding the cast output bounds the rank.
+    // projList must be deterministic: the rewrite evaluates the projection
+    // only for the k kept rows instead of every window row, which changes
+    // the values a rand()/monotonically_increasing_id() projection would
+    // produce (same guard Catalyst's own filter/project pushdown uses).
     case f @ Filter(cond, Project(projList,
         Window(Seq(alias @ Alias(WindowExpression(_: RowNumber, _), _)),
           partitionSpec, orderSpec, child, _)))
-        if partitionSpec.nonEmpty && orderSpec.nonEmpty =>
+        if partitionSpec.nonEmpty && orderSpec.nonEmpty &&
+          projList.forall(_.deterministic) =>
       val rn = alias.toAttribute
       val boundable = rn +: projList.collect {
         case a @ Alias(c: Cast, _)

@@ -65,16 +65,20 @@ object Streams {
   def incrementalRollup(events: DataFrame, outDir: String, checkpointDir: String) =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      // batchId-keyed OVERWRITE, not a blind append: foreachBatch can re-run
+      // a batch whose write committed but whose checkpoint offset didn't —
+      // overwriting the same per-batch directory makes the retry idempotent
+      // (exactly-once partials without a transactional sink).
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), col("event_type"))
           .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
       }
       .start()
 
   /** Merge-on-read for the incremental rollup table: partials → totals. */
   def readRollup(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(outDir)
+    spark.read.parquet(s"$outDir/batch_*")
       .groupBy(col("hour"), col("event_type"))
       .agg(sum(col("n_events")).as("n_events"),
         round(sum(col("sum_value")), 2).as("sum_value"))

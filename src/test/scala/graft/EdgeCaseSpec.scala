@@ -33,6 +33,16 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(TextAnalysis.ngramCounts(empty).count() == 0)
     assert(TextAnalysis.piiScrub(empty).count() == 0)
     assert(CurationPipeline.packSequences(empty).count() == 0)
+    // empty embedding table: every ANN/near-dup path returns empty, no crash
+    val emptyEmb = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(SimilarityOps.embeddingNearDup(spark, emptyEmb).count() == 0)
+    assert(SimilarityOps.ivfTopK(spark, emptyEmb).count() == 0)
+    assert(SimilarityOps.annLshTopK(spark, emptyEmb).count() == 0)
+    // non-convergence is an error, never a silently partial grouping
+    val longPath = (1L until 12L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    intercept[IllegalStateException] {
+      DedupOps.connectedComponents(longPath, maxIter = 2)
+    }
     // empty benchmark → nothing is contaminated, whole corpus survives
     val corpus = docsDf(Seq((1L, "alpha beta gamma delta")))
     assert(CurationPipeline.decontaminate(corpus, empty).count() == 1)

@@ -46,7 +46,8 @@ class PipelineIntegrationSpec extends SparkSpecBase {
     val out = TextAnalysis.piiScrub(pii).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
     assert(out(1L)._1 == "contact me at <EMAIL> today" && out(1L)._2 == 1L)
-    assert(out(2L)._1 == "ssn <SSN> and phone <PHONE> on file")
+    // sequential counting: the SSN must NOT double-count as a phone run
+    assert(out(2L) == ("ssn <SSN> and phone <PHONE> on file", 2L))
     assert(out(3L) == ("clean document with no identifiers at all", 0L))
     assert(out(4L)._1 == "two mails <EMAIL> <EMAIL>" && out(4L)._2 == 2L)
   }

@@ -55,6 +55,26 @@ class SketchSpec extends SparkSpecBase {
     assert(hot.get.getLong(1) >= 20000L, "counts never under-estimate")
   }
 
+  test("SpaceSavingBuffer survives callers that reuse the input byte buffer") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.SpaceSavingBuffer
+    val buf = new SpaceSavingBuffer
+    val bytes = "aaaa".getBytes("UTF-8")
+    val reused = UTF8String.fromBytes(bytes)
+    buf.add(reused, 1L)
+    buf.add(reused, 1L) // increment path — must NOT retain the live reference
+    // caller reuses the buffer: the same UTF8String object now reads "bbbb"
+    System.arraycopy("bbbb".getBytes("UTF-8"), 0, bytes, 0, 4)
+    buf.add(reused, 1L) // a NEW item from the sketch's perspective
+    buf.add(UTF8String.fromString("cccc"), 1L)
+    buf.add(UTF8String.fromString("dddd"), 1L)
+    buf.truncate(2) // evicts minima — corrupt ordering would throw or evict wrong keys
+    assert(buf.size == 2)
+    val kept = buf.counts.keys.map(_.toString).toSet
+    assert(kept.contains("aaaa"), s"hot item evicted; kept=$kept")
+    assert(buf.counts(UTF8String.fromString("aaaa")) == 2L)
+  }
+
   test("approx sketches track their exact twins within advertised error") {
     val li = Tables.lineitem(spark, sfDir)
     val sk = graft.ops.AggOps.approxSketch(li).head

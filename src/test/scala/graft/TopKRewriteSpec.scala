@@ -56,6 +56,16 @@ class TopKRewriteSpec extends SparkSpecBase {
     assert(rows.nonEmpty && rows.forall(_.getLong(3) <= 3L))
   }
 
+  test("guard: nondeterministic projections above the window are NOT rewritten") {
+    // rewriting would evaluate rand() for only the k kept rows instead of
+    // every window row — values would differ from the un-rewritten plan
+    val df = ranked.withColumn("rn", col("rn").cast("long"))
+      .withColumn("noise", rand(7))
+      .filter(col("rn") <= 3)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("TopKRanked"),
+      "nondeterministic projection must block the rewrite")
+  }
+
   test("guards: extra predicates or non-row_number windows are NOT rewritten") {
     val filtered = ranked.filter(col("rn") <= 3 && col("o_totalprice") > 0)
     assert(!filtered.queryExecution.optimizedPlan.toString.contains("TopKRanked"))
