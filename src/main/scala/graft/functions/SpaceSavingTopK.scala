@@ -23,52 +23,67 @@ import org.apache.spark.unsafe.types.UTF8String
   * "any item with true frequency > N/capacity is present" guarantee
   * (Agarwal et al. 2012, "Mergeable Summaries"). */
 final class SpaceSavingBuffer {
-  val counts = mutable.HashMap.empty[UTF8String, Long]
-  private implicit val utf8Ord: Ordering[UTF8String] = (a, b) => a.compareTo(b)
-  private val byCount = mutable.TreeSet.empty[(Long, UTF8String)]
+  /** One owned entry per tracked item; the SAME object lives in the hash
+    * map and the TreeSet, so increments re-link it (remove → bump → add)
+    * with zero allocation or byte copying on the hot path. */
+  final class Entry(val key: UTF8String, var cnt: Long)
+  private val entries = mutable.HashMap.empty[UTF8String, Entry]
+  private val byCount = mutable.TreeSet.empty[Entry](new Ordering[Entry] {
+    def compare(a: Entry, b: Entry): Int = {
+      val c = java.lang.Long.compare(a.cnt, b.cnt)
+      if (c != 0) c else a.key.compareTo(b.key)
+    }
+  })
   var err: Long = 0L
 
-  def size: Int = counts.size
+  def size: Int = entries.size
+  def contains(item: UTF8String): Boolean = entries.contains(item)
+  def iterator: Iterator[(UTF8String, Long)] = entries.iterator.map { case (k, e) => (k, e.cnt) }
+  def keysSnapshot: Array[UTF8String] = entries.keysIterator.toArray
 
-  /** EVERY stored reference must own its bytes: `item` may point into a
-    * reused row buffer, and a stored reference whose bytes later mutate
-    * corrupts both maps (removals miss, stale entries accumulate, eviction
-    * picks the wrong key). NOTE `UTF8String.clone()` is NOT enough — for a
-    * string that exactly wraps its backing array, `getBytes` (and therefore
-    * clone) returns the SAME array, still aliased to the caller's buffer. */
+  /** Immutable view for tests/diagnostics (allocates — not for hot paths). */
+  def counts: Map[UTF8String, Long] = entries.view.mapValues(_.cnt).toMap
+
+  /** Stored keys must OWN their bytes: `item` may point into a reused row
+    * buffer, and a stored reference whose bytes later mutate corrupts both
+    * structures (removals miss, stale entries accumulate, eviction picks
+    * the wrong key). NOTE `UTF8String.clone()` is NOT enough — for a string
+    * that exactly wraps its backing array, `getBytes` (and therefore clone)
+    * returns the SAME array, still aliased to the caller's buffer. */
   private def deepCopy(s: UTF8String): UTF8String = {
     val b = s.getBytes
     UTF8String.fromBytes(java.util.Arrays.copyOf(b, b.length))
   }
 
-  /** Add `by` to item's count (inserting at `base + by` if absent).
-    * Removal is content-based (UTF8String equality), so removing with the
-    * caller's reference still matches the stored copy. */
+  /** Add `by` to item's count (inserting an owned copy at `base + by` if
+    * absent). Increments copy nothing: the entry is unlinked from the
+    * TreeSet, bumped, and re-linked. */
   def add(item: UTF8String, by: Long, base: Long = 0L): Unit =
-    counts.get(item) match {
-      case Some(c) =>
-        byCount.remove((c, item))
-        counts.update(item, c + by) // HashMap keeps its original (copied) key
-        byCount.add((c + by, deepCopy(item)))
+    entries.get(item) match {
+      case Some(e) =>
+        byCount.remove(e)
+        e.cnt += by
+        byCount.add(e)
       case None =>
-        val it = deepCopy(item)
-        counts.update(it, base + by)
-        byCount.add((base + by, it))
+        val k = deepCopy(item)
+        val e = new Entry(k, base + by)
+        entries.update(k, e)
+        byCount.add(e)
     }
 
-  def minEntry: (Long, UTF8String) = byCount.head
+  def minEntry: (Long, UTF8String) = { val e = byCount.head; (e.cnt, e.key) }
 
   def removeMin(): (Long, UTF8String) = {
     val e = byCount.head
     byCount.remove(e)
-    counts.remove(e._2)
-    e
+    entries.remove(e.key)
+    (e.cnt, e.key)
   }
 
   /** Drop entries beyond `capacity`, keeping the largest counts
     * ((count desc, item asc) order). Evicted counts raise `err`. */
   def truncate(capacity: Int): Unit =
-    while (counts.size > capacity) {
+    while (entries.size > capacity) {
       val (c, _) = removeMin()
       if (c > err) err = c
     }
@@ -115,7 +130,7 @@ case class SpaceSavingTopK(
     val v = child.eval(input)
     if (v != null) {
       val item = v.asInstanceOf[UTF8String]
-      if (buf.counts.contains(item) || buf.size < capacity) buf.add(item, 1L)
+      if (buf.contains(item) || buf.size < capacity) buf.add(item, 1L)
       else {
         val (minCnt, _) = buf.removeMin()
         if (minCnt > buf.err) buf.err = minCnt
@@ -130,13 +145,13 @@ case class SpaceSavingTopK(
     // true count for them is ≤ its err, so add that bound to keep counts
     // over-estimates (the mergeable-summaries correction). err = 0 on a
     // never-evicted side keeps exact inputs exact.
-    val otherItems = other.counts.toSeq // snapshot: buf mutation is independent
+    val otherItems = other.iterator.toSeq // snapshot: buf mutation is independent
     otherItems.foreach { case (item, cnt) =>
-      if (buf.counts.contains(item)) buf.add(item, cnt)
+      if (buf.contains(item)) buf.add(item, cnt)
       else buf.add(item, cnt + buf.err)
     }
-    if (other.err > 0) buf.counts.keysIterator.toArray.foreach { item =>
-      if (!other.counts.contains(item)) buf.add(item, other.err)
+    if (other.err > 0) buf.keysSnapshot.foreach { item =>
+      if (!other.contains(item)) buf.add(item, other.err)
     }
     buf.err += other.err
     buf.truncate(capacity)
@@ -144,7 +159,7 @@ case class SpaceSavingTopK(
   }
 
   override def eval(buf: SpaceSavingBuffer): Any = {
-    val sorted = buf.counts.toSeq.sortBy { case (item, cnt) => (-cnt, item.toString) }
+    val sorted = buf.iterator.toSeq.sortBy { case (item, cnt) => (-cnt, item.toString) }
     new GenericArrayData(sorted.map { case (item, cnt) =>
       InternalRow(item, cnt)
     }.toArray[Any])
@@ -155,7 +170,7 @@ case class SpaceSavingTopK(
     val out = new DataOutputStream(bos)
     out.writeLong(buf.err)
     out.writeInt(buf.size)
-    buf.counts.foreach { case (item, cnt) =>
+    buf.iterator.foreach { case (item, cnt) =>
       val b = item.getBytes
       out.writeInt(b.length); out.write(b); out.writeLong(cnt)
     }

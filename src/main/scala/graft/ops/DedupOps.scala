@@ -209,10 +209,13 @@ object DedupOps {
     }
     edges.unpersist()
     // a silently partial labelling would split one true component into
-    // several groups with no signal — convergence is part of the contract
+    // several groups with no signal — convergence is part of the contract.
+    // maxIter is a ROUND BUDGET including the ~2 confirmation rounds that
+    // observe no change, so a component of diameter d needs maxIter ≥ d + 2
+    // (rounds run in pairs, so budget an even number).
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge within $maxIter propagation rounds " +
-        "(component diameter exceeds maxIter) — raise maxIter")
+      s"connectedComponents did not converge within the $maxIter-round budget " +
+        "(component diameter is at or above maxIter - 2) — raise maxIter")
     labels
   }
 
@@ -292,10 +295,12 @@ object DedupOps {
   }
 
   /** Expand distinct-fingerprint pairs to doc pairs (a_id < b_id), plus the
-    * hamming-0 within-group pairs of exactly-equal fingerprints. Output is
-    * pair-sized: eagerly materialized so the corpus-scale persisted `docs`
-    * relation can be released immediately (repeated calls in a long-lived
-    * session must not accumulate pinned cache blocks). */
+    * hamming-0 within-group pairs of exactly-equal fingerprints. The plan
+    * stays LAZY (no eager checkpoint — that would hide the join plan from
+    * plan-shape assertions and run the job at construction time) and the
+    * persisted inputs are NOT force-unpersisted (the caller may own them;
+    * Spark's ContextCleaner reclaims cached blocks once the plan becomes
+    * unreachable, which bounds cache growth across repeated calls). */
   private def expandFpPairsToDocPairs(docs: DataFrame, fpPairs: DataFrame): DataFrame = {
     val cross = fpPairs
       .join(docs.select(col("doc_id").as("xa"), col("fp").as("fa")), "fa")
@@ -306,9 +311,7 @@ object DedupOps {
       .join(docs.select(col("doc_id").as("b_id"), col("fp")).as("q"), Seq("fp"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), lit(0).cast("int").as("hamming"))
-    val result = cross.unionByName(same).localCheckpoint()
-    docs.unpersist()
-    result
+    cross.unionByName(same)
   }
 
   /** Multi-index variant for HUGE corpora (Norouzi et al. 2012, "Fast Search

@@ -41,6 +41,18 @@ object SimilarityOps {
   private def cosToCentroid(vec: Column, centroids: Array[Array[Float]], idx: Column): Column =
     cosineSim(vec, element_at(typedlit(centroids.map(_.toSeq).toSeq), idx + 1))
 
+  /** (a_id, b_id, cos)-shaped empty frame for empty-corpus early returns —
+    * id types derived from the input so the empty path's schema matches the
+    * non-empty path's exactly. */
+  private def emptyPairs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id").as("a_id"), col("vec_id").as("b_id"),
+      lit(0.0).as("cos")).limit(0)
+
+  /** (q_id, n_id, cos, rn)-shaped empty frame, input-derived id types. */
+  private def emptyTopK(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id").as("q_id"), col("vec_id").as("n_id"),
+      lit(0.0).as("cos"), lit(0L).as("rn")).limit(0)
+
   /** Exact near-dup pairs (cos ≥ tau) WITHOUT the quadratic broadcast
     * nested loop: vectors are bucketed by nearest centroid (map-side), each
     * bucket's max assignment angle is its radius, and a bucket PAIR is
@@ -54,23 +66,11 @@ object SimilarityOps {
     * (Requires tau > 0: zero-norm vectors have cos ≡ 0 to everything, so
     * they can never appear in the output and mispruning them is harmless;
     * their π/2 assignment angle only widens radii, which is conservative.) */
-  /** (a_id, b_id, cos)-shaped empty frame for empty-corpus early returns. */
-  private def emptyPairs(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Seq.empty[(Long, Long, Double)].toDF("a_id", "b_id", "cos")
-  }
-
-  /** (q_id, n_id, cos, rn)-shaped empty frame for empty-corpus early returns. */
-  private def emptyTopK(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Seq.empty[(Long, Long, Double, Long)].toDF("q_id", "n_id", "cos", "rn")
-  }
-
   def embeddingNearDup(spark: SparkSession, emb: DataFrame, tau: Double = 0.4,
                        nlist: Int = 16, centroidStride: Int = 31): DataFrame = {
     GraftFunctions.register(spark)
     val centroids = trainCentroids(emb, nlist, centroidStride)
-    if (centroids.isEmpty) return emptyPairs(spark)
+    if (centroids.isEmpty) return emptyPairs(emb)
 
     val assigned = emb.select(
         col("vec_id"), col("embedding"),
@@ -110,17 +110,14 @@ object SimilarityOps {
 
     val a = assigned.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("bucket").as("ba"))
     val b = assigned.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("bucket").as("bb"))
-    val result = a.join(adm, "ba").join(b, Seq("bb"))
+    // plan stays lazy (an eager checkpoint would hide the join plan and run
+    // the job at construction); the cached assignment is reclaimed by the
+    // ContextCleaner once this plan becomes unreachable
+    a.join(adm, "ba").join(b, Seq("bb"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cos", round(cosineSim(col("ea"), col("eb")), 5))
       .filter(col("cos") >= tau)
       .select(col("a_id"), col("b_id"), col("cos"))
-      // pairs are output-sized: eagerly materialize, then release the
-      // corpus-scale cached assignment so repeated calls in a long-lived
-      // session don't accumulate pinned blocks
-      .localCheckpoint()
-    assigned.unpersist()
-    result
   }
 
   /** The quadratic all-pairs baseline (spec reference only — the bucketed
@@ -166,7 +163,7 @@ object SimilarityOps {
                  tables: Int = 8, bits: Int = 4, seed: Long = 42L): DataFrame = {
     GraftFunctions.register(spark)
     val dimRow = emb.select(size(col("embedding"))).limit(1).collect()
-    if (dimRow.isEmpty) return emptyTopK(spark)
+    if (dimRow.isEmpty) return emptyTopK(emb)
     val planes = graft.functions.HyperplaneLsh.genPlanes(tables * bits, dimRow(0).getInt(0), seed)
 
     val bucketed = emb.select(col("vec_id").as("n_id"),
@@ -203,7 +200,7 @@ object SimilarityOps {
               nlist: Int = 16, nprobe: Int = 3, centroidStride: Int = 50): DataFrame = {
     GraftFunctions.register(spark)
     val centroids = trainCentroids(emb, nlist, centroidStride)
-    if (centroids.isEmpty) return emptyTopK(spark)
+    if (centroids.isEmpty) return emptyTopK(emb)
     val probeK = math.min(nprobe, centroids.length)
 
     val assigned = emb.select(col("vec_id").as("n_id"), col("embedding").as("ne"),

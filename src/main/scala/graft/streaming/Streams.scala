@@ -68,7 +68,10 @@ object Streams {
       // batchId-keyed OVERWRITE, not a blind append: foreachBatch can re-run
       // a batch whose write committed but whose checkpoint offset didn't —
       // overwriting the same per-batch directory makes the retry idempotent
-      // (exactly-once partials without a transactional sink).
+      // (exactly-once partials without a transactional sink). checkpointDir
+      // and outDir form ONE unit: batch ids are assigned by the checkpoint,
+      // so resetting the checkpoint against an existing outDir restarts ids
+      // at 0 and overwrites old partials — reset or retain them together.
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), col("event_type"))
           .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
