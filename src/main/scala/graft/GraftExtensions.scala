@@ -16,8 +16,10 @@ import graft.plans.TopKStrategy
   * }}}
   *
   * Injects the TopKPerGroup planner strategy and every graft native function
-  * (cosine_sim, simhash64, minhash_sig, shingles, band_hashes) so they are
-  * available from SQL text as well as the Column API.
+  * (cosine_sim, simhash64, minhash_sig, shingles, band_hashes,
+  * rolling_min_hash, sorted_intersect_count, nearest_centroids,
+  * hyperplane_lsh, zorder64, spacesaving_topk) so they are available from
+  * SQL text as well as the Column API.
   * (GraftFunctions.register remains the per-session fallback used inside the
   * ops so library calls work on vanilla sessions too.)
   */
@@ -53,5 +55,14 @@ object GraftExtensions {
       (e: Seq[Expression]) => SortedIntersectCount(e(0), e(1))),
     ("nearest_centroids", info("nearest_centroids", "top-k nearest centroid indexes by cosine"),
       (e: Seq[Expression]) => NearestCentroids(e(0), GraftFunctions.evalCentroids(e(1)),
-        e(2).eval().asInstanceOf[Number].intValue())))
+        e(2).eval().asInstanceOf[Number].intValue())),
+    ("hyperplane_lsh", info("hyperplane_lsh", "multi-table sign-LSH bucket ids"),
+      (e: Seq[Expression]) => HyperplaneLsh(e(0), GraftFunctions.evalCentroids(e(1)),
+        e(2).eval().asInstanceOf[Number].intValue(),
+        e(3).eval().asInstanceOf[Number].intValue())),
+    ("zorder64", info("zorder64", "64-bit Morton interleave of two long keys"),
+      (e: Seq[Expression]) => Zorder64(e(0), e(1))),
+    ("spacesaving_topk", info("spacesaving_topk", "Space-Saving heavy-hitters aggregate"),
+      (e: Seq[Expression]) => SpaceSavingTopK(e(0),
+        e(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
 }

@@ -45,12 +45,30 @@ object GraftFunctions {
         exprs(3).eval().asInstanceOf[Number].intValue()), "built-in")
   }
 
-  /** Fold a foldable array<array<float>> argument into the model matrix. */
+  /** Fold a foldable array<array<float|double>> argument into the model
+    * matrix. SQL numeric literals are doubles, so the SQL-text path
+    * (`nearest_centroids(v, array(array(0.5, ...)), 1)`) needs the double
+    * branch — without it the cast fails with an opaque ClassCastException. */
   private[graft] def evalCentroids(e: org.apache.spark.sql.catalyst.expressions.Expression): Array[Array[Float]] = {
     import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
     val outer = e.eval().asInstanceOf[ArrayData]
+    val elemType = e.dataType match {
+      case ArrayType(ArrayType(t, _), _) => t
+      case other => throw new IllegalArgumentException(
+        s"expected array<array<float|double>> model argument, got $other")
+    }
     Array.tabulate(outer.numElements()) { j =>
-      outer.getArray(j).toFloatArray()
+      val inner = outer.getArray(j)
+      elemType match {
+        case FloatType => inner.toFloatArray()
+        case DoubleType => inner.toDoubleArray().map(_.toFloat)
+        case dt: org.apache.spark.sql.types.DecimalType => // ANSI SQL literals (0.5)
+          inner.toObjectArray(dt)
+            .map(_.asInstanceOf[org.apache.spark.sql.types.Decimal].toFloat)
+        case other => throw new IllegalArgumentException(
+          s"expected float/double/decimal model elements, got $other")
+      }
     }
   }
 

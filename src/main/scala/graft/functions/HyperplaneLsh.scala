@@ -25,6 +25,9 @@ case class HyperplaneLsh(child: Expression, planes: Array[Array[Float]],
 
   require(tables >= 1 && bits >= 1 && bits <= 24,
     s"hyperplane_lsh: tables=$tables bits=$bits out of range")
+  require(tables <= (1 << (31 - bits)),
+    s"hyperplane_lsh: tables=$tables overflows the int bucket namespace at bits=$bits " +
+      s"(max ${1 << (31 - bits)}) — distinct tables would alias to the same buckets")
   require(planes.length == tables * bits,
     s"hyperplane_lsh: need ${tables * bits} hyperplanes, got ${planes.length}")
 

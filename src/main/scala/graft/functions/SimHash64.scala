@@ -13,8 +13,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * bit j votes +1/−1 into a 64-lane counter; the sign pattern is the
   * fingerprint. Near-identical documents differ in few bits, so Hamming
   * distance ≤ k finds near-dups. One pass per row, no shuffle — the whole
-  * dedup pre-pass is map-side at any scale. CodegenFallback: per-row cost is
-  * O(tokens × 64) counter updates and dominates any virtual-call overhead.
+  * dedup pre-pass is map-side at any scale. Static-call doGenCode keeps the
+  * expression inside whole-stage codegen (the O(tokens × 64) loop lives in
+  * one JIT-friendly method).
   */
 case class SimHash64(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {

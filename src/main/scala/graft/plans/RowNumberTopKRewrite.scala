@@ -60,22 +60,34 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
       }
   }
 
+  /** Rewrite only for k up to this cap: the heap exec holds k rows per group
+    * in task memory with no spill path, so a huge literal k (e.g. a no-op
+    * `rn <= 2^31-1` filter) must stay on Spark's spilling WindowExec /
+    * WindowGroupLimit plan. 10k rows × row size is comfortably in-budget for
+    * any task; beyond it the sort-based path is the right plan anyway. */
+  private val MaxRewriteK = 10000
+
   /** rn <= k / rn < k / k >= rn / k > rn with an int or long literal. */
   private object IntLikeLiteral {
-    def unapply(e: Expression): Option[Int] = e match {
-      case IntegerLiteral(k) => Some(k)
-      case Literal(k: Long, LongType) if k <= Int.MaxValue && k >= Int.MinValue => Some(k.toInt)
+    def unapply(e: Expression): Option[Long] = e match {
+      case IntegerLiteral(k) => Some(k.toLong)
+      case Literal(k: Long, LongType) => Some(k)
       case _ => None
     }
   }
 
-  private def boundFromCond(cond: Expression, rn: Attribute): Option[Int] = cond match {
-    case LessThanOrEqual(a: Attribute, IntLikeLiteral(k)) if a.semanticEquals(rn) => Some(k)
-    case LessThan(a: Attribute, IntLikeLiteral(k)) if a.semanticEquals(rn) => Some(k - 1)
-    case GreaterThanOrEqual(IntLikeLiteral(k), a: Attribute) if a.semanticEquals(rn) => Some(k)
-    case GreaterThan(IntLikeLiteral(k), a: Attribute) if a.semanticEquals(rn) => Some(k - 1)
-    case EqualTo(a: Attribute, IntLikeLiteral(1)) if a.semanticEquals(rn) => Some(1)
-    case _ => None
+  /** Bound math in Long (a `rn < Int.MinValue` literal must not wrap to a
+    * huge positive k), then gated to (0, MaxRewriteK]. */
+  private def boundFromCond(cond: Expression, rn: Attribute): Option[Int] = {
+    val raw: Option[Long] = cond match {
+      case LessThanOrEqual(a: Attribute, IntLikeLiteral(k)) if a.semanticEquals(rn) => Some(k)
+      case LessThan(a: Attribute, IntLikeLiteral(k)) if a.semanticEquals(rn) => Some(k - 1)
+      case GreaterThanOrEqual(IntLikeLiteral(k), a: Attribute) if a.semanticEquals(rn) => Some(k)
+      case GreaterThan(IntLikeLiteral(k), a: Attribute) if a.semanticEquals(rn) => Some(k - 1)
+      case EqualTo(a: Attribute, IntLikeLiteral(1L)) if a.semanticEquals(rn) => Some(1L)
+      case _ => None
+    }
+    raw.filter(k => k > 0 && k <= MaxRewriteK).map(_.toInt)
   }
 }
 
@@ -99,6 +111,7 @@ object TopKRankedStrategy extends SparkStrategy {
   * assign ranks 1..k — O(n log k + groups·k log k), never a full sort. */
 case class TopKRankedExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
                           k: Int, rankAttr: Attribute, child: SparkPlan) extends UnaryExecNode {
+  require(k >= 1, s"ranked top-k requires k >= 1, got $k")
   override def output = child.output :+ rankAttr
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupExprs) :: Nil
@@ -114,18 +127,7 @@ case class TopKRankedExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
       val keyProj = UnsafeProjection.create(group, childOutput)
       val ord = new LazilyGeneratedOrdering(order, childOutput)
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
-      val groups = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var pq = groups.get(key)
-        if (pq == null) {
-          pq = new java.util.PriorityQueue[InternalRow](kk + 1, ord.reverse)
-          groups.put(key.copy(), pq)
-        }
-        if (pq.size < kk) pq.add(row.copy())
-        else if (ord.compare(row, pq.peek()) < 0) { pq.poll(); pq.add(row.copy()) }
-      }
+      val groups = TopKHeaps.accumulate(iter, keyProj, ord, kk)
       import scala.jdk.CollectionConverters._
       val rankRow = new GenericInternalRow(1)
       val joined = new JoinedRow

@@ -41,8 +41,38 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
+/** Shared per-partition heap accumulation for both top-k exec nodes: one
+  * bounded k-element PriorityQueue per group key (head = WORST kept row via
+  * reverse ordering → O(log k) evict). State is bounded at
+  * (groups-per-partition × k) rows and never spills: the operator targets
+  * small-k per-key top-N where that product fits in task memory (the
+  * requiredChildDistribution hash-partitions groups, so per-task group
+  * counts shrink as parallelism grows). For huge k·groups the Window +
+  * WindowGroupLimit path is the right plan — the rewrite rule only fires on
+  * literal k ≤ MaxRewriteK, which keeps k bounded by design. */
+private[plans] object TopKHeaps {
+  def accumulate(iter: Iterator[InternalRow], keyProj: UnsafeProjection,
+                 ord: Ordering[InternalRow], kk: Int)
+      : java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]] = {
+    val groups = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+    while (iter.hasNext) {
+      val row = iter.next()
+      val key = keyProj(row)
+      var pq = groups.get(key)
+      if (pq == null) {
+        pq = new java.util.PriorityQueue[InternalRow](kk + 1, ord.reverse)
+        groups.put(key.copy(), pq)
+      }
+      if (pq.size < kk) pq.add(row.copy())
+      else if (ord.compare(row, pq.peek()) < 0) { pq.poll(); pq.add(row.copy()) }
+    }
+    groups
+  }
+}
+
 case class TopKPerGroupExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
                             k: Int, child: SparkPlan) extends UnaryExecNode {
+  require(k >= 1, s"top-k per group requires k >= 1, got $k")
   override def output = child.output
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupExprs) :: Nil
@@ -56,25 +86,7 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(group, childOutput)
       val ord = new LazilyGeneratedOrdering(order, childOutput)
-      // head of each queue = WORST kept row (reverse ordering) → O(log k) evict.
-      // State is bounded at (groups-per-partition × k) rows and never spills:
-      // the operator targets small-k per-key top-N where that product fits in
-      // task memory (the requiredChildDistribution hash-partitions groups, so
-      // per-task group counts shrink as parallelism grows). For huge k·groups
-      // the Window + WindowGroupLimit path is the right plan — the rewrite
-      // rule only fires on literal-k filters, which keeps k small by design.
-      val groups = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
-        var pq = groups.get(key)
-        if (pq == null) {
-          pq = new java.util.PriorityQueue[InternalRow](kk + 1, ord.reverse)
-          groups.put(key.copy(), pq)
-        }
-        if (pq.size < kk) pq.add(row.copy())
-        else if (ord.compare(row, pq.peek()) < 0) { pq.poll(); pq.add(row.copy()) }
-      }
+      val groups = TopKHeaps.accumulate(iter, keyProj, ord, kk)
       import scala.jdk.CollectionConverters._
       groups.values().iterator().asScala.flatMap(_.iterator().asScala)
     }, preservesPartitioning = true)
@@ -87,6 +99,7 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder
 /** Column-level API. Pass RESOLVED sort columns (df("c").desc / df("c")). */
 object TopK {
   def perGroup(df: DataFrame, groupCols: Seq[String], orderBy: Seq[Column], k: Int): DataFrame = {
+    require(k >= 1, s"TopK.perGroup requires k >= 1, got $k") // fail on the driver, not as a task NPE
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy

@@ -56,4 +56,24 @@ class FunctionsSpec extends SparkSpecBase {
     val got = df.select(GraftFunctions.hamming64($"x", $"y")).as[Int].collect()
     assert(got.toSeq == Seq(8, 0))
   }
+
+  test("extensions injection ALONE resolves every graft function from SQL") {
+    // fresh session: extensions re-apply from config, temp-function
+    // registrations from GraftFunctions.register do NOT carry over — this
+    // exercises the production spark.sql.extensions path in isolation
+    val fresh = spark.newSession()
+    assert(fresh.sql("SELECT zorder64(3, 5) AS z").head.getLong(0) ==
+      graft.functions.Zorder64.interleave(3L, 5L))
+    val top = fresh.sql(
+      "SELECT spacesaving_topk(w, 4) AS t FROM VALUES ('a'), ('a'), ('b') v(w)")
+      .head.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](0)
+    assert(top.head.getString(0) == "a" && top.head.getLong(1) == 2L)
+    // double-literal model matrix exercises evalCentroids' DoubleType branch
+    assert(fresh.sql(
+      "SELECT nearest_centroids(array(cast(1.0 AS float)), array(array(0.5)), 1) AS c")
+      .head.getAs[scala.collection.Seq[Int]](0) == Seq(0))
+    assert(fresh.sql(
+      "SELECT hyperplane_lsh(array(cast(1.0 AS float)), array(array(0.5)), 1, 1) AS b")
+      .head.getAs[scala.collection.Seq[Int]](0).length == 1)
+  }
 }

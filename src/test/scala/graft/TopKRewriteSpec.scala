@@ -56,6 +56,24 @@ class TopKRewriteSpec extends SparkSpecBase {
     assert(rows.nonEmpty && rows.forall(_.getLong(3) <= 3L))
   }
 
+  test("guards: huge and non-positive literal bounds never reach the heap exec") {
+    // k = Int.MaxValue is a no-op filter: must stay on the spilling window
+    // plan (the heap exec would allocate a k+1 PriorityQueue → overflow)
+    val huge = ranked.withColumn("rn", col("rn").cast("long"))
+      .filter(col("rn") <= 2147483647L)
+    assert(!huge.queryExecution.optimizedPlan.toString.contains("TopKRanked"))
+    assert(huge.count() == ranked.count())
+    // below-range literal must not wrap around to a positive k
+    val none = ranked.withColumn("rn", col("rn").cast("long"))
+      .filter(col("rn") < Int.MinValue.toLong)
+    assert(!none.queryExecution.optimizedPlan.toString.contains("TopKRanked"))
+    assert(none.count() == 0)
+    // the public API rejects degenerate k on the driver
+    intercept[IllegalArgumentException] {
+      graft.plans.TopK.perGroup(ranked, Seq("o_custkey"), Seq(col("o_totalprice")), 0)
+    }
+  }
+
   test("guard: nondeterministic projections above the window are NOT rewritten") {
     // rewriting would evaluate rand() for only the k kept rows instead of
     // every window row — values would differ from the un-rewritten plan
