@@ -611,7 +611,7 @@ object SparkEntry {
          FROM events GROUP BY user_id""",
     "datagen" ->
       """WITH a AS (SELECT range AS id,
-             (range*1103515245+12345)%2147483648 AS r1 FROM range(10000)),
+             ((range%2147483648)*1103515245+12345)%2147483648 AS r1 FROM range(10000)),
          b AS (SELECT id, r1, (r1*1103515245+12345)%2147483648 AS r2 FROM a)
          SELECT id, r1, r2,
            (['alpha','beta','gamma','delta','epsilon','zeta','eta','theta','iota',

@@ -40,10 +40,10 @@ object CurationPipeline {
     preNearDup.join(losers, Seq("doc_id"), "left_anti")
   }
 
-  /** curate() with per-stage counters riding the job (the MR Counters
+  /** curate() with end-to-end counters riding the job (the MR Counters
     * contract — reference Counters.java:1 — via Dataset.observe): one
-    * action yields the survivors AND (input_rows, post_quality_rows,
-    * survivor_rows) without extra scans. Read the Observations after the
+    * action yields the survivors AND (input_rows) + (survivor_rows,
+    * survivor_tokens) without extra scans. Read the Observations after the
     * next action on the returned frame. */
   def curateWithCounters(docs: DataFrame, minQuality: Double = 0.5,
                          nearDupTau: Double = 0.8)

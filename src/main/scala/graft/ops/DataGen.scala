@@ -28,7 +28,10 @@ object DataGen {
   def generate(spark: SparkSession, n: Long = 10000L, numPartitions: Int = 32): DataFrame = {
     val wordArr = array(words.map(lit): _*)
     spark.range(0, n, 1, numPartitions)
-      .withColumn("r1", lcg(col("id")))
+      // seed from id mod 2^31 so the LCG multiply stays overflow-free
+      // (< 2^61) at ANY row count — raw ids past ~8.4e9 would overflow the
+      // long multiply under ANSI mode (the TeraGen-scale case)
+      .withColumn("r1", lcg(pmod(col("id"), lit(M))))
       .withColumn("r2", lcg(col("r1")))
       .withColumn("word", element_at(wordArr, (pmod(col("r1"), lit(words.size)) + 1).cast("int")))
       .withColumn("value", round(col("r2") / lit(M.toDouble), 9))

@@ -268,20 +268,26 @@ object DedupOps {
     * pairs are recovered afterwards by joining the fp→doc mapping onto the
     * surviving fingerprint pairs. Candidate-join cost goes from O(docs² /
     * buckets) to O(distinct-fps² / buckets); output is unchanged. */
+  /** Balanced band slicing of a distinct-fingerprint relation: band b
+    * covers bits [b*64/nBands, (b+1)*64/nBands). Shared by both simhash
+    * pair strategies (the >= 64 guard handles the single full-width band
+    * of maxHamming = 0). Keeps lo/hi so probe expansion can use the width. */
+  private def bandSlices(distinctFp: DataFrame, nBands: Int): DataFrame =
+    distinctFp.select(col("fp"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("lo", (col("band") * 64 / nBands).cast("int"))
+      .withColumn("hi", ((col("band") + 1) * 64 / nBands).cast("int"))
+      .withColumn("band_bits",
+        when(col("hi") - col("lo") >= 64, col("fp"))
+          .otherwise(expr("shiftrightunsigned(fp, lo) & (shiftleft(1L, hi - lo) - 1)")))
+
   def simhashPairsFromFingerprints(fp: DataFrame, maxHamming: Int = 6): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, s"maxHamming=$maxHamming out of [0,64)")
     GraftFunctions.register(fp.sparkSession)
     val nBands = maxHamming + 1
     val docs = fp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val distinctFp = docs.select(col("fp")).distinct()
-    // band b covers bits [b*64/nBands, (b+1)*64/nBands) — balanced slices
-    val banded = distinctFp.select(col("fp"),
-        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
-      .withColumn("lo", (col("band") * 64 / nBands).cast("int"))
-      .withColumn("hi", ((col("band") + 1) * 64 / nBands).cast("int"))
-      .withColumn("band_bits",
-        when(col("hi") - col("lo") >= 64, col("fp")) // single 64-bit band (maxHamming=0)
-          .otherwise(expr("shiftrightunsigned(fp, lo) & (shiftleft(1L, hi - lo) - 1)")))
+    val banded = bandSlices(distinctFp, nBands)
       .select(col("fp"), col("band"), col("band_bits"))
     // near fingerprint PAIRS (fa < fb numerically; hamming 1..maxHamming)
     val fpPairs = banded.as("x").join(banded.as("y"),
@@ -335,13 +341,7 @@ object DedupOps {
     GraftFunctions.register(fp.sparkSession)
     val docs = fp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val distinctFp = docs.select(col("fp")).distinct()
-    val sliced = distinctFp.select(col("fp"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .withColumn("lo", (col("band") * 64 / bands).cast("int"))
-      .withColumn("hi", ((col("band") + 1) * 64 / bands).cast("int"))
-      .withColumn("band_bits",
-        when(col("hi") - col("lo") >= 64, col("fp"))
-          .otherwise(expr("shiftrightunsigned(fp, lo) & (shiftleft(1L, hi - lo) - 1)")))
+    val sliced = bandSlices(distinctFp, bands)
     val index = sliced.select(col("fp"), col("band"), col("band_bits"))
     // probe rows: the exact band value (j=0) plus each 1-bit flip (j-1)
     val probes = sliced.select(col("fp"), col("band"),

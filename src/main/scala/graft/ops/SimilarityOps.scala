@@ -53,6 +53,15 @@ object SimilarityOps {
     emb.select(col("vec_id").as("q_id"), col("vec_id").as("n_id"),
       lit(0.0).as("cos"), lit(0L).as("rn")).limit(0)
 
+  /** Shared rank-and-keep tail of every ANN variant: per-query top-k by
+    * (cos desc, n_id), rank emitted as long (oracle-parity-sensitive —
+    * one definition so the three paths cannot drift). */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rn").cast("long").as("rn"))
+
   /** Exact near-dup pairs (cos ≥ tau) WITHOUT the quadratic broadcast
     * nested loop: vectors are bucketed by nearest centroid (map-side), each
     * bucket's max assignment angle is its radius, and a bucket PAIR is
@@ -142,10 +151,7 @@ object SimilarityOps {
     val cands = emb.select(col("vec_id").as("n_id"), col("embedding").as("ne"))
     val scored = cands.join(broadcast(queries), col("q_id") =!= col("n_id"))
       .withColumn("cos", round(cosineSim(col("qe"), col("ne")), 6))
-    scored.withColumn("rn", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rn").cast("long").as("rn"))
+    rankTopK(scored, k)
   }
 
   /** Sign-LSH ANN (the "or LSH-bucketed" half of the scale path, next to
@@ -183,10 +189,7 @@ object SimilarityOps {
       .join(broadcast(emb.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"))), "q_id")
       .withColumn("cos", round(cosineSim(col("qe"), col("ne")), 6))
-    scored.withColumn("rn", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rn").cast("long").as("rn"))
+    rankTopK(scored, k)
   }
 
   /** IVF-style ANN: deterministic "training" picks nlist strided vectors as
@@ -212,9 +215,6 @@ object SimilarityOps {
     val scored = assigned.join(broadcast(probes), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", round(cosineSim(col("qe"), col("ne")), 6))
-    scored.withColumn("rn", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rn").cast("long").as("rn"))
+    rankTopK(scored, k)
   }
 }

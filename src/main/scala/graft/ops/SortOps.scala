@@ -68,13 +68,17 @@ object SortOps {
           sum += math.round(cur._1 * 100) + cur._2 % 1000003L + cur._3
           cnt += 1; prev = cur
         }
-        Iterator((pid, cnt, inv, sum, first._1, prev._1))
+        Iterator((pid, cnt, inv, sum, first, prev))
       }
-    }.toDF("pid", "cnt", "inv", "checksum_part", "first_price", "last_price")
+    }.toDF("pid", "cnt", "inv", "checksum_part", "first_key", "last_key")
+    // boundary check compares the FULL (price, orderkey, linenumber) key —
+    // struct ordering is lexicographic, same as the within-partition check;
+    // comparing only the price would miss tie-break inversions at partition
+    // edges (equal prices, descending secondary keys)
     val boundary = summaries.withColumn("prev_last",
-        lag(col("last_price"), 1).over(Window.orderBy(col("pid"))))
+        lag(col("last_key"), 1).over(Window.orderBy(col("pid"))))
       .withColumn("boundary_inv",
-        when(col("prev_last").isNotNull && col("prev_last") > col("first_price"), 1L).otherwise(0L))
+        when(col("prev_last").isNotNull && col("prev_last") > col("first_key"), 1L).otherwise(0L))
     boundary.agg(
       sum(col("cnt")).as("row_cnt"),
       (sum(col("inv")) + sum(col("boundary_inv"))).as("inversions"),

@@ -115,7 +115,10 @@ object TextAnalysis {
     * Ties broken by term asc; tfidf rounded to 6dp BEFORE ranking so the
     * cross-engine sort is unambiguous. */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
-    val n = docs.count() // scalar N for the idf constant — not a data collect
+    // N stays IN-PLAN as a broadcast 1-row aggregate (the q11/q15 scalar-
+    // subquery shape) — an eager docs.count() here would scan the corpus a
+    // second time and make this the one op builder that is not lazy
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val terms = docs.select(col("doc_id"),
         explode(TextOps.tokens(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
@@ -126,7 +129,8 @@ object TextAnalysis {
       .partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("term"))
     tf.join(broadcast(df), "term")
-      .withColumn("tfidf", round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("term"), col("tf"), col("tfidf"),

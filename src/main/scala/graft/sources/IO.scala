@@ -47,7 +47,11 @@ object IO {
   def writeSequenceFile(df: DataFrame, keyCol: String, valueCol: String, path: String): Unit = {
     import org.apache.hadoop.io.{LongWritable, Text}
     df.select(col(keyCol).cast("long"), col(valueCol).cast("string"))
-      .rdd.map(r => (new LongWritable(r.getLong(0)), new Text(r.getString(1))))
+      // skip null key/value records (incl. cast failures) instead of NPE'ing
+      // the task — mirrors the MR-era writers' tolerance of bad records
+      .rdd.flatMap(r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) None
+        else Some((new LongWritable(r.getLong(0)), new Text(r.getString(1)))))
       .saveAsSequenceFile(path)
   }
 
@@ -117,7 +121,10 @@ object IO {
     var bytes = 0L; var nFiles = 0L
     while (it.hasNext) {
       val f = it.next()
-      if (!f.getPath.getName.startsWith("_")) { bytes += f.getLen; nFiles += 1 }
+      // skip hidden files AND files under hidden dirs (_temporary/ from an
+      // in-flight or aborted write would inflate the partition sizing)
+      val p = f.getPath.toString
+      if (!p.contains("/_") && !p.contains("/.")) { bytes += f.getLen; nFiles += 1 }
     }
     val effective = bytes + nFiles * openCostInBytes
     val n = math.max(1L, (effective + targetPartitionBytes - 1) / targetPartitionBytes).toInt
@@ -154,6 +161,10 @@ object IO {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val r = df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) { // empty (or all-null-key) input
+      df.write.mode(SaveMode.Overwrite).parquet(outPath)
+      return
+    }
     val top = (1L << bits) - 1
     def scaled(c: String, lo: Double, hi: Double) =
       if (hi <= lo) lit(0L)

@@ -119,7 +119,11 @@ object Streams {
         sorted.foreach { ev =>
           cur match {
             case Some((s, e, n)) if ev.ts.getTime - e.getTime <= gapSec * 1000 =>
-              cur = Some((s, ev.ts, n + 1))
+              // a late (above-watermark) event from an earlier micro-batch
+              // may precede the stored bounds — extend, never regress them
+              val lo = if (ev.ts.before(s)) ev.ts else s
+              val hi = if (ev.ts.after(e)) ev.ts else e
+              cur = Some((lo, hi, n + 1))
             case Some((s, e, n)) =>
               out ::= Session(userId, s, e, n)
               cur = Some((ev.ts, ev.ts, 1L))
