@@ -104,6 +104,7 @@ object SparkEntry {
     "sessionize" -> ((s, d) => AggOps.sessionize(Tables.events(s, d))),
     "funnel_conversion" -> ((s, d) => AggOps.funnelConversion(Tables.events(s, d))),
     "value_histogram" -> ((s, d) => AggOps.valueHistogram(Tables.events(s, d))),
+    "value_outliers" -> ((s, d) => AggOps.valueOutliers(Tables.events(s, d))),
     "trailing_window_sum" -> ((s, d) => AggOps.trailingWindowSum(Tables.events(s, d))),
     "grouping_sets_report" -> ((s, d) => AggOps.groupingSetsReport(s, Tables.lineitem(s, d))),
     "events_gapfill" -> ((s, d) => AggOps.eventsGapfill(Tables.events(s, d))),
@@ -133,6 +134,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(Tables.documents(s, d))),
     "dedup_groups" -> ((s, d) => DedupOps.dedupGroups(Tables.documents(s, d))),
+    "dedup_levenshtein" -> ((s, d) => DedupOps.levenshteinPairs(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(Tables.documents(s, d))),
     "embedding_neardup" -> ((s, d) => SimilarityOps.embeddingNearDup(s, Tables.embeddings(s, d))),
     "ann_bruteforce_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, Tables.embeddings(s, d))),
@@ -512,6 +514,17 @@ object SparkEntry {
          SELECT (SELECT count(*) FROM s1) AS n_view,
                 (SELECT count(*) FROM s2) AS n_view_click,
                 (SELECT count(*) FROM s3) AS n_view_click_purchase""",
+    "value_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           FROM events GROUP BY event_type),
+         j AS (SELECT e.event_id, e.event_type, e.value, m.med
+           FROM events e JOIN med m USING (event_type)),
+         mad AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+           FROM j GROUP BY event_type)
+         SELECT j.event_id, j.event_type, j.value,
+           round(j.med, 6) AS med, round(mad.mad, 6) AS mad
+         FROM j JOIN mad USING (event_type)
+         WHERE abs(j.value - j.med) > 1.8 * mad.mad""",
     "trailing_window_sum" ->
       """SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
            round(sum(value) OVER (PARTITION BY user_id
@@ -672,6 +685,14 @@ object SparkEntry {
            FROM ex a JOIN ex b ON a.sg=b.sg AND a.doc_id<b.doc_id GROUP BY 1,2)
          SELECT a_id, b_id, round(inter/(na+nb-inter),6) AS jacc FROM pairs
          WHERE round(inter/(na+nb-inter),6) >= 0.8""",
+    "dedup_levenshtein" ->
+      """WITH p AS (SELECT doc_id, substr(text, 1, 48) AS pfx,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'')[1] AS tok
+           FROM documents)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+         FROM p a JOIN p b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         WHERE levenshtein(a.pfx, b.pfx) <= 12""",
     "dedup_groups" ->
       """WITH RECURSIVE tok AS (SELECT doc_id,
              list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),

@@ -659,6 +659,28 @@ object AggOps {
         coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
   }
 
+  /** Robust (median/MAD) outlier detection per group — the quality-gate
+    * shape every ingest pipeline wants for numeric fields. Exact
+    * percentiles are deterministic across engines (sorted-input linear
+    * interpolation — identical inputs give bit-identical results), so the
+    * cut |v − med| > k·MAD is oracle-exact with no boundary ambiguity.
+    * Two grouped aggregations + broadcast joins of the tiny per-group
+    * stats; the 100 TB swap-in is approx_percentile for both stats (same
+    * plan shape, mergeable sketches instead of full sorts). k defaults to
+    * 1.8 — a demo threshold: this corpus's value column is uniform, so the
+    * classic 3·MAD cut selects nothing by construction. */
+  def valueOutliers(events: DataFrame, k: Double = 1.8): DataFrame = {
+    val med = events.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val withMed = events.join(broadcast(med), "event_type")
+    val mad = withMed.groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), "event_type")
+      .filter(abs(col("value") - col("med")) > lit(k) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"))
+  }
+
   /** Equi-width histogram over a numeric column: one map-side bucket
     * projection + one shuffle on ≤ nBuckets keys. */
   def valueHistogram(events: DataFrame, lo: Double = 0.0, hi: Double = 100.0,

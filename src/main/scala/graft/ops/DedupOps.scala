@@ -234,6 +234,25 @@ object DedupOps {
         coalesce(col("comp"), col("doc_id")).as("group_id"))
   }
 
+  /** Fuzzy prefix dedup via edit distance (the title/header near-dup idiom):
+    * pairs sharing their FIRST TOKEN whose `prefixLen`-char prefixes are
+    * within `maxDist` edits. First-token blocking bounds the join (posting
+    * lists per block, never all-pairs) and is part of the operator's
+    * contract — the oracle mirrors it exactly. levenshtein is builtin and
+    * codegen'd in Spark and identically defined in DuckDB. At 100 TB add a
+    * length bucket to the block key for extra pruning (|len_a − len_b| >
+    * maxDist pairs can never qualify). */
+  def levenshteinPairs(docs: DataFrame, maxDist: Int = 12, prefixLen: Int = 48): DataFrame = {
+    val p = docs.select(col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("pfx"),
+      element_at(TextOps.tokens(col("text")), 1).as("tok"))
+    p.as("a").join(p.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("dist", levenshtein(col("a.pfx"), col("b.pfx")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"), col("dist"))
+  }
+
   /** SimHash fingerprints per doc (map-side, native expression). */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
