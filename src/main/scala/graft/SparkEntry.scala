@@ -106,6 +106,7 @@ object SparkEntry {
     "value_histogram" -> ((s, d) => AggOps.valueHistogram(Tables.events(s, d))),
     "value_outliers" -> ((s, d) => AggOps.valueOutliers(Tables.events(s, d))),
     "trailing_window_sum" -> ((s, d) => AggOps.trailingWindowSum(Tables.events(s, d))),
+    "window_rank_functions" -> ((s, d) => AggOps.windowRankFunctions(Tables.events(s, d))),
     "grouping_sets_report" -> ((s, d) => AggOps.groupingSetsReport(s, Tables.lineitem(s, d))),
     "events_gapfill" -> ((s, d) => AggOps.eventsGapfill(Tables.events(s, d))),
     "percentiles_by_type" -> ((s, d) => AggOps.percentilesByType(Tables.events(s, d))),
@@ -531,6 +532,14 @@ object SparkEntry {
              ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS trailing_sum
          FROM events""",
+    "window_rank_functions" ->
+      """SELECT event_id, event_type, value,
+           CAST(dense_rank() OVER w AS BIGINT) AS drank,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""",
     "grouping_sets_report" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,

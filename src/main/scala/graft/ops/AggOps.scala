@@ -616,6 +616,22 @@ object AggOps {
         count(lit(1)).as("n_days"))
   }
 
+  /** The full ranking-function family in one pass (beyond row_number):
+    * dense_rank, percent_rank, cume_dist and ntile deciles per event_type
+    * ordered by (value, event_id) — the total order makes ntile's row
+    * placement deterministic; the rank functions are tie-stable by
+    * definition. One window spec → one shuffle, all four computed in a
+    * single WindowExec. */
+  def windowRankFunctions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    events.select(col("event_id"), col("event_type"), col("value"),
+      dense_rank().over(w).cast("long").as("drank"),
+      round(percent_rank().over(w), 6).as("prank"),
+      round(cume_dist().over(w), 6).as("cdist"),
+      ntile(10).over(w).cast("long").as("decile"))
+  }
+
   /** RANGE-frame trailing window: per-user sum of the last `windowSec`
     * seconds of values at each event. Value-based frames are
     * tie-insensitive (all rows at the same timestamp share one frame), so
