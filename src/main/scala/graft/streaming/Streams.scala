@@ -40,17 +40,22 @@ object Streams {
     * reduce-side join for two live streams. */
   def viewClickJoin(views: DataFrame, clicks: DataFrame,
                     joinWindowSec: Long = 3600L,
-                    watermark: String = "2 hours"): DataFrame = {
+                    watermark: String = "2 hours",
+                    joinType: String = "inner"): DataFrame = {
     val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
         col("event_id").as("view_id"))
       .withWatermark("v_ts", watermark)
     val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("click_id"))
       .withWatermark("c_ts", watermark)
+    // left_outer: an unmatched view emits (view, null click) only once the
+    // watermark passes its join window — i.e. when a match is provably
+    // impossible — so null rows are final, never retracted
     v.join(c,
       col("v_user") === col("c_user") &&
       col("c_ts") >= col("v_ts") &&
-      col("c_ts") <= col("v_ts") + expr(s"INTERVAL $joinWindowSec SECONDS"))
+      col("c_ts") <= col("v_ts") + expr(s"INTERVAL $joinWindowSec SECONDS"),
+      joinType)
       .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
         col("v_ts"), col("c_ts"))
   }

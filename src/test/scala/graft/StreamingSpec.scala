@@ -50,6 +50,37 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("left-outer stream join: unmatched views emit null clicks AFTER the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = Streams.viewClickJoin(views.toDF(), clicks.toDF(),
+        joinWindowSec = 600L, watermark = "10 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("vc_outer_t")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(Ev(1, ts(0), 1, "view", 0), Ev(2, ts(0), 2, "view", 0))
+      clicks.addData(Ev(10, ts(5), 1, "click", 0)) // user 1 matches; user 2 never clicks
+      q.processAllAvailable()
+      // user 2's null row must NOT exist yet — a click could still arrive
+      val early = spark.table("vc_outer_t").collect()
+      assert(!early.exists(r => r.getAs[Long]("user_id") == 2L),
+        s"null row emitted before the watermark made it final: ${early.toList}")
+      // advance both watermarks far past user 2's join window
+      views.addData(Ev(90, ts(120), 9, "view", 0))
+      clicks.addData(Ev(91, ts(120), 9, "click", 0))
+      q.processAllAvailable()
+      views.addData(Ev(92, ts(180), 9, "view", 0)) // one more batch to flush state
+      clicks.addData(Ev(93, ts(180), 9, "click", 0))
+      q.processAllAvailable()
+      val rows = spark.table("vc_outer_t").collect()
+        .map(r => (r.getAs[Long]("user_id"), Option(r.getAs[java.lang.Long]("click_id"))))
+      assert(rows.contains((1L, Some(10L))), s"matched pair missing: ${rows.toList}")
+      assert(rows.contains((2L, None)), s"final null row for user 2 missing: ${rows.toList}")
+    } finally q.stop()
+  }
+
   test("SpaceSaving sketch aggregates incrementally in a streaming query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
