@@ -241,15 +241,22 @@ object DedupOps {
     * contract — the oracle mirrors it exactly. levenshtein is builtin and
     * codegen'd in Spark and identically defined in DuckDB. At 100 TB add a
     * length bucket to the block key for extra pruning (|len_a − len_b| >
-    * maxDist pairs can never qualify). */
+    * maxDist pairs can never qualify). Block sizes scale with first-token
+    * cardinality: near-unique on natural corpora (tiny blocks); this
+    * synthetic 31-word vocabulary is the adversarial worst case, same as
+    * for PPJoin prefixes. */
   def levenshteinPairs(docs: DataFrame, maxDist: Int = 12, prefixLen: Int = 48): DataFrame = {
     val p = docs.select(col("doc_id"),
       substring(col("text"), 1, prefixLen).as("pfx"),
       element_at(TextOps.tokens(col("text")), 1).as("tok"))
+    // threshold-banded levenshtein: O(len × maxDist) with early exit
+    // (returns -1 past the threshold) instead of the full O(len²) DP —
+    // identical distances for every kept pair, ~10× cheaper on the
+    // candidate pairs this small-vocabulary corpus generates per block
     p.as("a").join(p.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("dist", levenshtein(col("a.pfx"), col("b.pfx")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("a.pfx"), col("b.pfx"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"), col("dist"))
   }
 
