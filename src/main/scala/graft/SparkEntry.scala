@@ -90,15 +90,7 @@ object SparkEntry {
     "json_props_agg" -> ((s, d) => AggOps.jsonPropsAgg(Tables.events(s, d))),
     "asof_join" -> ((s, d) => AggOps.asofLastPurchase(Tables.events(s, d))),
     "range_join" -> ((s, d) => JoinOps.rangeJoinValueBuckets(Tables.events(s, d))),
-    "range_join_bigbig" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, count, lit, round, sum}
-      val intervals = s.range(1000).select(col("id").as("interval_id"),
-        (col("id") * 0.1).as("lo"), (col("id") * 0.1 + 0.3).as("hi"))
-      JoinOps.rangeJoinBucketed(
-          Tables.events(s, d).select(col("event_id"), col("value")), "value", intervals)
-        .groupBy(col("interval_id"))
-        .agg(count(lit(1)).as("n_points"), round(sum(col("value")), 2).as("sum_value"))
-    }),
+    "range_join_bigbig" -> ((s, d) => JoinOps.rangeJoinBigBigRevenue(Tables.events(s, d))),
     "correlated_subquery" -> ((s, d) => AggOps.correlatedMinPerType(s, Tables.part(s, d))),
     "approx_sketch" -> ((s, d) => AggOps.approxSketch(Tables.lineitem(s, d))),
     "sessionize" -> ((s, d) => AggOps.sessionize(Tables.events(s, d))),

@@ -85,6 +85,19 @@ object JoinOps {
       .drop("_bucket")
   }
 
+  /** Big-big range-join revenue rollup: the driver-checked query form of
+    * rangeJoinBucketed — a deterministic 1000-interval table (too many to
+    * broadcast at real scale) against event values, aggregated per
+    * interval. */
+  def rangeJoinBigBigRevenue(events: DataFrame, nIntervals: Int = 1000): DataFrame = {
+    val spark = events.sparkSession
+    val intervals = spark.range(nIntervals).select(col("id").as("interval_id"),
+      (col("id") * 0.1).as("lo"), (col("id") * 0.1 + 0.3).as("hi"))
+    rangeJoinBucketed(events.select(col("event_id"), col("value")), "value", intervals)
+      .groupBy(col("interval_id"))
+      .agg(count(lit(1)).as("n_points"), round(sum(col("value")), 2).as("sum_value"))
+  }
+
   /** Skew-mitigation pattern: salt the hot side's key into `buckets` sub-keys
     * and explode the small side across all buckets. Semantically an inner
     * equi-join; physically the hot key's rows spread over `buckets` tasks.

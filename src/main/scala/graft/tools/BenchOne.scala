@@ -1,6 +1,7 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import java.util.Locale
+
 import graft.SparkEntry
 
 /** Per-query bench for iterating on one operator without the full suite:
@@ -10,23 +11,21 @@ object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
+    val spark = graft.GraftSessions.local(cpus)
     args.foreach { name =>
-      val samples = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+      try {
+        val samples = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(String.format(Locale.ROOT, "[benchone] %s best=%.3f s all=%s",
+          name, Double.box(samples.min),
+          samples.map(s => String.format(Locale.ROOT, "%.2f", Double.box(s))).mkString(",")))
+      } catch { case e: Throwable =>
+        System.err.println(s"[benchone] $name failed: $e")
       }
-      println(f"[benchone] $name best=${samples.min}%.3f s all=${samples.map(s => f"$s%.2f").mkString(",")}")
     }
     spark.stop()
   }
