@@ -94,6 +94,7 @@ object SparkEntry {
     "correlated_subquery" -> ((s, d) => AggOps.correlatedMinPerType(s, Tables.part(s, d))),
     "approx_sketch" -> ((s, d) => AggOps.approxSketch(Tables.lineitem(s, d))),
     "sessionize" -> ((s, d) => AggOps.sessionize(Tables.events(s, d))),
+    "sessionize_native" -> ((s, d) => AggOps.sessionizeNative(Tables.events(s, d))),
     "funnel_conversion" -> ((s, d) => AggOps.funnelConversion(Tables.events(s, d))),
     "value_histogram" -> ((s, d) => AggOps.valueHistogram(Tables.events(s, d))),
     "value_outliers" -> ((s, d) => AggOps.valueOutliers(Tables.events(s, d))),
@@ -488,6 +489,24 @@ object SparkEntry {
          SELECT user_id, session_id, count(*) AS n_events,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+         FROM sessions GROUP BY user_id, session_id""",
+    "sessionize_native" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w >= 1800
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sessions AS (
+           SELECT user_id, ts,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+           FROM flagged)
+         SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 1800 SECONDS, '%Y-%m-%d %H:%M:%S') AS session_end_plus_gap,
+           count(*) AS n_events
          FROM sessions GROUP BY user_id, session_id""",
     "events_hourly" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,

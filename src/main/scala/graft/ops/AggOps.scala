@@ -616,6 +616,27 @@ object AggOps {
         count(lit(1)).as("n_days"))
   }
 
+  /** Native session windows — the built-in third formulation of
+    * sessionization (next to the lag/cumsum batch op and the
+    * flatMapGroupsWithState stream). Boundary semantics differ from the
+    * lag form: session_window treats a gap of EXACTLY gapSec as a NEW
+    * session (windows [t, t+gap) merge only when they overlap), and the
+    * emitted end is last_event + gap, not last_event — the oracle mirrors
+    * both. Also the streaming-ready shape: the same expression works under
+    * a watermark with state eviction. */
+  def sessionizeNative(events: DataFrame, gapSec: Long = 1800L): DataFrame =
+    events
+      // gap decisions at epoch-second resolution (unix_timestamp floors),
+      // matching the lag-based op and making the cross-engine compare exact
+      // — raw microsecond gaps would flip boundary sessions vs the oracle
+      .groupBy(col("user_id"),
+        session_window(timestamp_seconds(unix_timestamp(col("ts"))), s"$gapSec seconds").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end_plus_gap"),
+        col("n_events"))
+
   /** The full ranking-function family in one pass (beyond row_number):
     * dense_rank, percent_rank, cume_dist and ntile deciles per event_type
     * ordered by (value, event_id) — the total order makes ntile's row
