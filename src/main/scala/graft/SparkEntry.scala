@@ -95,6 +95,7 @@ object SparkEntry {
     "approx_sketch" -> ((s, d) => AggOps.approxSketch(Tables.lineitem(s, d))),
     "sessionize" -> ((s, d) => AggOps.sessionize(Tables.events(s, d))),
     "sessionize_native" -> ((s, d) => AggOps.sessionizeNative(Tables.events(s, d))),
+    "events_sliding" -> ((s, d) => AggOps.eventsSliding(Tables.events(s, d))),
     "funnel_conversion" -> ((s, d) => AggOps.funnelConversion(Tables.events(s, d))),
     "value_histogram" -> ((s, d) => AggOps.valueHistogram(Tables.events(s, d))),
     "value_outliers" -> ((s, d) => AggOps.valueOutliers(Tables.events(s, d))),
@@ -508,6 +509,14 @@ object SparkEntry {
            strftime(max(ts) + INTERVAL 1800 SECONDS, '%Y-%m-%d %H:%M:%S') AS session_end_plus_gap,
            count(*) AS n_events
          FROM sessions GROUP BY user_id, session_id""",
+    "events_sliding" ->
+      """WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type, value
+           FROM events),
+         x AS (SELECT ((es // 900) - k) * 900 AS window_start, event_type, value
+           FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
+         SELECT window_start, event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+         FROM x GROUP BY window_start, event_type""",
     "events_hourly" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
          count(*) AS n_events, round(sum(value),2) AS sum_value

@@ -616,6 +616,19 @@ object AggOps {
         count(lit(1)).as("n_days"))
   }
 
+  /** SLIDING windows (1-hour window, 15-minute slide): each event lands in
+    * exactly 4 overlapping windows — Spark expands map-side then partial-
+    * aggregates, so the shuffle carries per-window partials (4× window
+    * keys), not 4× events. Window starts are epoch-aligned in UTC, and the
+    * start is emitted as epoch seconds so the cross-engine compare is
+    * integer-exact. */
+  def eventsSliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Native session windows — the built-in third formulation of
     * sessionization (next to the lag/cumsum batch op and the
     * flatMapGroupsWithState stream). Boundary semantics differ from the
