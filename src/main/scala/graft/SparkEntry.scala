@@ -83,6 +83,7 @@ object SparkEntry {
     "agg_rollup" -> ((s, d) => AggOps.aggRollup(Tables.lineitem(s, d))),
     "agg_cube" -> ((s, d) => AggOps.aggCube(Tables.lineitem(s, d))),
     "pivot_events" -> ((s, d) => AggOps.pivotEvents(Tables.events(s, d))),
+    "unpivot_events" -> ((s, d) => AggOps.unpivotEvents(Tables.events(s, d))),
     "set_ops" -> ((s, d) => AggOps.setOps(Tables.orders(s, d))),
     "distinct_count" -> ((s, d) => AggOps.distinctCount(Tables.lineitem(s, d))),
     "orders_by_month" -> ((s, d) => AggOps.ordersByMonth(Tables.orders(s, d))),
@@ -414,6 +415,14 @@ object SparkEntry {
          count(*) FILTER (WHERE event_type='signup') AS "signup",
          count(*) FILTER (WHERE event_type='view') AS "view"
          FROM events GROUP BY 1""",
+    "unpivot_events" ->
+      """WITH d AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day FROM events),
+         t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+         c AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT d.day, t.event_type, coalesce(c.n, 0) AS n_events
+         FROM d CROSS JOIN t
+         LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type""",
     "set_ops" ->
       """SELECT o_custkey, 'both' AS tag FROM (
            SELECT o_custkey FROM orders

@@ -466,6 +466,17 @@ object AggOps {
       .agg(count(lit(1)))
       .na.fill(0L)
 
+  /** UNPIVOT — the inverse reshape of pivotEvents: the wide per-day table
+    * melts back to long (day, event_type, n_events) rows via the native
+    * unpivot operator (Expand under the hood, map-side only). Round-trip
+    * with pivotEvents is the schema-evolution pattern for wide metric
+    * tables. */
+  def unpivotEvents(events: DataFrame): DataFrame =
+    pivotEvents(events)
+      .unpivot(Array(col("day")),
+        Seq("click", "error", "purchase", "signup", "view").map(col).toArray,
+        "event_type", "n_events")
+
   /** Set operations: customers ordering in BOTH years (INTERSECT), and in
     * 1996 but not 1997 (EXCEPT) — tagged and unioned into one relation. */
   def setOps(orders: DataFrame): DataFrame = {
