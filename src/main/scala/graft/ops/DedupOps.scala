@@ -175,18 +175,23 @@ object DedupOps {
     * convergence is O(diameter) iterations, and near-dup clusters are tiny
     * (pairs come from a ≥ tau similarity join, so components are near-cliques
     * of duplicates — diameter 1-3 in practice). Each iteration's result is
-    * localCheckpoint'ed to truncate lineage (on a real cluster with
-    * preemptible executors, set a reliable checkpoint dir and use
-    * `checkpoint()` instead). Convergence test is a scalar isEmpty — no data
-    * is collected to the driver. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    * checkpointed to truncate lineage: pass `checkpointDir` for RELIABLE
+    * checkpoints (survives executor loss — what a preemptible 1000-executor
+    * cluster needs, since a lost localCheckpoint block kills the lineage-less
+    * job); default is executor-local (no extra I/O, right for this sandbox).
+    * Convergence test is a scalar isEmpty — no data is collected to the
+    * driver. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id"))
+    var labels = truncate(edges.select(col("src").as("id"))
       .distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .withColumn("comp", col("id")))
     // propagate each node's label to its neighbors, keep the minimum
     def propagate(l: DataFrame): DataFrame = edges
       .join(l.select(col("id").as("dst"), col("comp")), "dst")
@@ -199,7 +204,7 @@ object DedupOps {
       // two propagation rounds per convergence check: halves the blocking
       // driver actions (each one pays scheduling latency), and a converged
       // labelling is a fixed point so the extra round is a no-op
-      val next = propagate(propagate(labels)).localCheckpoint()
+      val next = truncate(propagate(propagate(labels)))
       converged = next.as("n")
         .join(labels.as("o"), "id")
         .filter(col("n.comp") =!= col("o.comp"))
@@ -238,25 +243,37 @@ object DedupOps {
     * pairs sharing their FIRST TOKEN whose `prefixLen`-char prefixes are
     * within `maxDist` edits. First-token blocking bounds the join (posting
     * lists per block, never all-pairs) and is part of the operator's
-    * contract — the oracle mirrors it exactly. levenshtein is builtin and
-    * codegen'd in Spark and identically defined in DuckDB. At 100 TB add a
-    * length bucket to the block key for extra pruning (|len_a − len_b| >
-    * maxDist pairs can never qualify). Block sizes scale with first-token
-    * cardinality: near-unique on natural corpora (tiny blocks); this
-    * synthetic 31-word vocabulary is the adversarial worst case, same as
-    * for PPJoin prefixes. */
+    * contract — the oracle mirrors it exactly.
+    *
+    * Two scale refinements, both output-preserving:
+    *  - LENGTH-BUCKETED block key: ed(a,b) ≥ |len(a) − len(b)|, so pairs in
+    *    non-adjacent maxDist-wide length buckets can never qualify; the probe
+    *    side explodes into {lb−1, lb, lb+1} so every qualifying pair meets on
+    *    exactly one equi-key (no pair dedup needed). A no-op when prefixes
+    *    all hit the prefixLen cap (this corpus), real pruning on natural
+    *    variable-length keys.
+    *  - Myers BIT-PARALLEL verify (bounded_levenshtein): this corpus's pair
+    *    distances cluster AT the threshold (median 13 vs maxDist 12), the
+    *    worst case for the banded DP's early exit — the bit-vector kernel
+    *    does each pair in ~n register ops regardless.
+    * Block sizes scale with first-token cardinality: near-unique on natural
+    * corpora (tiny blocks); this synthetic 31-word vocabulary is the
+    * adversarial worst case, same as for PPJoin prefixes. */
   def levenshteinPairs(docs: DataFrame, maxDist: Int = 12, prefixLen: Int = 48): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val w = math.max(1, maxDist)
     val p = docs.select(col("doc_id"),
-      substring(col("text"), 1, prefixLen).as("pfx"),
-      element_at(TextOps.tokens(col("text")), 1).as("tok"))
-    // threshold-banded levenshtein: O(len × maxDist) with early exit
-    // (returns -1 past the threshold) instead of the full O(len²) DP —
-    // identical distances for every kept pair, ~10× cheaper on the
-    // candidate pairs this small-vocabulary corpus generates per block
-    p.as("a").join(p.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("dist", levenshtein(col("a.pfx"), col("b.pfx"), maxDist).cast("long"))
-      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+        substring(col("text"), 1, prefixLen).as("pfx"),
+        element_at(TextOps.tokens(col("text")), 1).as("tok"))
+      .withColumn("lb", (length(col("pfx")) / w).cast("long"))
+    val probe = p.withColumn("jb",
+      explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
+    probe.as("a").join(p.as("b"),
+        col("a.tok") === col("b.tok") && col("a.jb") === col("b.lb") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("dist",
+        GraftFunctions.boundedLevenshtein(col("a.pfx"), col("b.pfx"), maxDist).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"), col("dist"))
   }
 

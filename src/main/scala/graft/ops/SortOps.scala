@@ -86,14 +86,46 @@ object SortOps {
   }
 
   /** SecondarySort: cluster by user, order by (ts, event_id) within the
-    * cluster, emit the ordered sequence. sort_array on struct keys gives the
-    * deterministic within-group order (the MR "secondary key" comparator). */
-  def secondarySort(events: DataFrame): DataFrame =
-    events.groupBy(col("user_id"))
-      .agg(array_join(
-        transform(
-          sort_array(collect_list(struct(col("ts"), col("event_id")))),
-          x => x.getField("event_id").cast("string")),
-        ",").as("ordered_events"),
-        count(lit(1)).as("n_events"))
+    * cluster, emit the ordered sequence — the exact MR shape: partition by
+    * the primary key, SORT the shuffle by (primary, secondary), then STREAM
+    * each group through the reducer (SecondarySort.java:1). No collect_list:
+    * Spark's external sort spills, so a hot key with millions of events
+    * never materializes as one in-memory array in an aggregation buffer —
+    * per-group memory is the output string alone (the theoretical floor for
+    * this output shape; for unbounded groups emit ordered rows instead). */
+  def secondarySort(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val n = spark.sessionState.conf.numShufflePartitions
+    events
+      // micros preserve the full timestamp order (cast("long") would floor
+      // to seconds and could flip sub-second (ts, event_id) tie-breaks)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .repartition(n, col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        // groups are contiguous after the sort; one pass, one group at a time
+        new Iterator[(Long, String, Long)] {
+          private var pending: Option[(Long, Long, Long)] =
+            if (it.hasNext) Some(it.next()) else None
+          def hasNext: Boolean = pending.isDefined
+          def next(): (Long, String, Long) = {
+            val user = pending.get._1
+            val sb = new java.lang.StringBuilder
+            var cnt = 0L
+            var cur = pending
+            while (cur.isDefined && cur.get._1 == user) {
+              if (cnt > 0) sb.append(',')
+              sb.append(cur.get._3)
+              cnt += 1
+              cur = if (it.hasNext) Some(it.next()) else None
+            }
+            pending = cur
+            (user, sb.toString, cnt)
+          }
+        }
+      }
+      .toDF("user_id", "ordered_events", "n_events")
+  }
 }

@@ -117,14 +117,18 @@ object IO {
                   openCostInBytes: Long = 4L * 1024 * 1024): DataFrame = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootUri = fs.makeQualified(hPath).toUri
     val it = fs.listFiles(hPath, true)
     var bytes = 0L; var nFiles = 0L
     while (it.hasNext) {
       val f = it.next()
       // skip hidden files AND files under hidden dirs (_temporary/ from an
-      // in-flight or aborted write would inflate the partition sizing)
-      val p = f.getPath.toString
-      if (!p.contains("/_") && !p.contains("/.")) { bytes += f.getLen; nFiles += 1 }
+      // in-flight or aborted write would inflate the partition sizing).
+      // Only components BELOW the listed root count — a dataset that lives
+      // under e.g. ~/.cache/ must not be treated as entirely hidden.
+      val rel = rootUri.relativize(f.getPath.toUri).getPath
+      val hidden = rel.split('/').exists(c => c.startsWith("_") || c.startsWith("."))
+      if (!hidden) { bytes += f.getLen; nFiles += 1 }
     }
     val effective = bytes + nFiles * openCostInBytes
     val n = math.max(1L, (effective + targetPartitionBytes - 1) / targetPartitionBytes).toInt
@@ -139,6 +143,16 @@ object IO {
     * rewrite only affected partitions (dynamic partition overwrite). */
   def upsertByRewrite(spark: SparkSession, basePath: String, updates: DataFrame,
                       key: String, outPath: String): Unit = {
+    // in-place rewrite would have the Overwrite commit delete the lazily-read
+    // base parquet mid-job (data loss); an in-place merge needs a staging path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val baseP = new org.apache.hadoop.fs.Path(basePath)
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val baseQ = baseP.getFileSystem(conf).makeQualified(baseP)
+    val outQ = outP.getFileSystem(conf).makeQualified(outP)
+    require(baseQ != outQ,
+      s"upsertByRewrite: outPath == basePath ($baseQ) — Overwrite would delete the base " +
+        "dataset while it is being read; write to a staging path and swap")
     val base = spark.read.parquet(basePath)
     base.join(updates.select(col(key)), Seq(key), "left_anti")
       .unionByName(updates)

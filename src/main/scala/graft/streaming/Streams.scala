@@ -84,12 +84,24 @@ object Streams {
       }
       .start()
 
-  /** Merge-on-read for the incremental rollup table: partials → totals. */
-  def readRollup(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/batch_*")
+  /** Merge-on-read for the incremental rollup table: partials → totals.
+    * A rollup with no committed batch yet (empty stream, or a reader racing
+    * the first trigger) reads as an EMPTY rollup, not an AnalysisException. */
+  def readRollup(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBatch = fs.exists(root) &&
+      fs.listStatus(root).exists(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
+    val partials =
+      if (hasBatch) spark.read.parquet(s"$outDir/batch_*")
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "hour STRING, event_type STRING, n_events BIGINT, sum_value DOUBLE"))
+    partials
       .groupBy(col("hour"), col("event_type"))
       .agg(sum(col("n_events")).as("n_events"),
         round(sum(col("sum_value")), 2).as("sum_value"))
+  }
 
   /** Streaming exact dedup with bounded state: drop events whose dedup key
     * was already seen, keeping state only within the watermark horizon —
