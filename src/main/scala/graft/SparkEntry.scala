@@ -116,6 +116,7 @@ object SparkEntry {
       Tables.documents(s, d).select("text"), Tables.part(s, d).select("p_name")))),
     "word_stats" -> ((s, d) => TextOps.wordStats(Tables.documents(s, d))),
     "topk_words" -> ((s, d) => TextOps.topKWords(Tables.documents(s, d))),
+    "spacesaving_topk" -> ((s, d) => TextOps.spaceSavingTopWords(Tables.documents(s, d))),
     "word_histogram" -> ((s, d) => TextOps.wordHistogram(Tables.documents(s, d))),
     "inverted_index" -> ((s, d) => TextOps.invertedIndex(Tables.documents(s, d))),
     "global_sort" -> ((s, d) => SortOps.globalSortTopN(Tables.lineitem(s, d))),
@@ -635,6 +636,11 @@ object SparkEntry {
       """SELECT word, count(*) AS n FROM (
            SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
          WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+    // capacity (64) >= vocabulary size, so the sketch never evicts => exact
+    "spacesaving_topk" ->
+      """SELECT word, count(*) AS n FROM (
+           SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+         WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 64""",
     "word_histogram" ->
       """SELECT n AS freq, count(*) AS n_words FROM (
            SELECT word, count(*) AS n FROM (

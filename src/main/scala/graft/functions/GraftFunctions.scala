@@ -42,6 +42,18 @@ object GraftFunctions {
         exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("zorder64",
       exprs => Zorder64(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("rank_bucket",
+      exprs => RankBucket(exprs(0), {
+        import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType}
+        val arr = exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        exprs(1).dataType match {
+          case ArrayType(DoubleType, _) => arr.toDoubleArray()
+          case ArrayType(dt: DecimalType, _) => arr.toObjectArray(dt)
+            .map(_.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble)
+          case other => throw new IllegalArgumentException(
+            s"rank_bucket expects array<double> boundaries, got $other")
+        }
+      }), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_lsh",
       exprs => HyperplaneLsh(exprs(0), evalCentroids(exprs(1)),
         exprs(2).eval().asInstanceOf[Number].intValue(),
@@ -118,6 +130,13 @@ object GraftFunctions {
   /** 64-bit Morton (Z-order) interleave of two long keys — the
     * multi-dimensional layout key (see graft.sources.IO.zorderWrite). */
   def zorder64(a: Column, b: Column): Column = call_function("zorder64", a, b)
+
+  /** Quantile-bucket index of a double against sorted boundaries (native
+    * binary search — the codegen'd replacement for the interpreted
+    * size(filter(...)) HOF scan). */
+  def rankBucket(v: Column, boundaries: Array[Double]): Column =
+    call_function("rank_bucket", v,
+      org.apache.spark.sql.functions.typedlit(boundaries.toSeq))
 
   /** Multi-table sign-LSH bucket ids (array<int>, namespaced per table) —
     * map-side bucketing for the LSH-ANN path. */

@@ -183,11 +183,14 @@ object AggOps {
 
   /** TPC-H Q2 (adapted): minimum-cost supplier per ECONOMY part among ASIA
     * suppliers, with lineitem as the partsupp proxy (per part×supplier unit
-    * cost = min extendedprice/quantity shipped). Written through the SQL
-    * text interface as the ORIGINAL multi-level correlated form — Catalyst
-    * decorrelates the scalar subquery into an aggregate + join, so the plan
-    * is one shuffle per aggregate plus broadcast dims, never a per-row
-    * re-execution. */
+    * cost = min extendedprice/quantity shipped). The classic correlated
+    * formulation references the aggregated CTE twice and Spark INLINES CTEs,
+    * so the fact table would be scanned and aggregated TWICE — at 100 TB
+    * that doubles the dominant cost. Restated as a window-min over ONE
+    * aggregate: same keep-all-ties semantics (min per partkey is unaffected
+    * by the ECONOMY semi-restriction because a partkey's rows are kept or
+    * dropped as a whole), single lineitem scan, window input is only the
+    * candidate aggregate rows. */
   def q2MinCostSupplier(spark: org.apache.spark.sql.SparkSession, part: DataFrame,
                         supplier: DataFrame, lineitem: DataFrame,
                         nation: DataFrame, region: DataFrame): DataFrame = {
@@ -206,12 +209,15 @@ object AggOps {
         |  FROM ps JOIN graft_q2_supplier s ON ps.l_suppkey = s.s_suppkey
         |  JOIN graft_q2_nation n ON s.s_nationkey = n.n_nationkey
         |  JOIN graft_q2_region r ON n.n_regionkey = r.r_regionkey
-        |  WHERE r.r_name = 'ASIA')
-        |SELECT p.p_partkey, p.p_name, a.s_name, a.n_name, a.unit_cost
-        |FROM graft_q2_part p JOIN aps a ON p.p_partkey = a.l_partkey
-        |WHERE p.p_type = 'ECONOMY'
-        |  AND a.unit_cost = (SELECT min(x.unit_cost) FROM aps x
-        |                     WHERE x.l_partkey = p.p_partkey)""".stripMargin)
+        |  WHERE r.r_name = 'ASIA'),
+        |cand AS (
+        |  SELECT p.p_partkey, p.p_name, a.s_name, a.n_name, a.unit_cost
+        |  FROM graft_q2_part p JOIN aps a ON p.p_partkey = a.l_partkey
+        |  WHERE p.p_type = 'ECONOMY')
+        |SELECT p_partkey, p_name, s_name, n_name, unit_cost
+        |FROM (SELECT c.*, min(c.unit_cost) OVER (PARTITION BY c.p_partkey) AS min_cost
+        |      FROM cand c)
+        |WHERE unit_cost = min_cost""".stripMargin)
   }
 
   /** TPC-H Q8 (adapted): NATION_7's market share of ASIA-customer order

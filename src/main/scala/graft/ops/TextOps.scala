@@ -53,6 +53,21 @@ object TextOps {
   def topKWords(docs: DataFrame, k: Int = 20): DataFrame =
     wordCount(docs).orderBy(col("n").desc, col("word")).limit(k)
 
+  /** Top words via the Space-Saving sketch aggregate — the bounded-memory
+    * heavy-hitters path: each task ships `capacity` counters instead of the
+    * full (word → count) shuffle. With capacity ≥ distinct items the sketch
+    * is EXACT (Metwally et al. 2005, no eviction ever fires), which is what
+    * lets this share the plain GROUP BY oracle; undersized capacity trades
+    * exactness for the O(capacity) bound (SketchSpec covers the error
+    * contract). */
+  def spaceSavingTopWords(docs: DataFrame, capacity: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(explode(tokens(col("text"))).as("word"))
+      .agg(graft.functions.GraftFunctions.spacesavingTopK(col("word"), capacity).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item").as("word"), col("e.count").as("n"))
+  }
+
   /** AggregateWordHistogram: frequency-of-frequencies. */
   def wordHistogram(docs: DataFrame): DataFrame =
     wordCount(docs).groupBy(col("n").as("freq")).agg(count(lit(1)).as("n_words"))

@@ -198,19 +198,22 @@ object IO {
     * power-law key can't collapse most rows into a few Morton cells. Rank
     * space is uniform by construction ⇒ the range partition on z is
     * balanced ⇒ file sizes are even AND both dims stay rectangular in rank
-    * space. The boundary lookup is a per-row scan over ≤ 2^bits boundaries
-    * (HOF filter) — fine for a layout job that runs once per compaction. */
+    * space. The boundary lookup is a native binary-search expression
+    * (RankBucket) — codegen'd O(log buckets) per row. */
   def zorderWriteQuantile(df: DataFrame, outPath: String, colA: String, colB: String,
                           files: Int = 16, bits: Int = 8): Unit = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val nb = 1 << bits
     val probs = (1 until nb).map(_.toDouble / nb).toArray
     val Array(qa, qb) = df.stat.approxQuantile(
-      Array(colA, colB), probs, 0.001).map(_.toSeq)
-    def rankBucket(c: String, bounds: Seq[Double]) =
-      size(filter(typedlit(bounds), b => b <= col(c).cast("double"))).cast("long")
+      Array(colA, colB), probs, 0.001)
+    // native binary-search bucket (codegen'd, O(log n)) instead of the
+    // interpreted size(filter(...)) HOF scan — NOTES_PERF §1. Null keys
+    // rank as bucket 0, same as the previous filter-count form.
+    def bucket(c: String, bounds: Array[Double]) = coalesce(
+      graft.functions.GraftFunctions.rankBucket(col(c).cast("double"), bounds), lit(0L))
     df.withColumn("_z", graft.functions.GraftFunctions.zorder64(
-        rankBucket(colA, qa), rankBucket(colB, qb)))
+        bucket(colA, qa), bucket(colB, qb)))
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")

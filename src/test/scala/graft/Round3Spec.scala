@@ -164,6 +164,76 @@ class Round3Spec extends SparkSpecBase {
     assert(Streams.readRollup(spark, s"$tmp/rollup2").isEmpty)
   }
 
+  // ---- q2: single fact scan ----
+
+  test("q2_min_cost_supplier aggregates lineitem exactly once (no CTE double-scan)") {
+    val plan = SparkEntry.queries("q2_min_cost_supplier")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val factScans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(factScans == 1, s"q2 must scan the fact once, found $factScans:\n$plan")
+    assert(plan.contains("Window"), "q2 min-per-part must be the window form")
+  }
+
+  // ---- rank_bucket: native binary search == interpreted HOF filter-count ----
+
+  test("rank_bucket matches the filter-count HOF form on random values") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new Random(11)
+    val bounds = (1 to 255).map(_ => rnd.nextDouble() * 100).sorted.toArray
+    // include exact boundary hits and out-of-range values
+    val vals = (1 to 500).map(_ => rnd.nextDouble() * 120 - 10) ++
+      bounds.take(20).toSeq ++ Seq(-1e9, 1e9)
+    val df = vals.toDF("v")
+    val hof = size(filter(typedlit(bounds.toSeq), b => b <= col("v"))).cast("long")
+    val bad = df.select(col("v"),
+        graft.functions.GraftFunctions.rankBucket(col("v"), bounds).as("native"),
+        hof.as("hofv"))
+      .filter(col("native") =!= col("hofv"))
+    assert(bad.isEmpty, "binary-search bucket must equal the filter-count form")
+  }
+
+  // ---- spacesaving_topk as a query: exact at capacity >= vocabulary ----
+
+  test("spaceSavingTopWords == exact GROUP BY ranking at capacity >= |vocab|") {
+    val docs = Tables.documents(spark, sfDir)
+    val exact = graft.ops.TextOps.wordCount(docs)
+      .orderBy(col("n").desc, col("word")).limit(64)
+    val got = graft.ops.TextOps.spaceSavingTopWords(docs)
+    assert(got.exceptAll(exact).isEmpty && exact.exceptAll(got).isEmpty)
+  }
+
+  // ---- real image decode through the Dataset path ----
+
+  test("decodeImages really decodes PNG and JPEG payloads; non-images fall back") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    def imageBytes(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK must encode $fmt")
+      bos.toByteArray
+    }
+    val media = Seq(
+      graft.ops.MultimodalOps.MediaRecord(1L, imageBytes(7, 5, 0xff0000, "png"), "image"),
+      graft.ops.MultimodalOps.MediaRecord(2L, imageBytes(3, 9, 0xffffff, "jpg"), "image"),
+      graft.ops.MultimodalOps.MediaRecord(3L, "not an image at all".getBytes("UTF-8"), "audio"))
+      .toDS()
+    val got = graft.ops.MultimodalOps.decodeImages(spark, media)
+      .collect().map(d => d.media_id -> d).toMap
+    val png = got(1L)
+    assert(png.real_decode && png.format == "png" && png.width == 7 && png.height == 5)
+    assert(math.abs(png.mean_luma - 0.299 * 255) < 1.0, s"red png luma: ${png.mean_luma}")
+    val jpg = got(2L)
+    assert(jpg.real_decode && jpg.format.startsWith("jp") && jpg.width == 3 && jpg.height == 9)
+    assert(jpg.mean_luma > 250, s"white jpeg luma: ${jpg.mean_luma}")
+    val fallback = got(3L)
+    assert(!fallback.real_decode && fallback.format == "undecoded" &&
+      fallback.byte_len == "not an image at all".getBytes("UTF-8").length)
+  }
+
   test("combineRead sizes correctly for a dataset under a dot-directory ancestor") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_combine_dot").toString
