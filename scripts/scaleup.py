@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""Deterministic scale-up of the driver testdata (driver-side tooling, like
+check.py — NOT part of the Spark library).
+
+Usage: python3 scripts/scaleup.py <baseDir> <outDir> <factor>
+  e.g. python3 scripts/scaleup.py /root/testdata/sf0.1 /tmp/testdata/sf1 10
+
+Replicates every table <factor> times with per-replica key offsets that
+preserve referential integrity (l_orderkey/o_orderkey, o_custkey/c_custkey,
+l_partkey/p_partkey, l_suppkey/s_suppkey, events.user_id, doc_id, vec_id).
+region/nation stay fixed (dimension tables scale sub-linearly in TPC-H too).
+
+Replica 0 is the identity — the base dataset is a strict subset of the output.
+
+Two transforms keep pairwise-op outputs scaling LINEARLY instead of
+quadratically (otherwise every doc would have <factor> exact duplicates and
+dedup pair counts would grow x factor^2, which benchmarks the data artifact,
+not the plan):
+  * documents.text: tokens are rotated through the sorted corpus vocabulary
+    by a per-replica step (vocab size is prime-ish small; any step works as
+    long as replicas get distinct rotations). Word-frequency shape is
+    preserved; cross-replica shingle overlap is destroyed. n_chars is
+    recomputed (base data satisfies n_chars == len(text)).
+  * embeddings.embedding: dimensions are cyclically rolled per replica — an
+    orthogonal transform, so within-replica cosine structure is EXACTLY
+    preserved while cross-replica vectors decorrelate.
+
+events.ts is TIMESTAMP(NANOS) in the driver data and graft.Tables reads it
+as raw longs; written with parquet version 2.6 so the NANOS type survives.
+"""
+import sys, os
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyarrow.compute as pc
+
+def stride_for(maxval: int) -> int:
+    s = 10
+    while s <= maxval: s *= 10
+    return s
+
+def offset_col(tbl, col, stride, r):
+    if r == 0 or stride == 0: return tbl
+    i = tbl.schema.get_field_index(col)
+    newcol = pc.add(tbl.column(col), pa.scalar(r * stride, type=tbl.schema.field(col).type))
+    return tbl.set_column(i, tbl.schema.field(col), newcol)
+
+def main():
+    base, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    os.makedirs(out, exist_ok=True)
+    t = {n: pq.read_table(f"{base}/{n}.parquet") for n in
+         "region nation customer supplier part orders lineitem events documents embeddings".split()}
+
+    strides = {
+        "orderkey": stride_for(pc.max(t["orders"].column("o_orderkey")).as_py()),
+        "custkey":  stride_for(pc.max(t["customer"].column("c_custkey")).as_py()),
+        "partkey":  stride_for(pc.max(t["part"].column("p_partkey")).as_py()),
+        "suppkey":  stride_for(pc.max(t["supplier"].column("s_suppkey")).as_py()),
+        "eventid":  stride_for(pc.max(t["events"].column("event_id")).as_py()),
+        "userid":   stride_for(pc.max(t["events"].column("user_id")).as_py()),
+        "docid":    stride_for(pc.max(t["documents"].column("doc_id")).as_py()),
+        "vecid":    stride_for(pc.max(t["embeddings"].column("vec_id")).as_py()),
+    }
+    print("strides:", strides)
+
+    # --- documents: vocabulary-rotation text transform -----------------
+    texts = t["documents"].column("text").to_pylist()
+    vocab = sorted({w for s in texts for w in s.split(" ")})
+    V = len(vocab)
+    vidx = {w: i for i, w in enumerate(vocab)}
+    # distinct rotation per replica; step chosen coprime-ish with V
+    step = 7 if V % 7 else (3 if V % 3 else 1)
+    def rotate_text(s, r):
+        rot = (r * step) % V
+        if rot == 0: return s
+        return " ".join(vocab[(vidx[w] + rot) % V] for w in s.split(" "))
+
+    # --- embeddings: cyclic dimension roll -----------------------------
+    embs = t["embeddings"].column("embedding").to_pylist()
+    dim = len(embs[0])
+    droll = max(1, dim // (2 * factor))
+    def roll_embs(r):
+        k = (r * droll) % dim
+        if k == 0: return embs
+        return [v[k:] + v[:k] for v in embs]
+
+    def replica(name, r):
+        tbl = t[name]
+        if name in ("region", "nation"):
+            return tbl if r == 0 else None
+        if name == "customer":
+            return offset_col(tbl, "c_custkey", strides["custkey"], r)
+        if name == "supplier":
+            return offset_col(tbl, "s_suppkey", strides["suppkey"], r)
+        if name == "part":
+            return offset_col(tbl, "p_partkey", strides["partkey"], r)
+        if name == "orders":
+            tbl = offset_col(tbl, "o_orderkey", strides["orderkey"], r)
+            return offset_col(tbl, "o_custkey", strides["custkey"], r)
+        if name == "lineitem":
+            tbl = offset_col(tbl, "l_orderkey", strides["orderkey"], r)
+            tbl = offset_col(tbl, "l_partkey", strides["partkey"], r)
+            return offset_col(tbl, "l_suppkey", strides["suppkey"], r)
+        if name == "events":
+            tbl = offset_col(tbl, "event_id", strides["eventid"], r)
+            return offset_col(tbl, "user_id", strides["userid"], r)
+        if name == "documents":
+            tbl = offset_col(tbl, "doc_id", strides["docid"], r)
+            new_texts = [rotate_text(s, r) for s in texts]
+            tbl = tbl.set_column(tbl.schema.get_field_index("text"),
+                                 tbl.schema.field("text"), pa.array(new_texts, pa.string()))
+            n_chars = pa.array([len(s) for s in new_texts], pa.int64())
+            return tbl.set_column(tbl.schema.get_field_index("n_chars"),
+                                  tbl.schema.field("n_chars"), n_chars)
+        if name == "embeddings":
+            tbl = offset_col(tbl, "vec_id", strides["vecid"], r)
+            emb_field = tbl.schema.field("embedding")
+            return tbl.set_column(tbl.schema.get_field_index("embedding"),
+                                  emb_field, pa.array(roll_embs(r), emb_field.type))
+        raise ValueError(name)
+
+    for name in t:
+        parts = [x for x in (replica(name, r) for r in range(factor)) if x is not None]
+        big = pa.concat_tables(parts)
+        # ~64k-row row groups on the two fact tables so Spark's byte-range
+        # file splitting yields real scan parallelism from a single file
+        rg = 65536 if name in ("lineitem", "events") else 1 << 20
+        pq.write_table(big, f"{out}/{name}.parquet", version="2.6",
+                       coerce_timestamps=None, row_group_size=rg)
+        print(f"{name}: {big.num_rows} rows -> {out}/{name}.parquet")
+
+    # post-check: events ts must still be nanos (graft.Tables reads raw longs)
+    ts_type = pq.read_schema(f"{out}/events.parquet").field("ts").type
+    assert str(ts_type) == "timestamp[ns]", f"events.ts degraded to {ts_type}"
+    print("events.ts type preserved:", ts_type)
+
+if __name__ == "__main__":
+    main()

@@ -9,7 +9,13 @@ object Verify {
     val spark = GraftSessions.local(cpus)
     new java.io.File(outDir).mkdirs()
     var nFailed = 0
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional subset for large-SF local sweeps (driver runs set neither):
+    // SPARK_GRAFT_ONLY=a,b,c runs just those; SPARK_GRAFT_SKIP=x,y drops those.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val skip = sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) && !skip(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
