@@ -2,8 +2,11 @@
 """Deterministic scale-up of the driver testdata (driver-side tooling, like
 check.py — NOT part of the Spark library).
 
-Usage: python3 scripts/scaleup.py <baseDir> <outDir> <factor>
+Usage: python3 scripts/scaleup.py <baseDir> <outDir> <factor> [tables]
   e.g. python3 scripts/scaleup.py /root/testdata/sf0.1 /tmp/testdata/sf1 10
+  [tables] is an optional comma-separated subset (default: all) — needed past
+  the decorrelation bounds (see the asserts), where documents/embeddings
+  cannot be scaled soundly but the TPC-H/events families still can.
 
 Replicates every table <factor> times with per-replica key offsets that
 preserve referential integrity (l_orderkey/o_orderkey, o_custkey/c_custkey,
@@ -29,6 +32,7 @@ events.ts is TIMESTAMP(NANOS) in the driver data and graft.Tables reads it
 as raw longs; written with parquet version 2.6 so the NANOS type survives.
 """
 import sys, os
+from math import gcd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pyarrow.compute as pc
@@ -46,42 +50,55 @@ def offset_col(tbl, col, stride, r):
 
 def main():
     base, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    all_tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
+    tables = sys.argv[4].split(",") if len(sys.argv) > 4 else all_tables
+    assert set(tables) <= set(all_tables), f"unknown tables: {set(tables) - set(all_tables)}"
     os.makedirs(out, exist_ok=True)
-    t = {n: pq.read_table(f"{base}/{n}.parquet") for n in
-         "region nation customer supplier part orders lineitem events documents embeddings".split()}
+    t = {n: pq.read_table(f"{base}/{n}.parquet") for n in tables}
 
-    strides = {
-        "orderkey": stride_for(pc.max(t["orders"].column("o_orderkey")).as_py()),
-        "custkey":  stride_for(pc.max(t["customer"].column("c_custkey")).as_py()),
-        "partkey":  stride_for(pc.max(t["part"].column("p_partkey")).as_py()),
-        "suppkey":  stride_for(pc.max(t["supplier"].column("s_suppkey")).as_py()),
-        "eventid":  stride_for(pc.max(t["events"].column("event_id")).as_py()),
-        "userid":   stride_for(pc.max(t["events"].column("user_id")).as_py()),
-        "docid":    stride_for(pc.max(t["documents"].column("doc_id")).as_py()),
-        "vecid":    stride_for(pc.max(t["embeddings"].column("vec_id")).as_py()),
-    }
+    stride_src = {"orderkey": ("orders", "o_orderkey"), "custkey": ("customer", "c_custkey"),
+                  "partkey": ("part", "p_partkey"), "suppkey": ("supplier", "s_suppkey"),
+                  "eventid": ("events", "event_id"), "userid": ("events", "user_id"),
+                  "docid": ("documents", "doc_id"), "vecid": ("embeddings", "vec_id")}
+    strides = {k: stride_for(pc.max(t[tb].column(c)).as_py())
+               for k, (tb, c) in stride_src.items() if tb in t}
     print("strides:", strides)
 
     # --- documents: vocabulary-rotation text transform -----------------
-    texts = t["documents"].column("text").to_pylist()
-    vocab = sorted({w for s in texts for w in s.split(" ")})
-    V = len(vocab)
-    vidx = {w: i for i, w in enumerate(vocab)}
-    # distinct rotation per replica; step chosen coprime-ish with V
-    step = 7 if V % 7 else (3 if V % 3 else 1)
-    def rotate_text(s, r):
-        rot = (r * step) % V
-        if rot == 0: return s
-        return " ".join(vocab[(vidx[w] + rot) % V] for w in s.split(" "))
+    if "documents" in t:
+        texts = t["documents"].column("text").to_pylist()
+        vocab = sorted({w for s in texts for w in s.split(" ")})
+        V = len(vocab)
+        vidx = {w: i for i, w in enumerate(vocab)}
+        # distinct rotation per replica; step chosen coprime-ish with V
+        step = 7 if V % 7 else (3 if V % 3 else 1)
+        # fail fast past the decorrelation bound: rotations repeat with
+        # period V/gcd(step,V); beyond it replicas carry EXACT duplicate
+        # texts and pairwise-dedup outputs grow quadratically — the data
+        # artifact the transform exists to avoid (ADVICE r3). Scale a table
+        # subset instead at larger factors.
+        assert factor <= V // gcd(step, V), (
+            f"text rotation collides: factor {factor} > {V // gcd(step, V)} "
+            f"(vocab {V}, step {step}); drop 'documents' from [tables]")
+        def rotate_text(s, r):
+            rot = (r * step) % V
+            if rot == 0: return s
+            return " ".join(vocab[(vidx[w] + rot) % V] for w in s.split(" "))
 
     # --- embeddings: cyclic dimension roll -----------------------------
-    embs = t["embeddings"].column("embedding").to_pylist()
-    dim = len(embs[0])
-    droll = max(1, dim // (2 * factor))
-    def roll_embs(r):
-        k = (r * droll) % dim
-        if k == 0: return embs
-        return [v[k:] + v[:k] for v in embs]
+    if "embeddings" in t:
+        embs = t["embeddings"].column("embedding").to_pylist()
+        dim = len(embs[0])
+        droll = max(1, dim // (2 * factor))
+        # same fail-fast: rolls repeat with period dim/gcd(droll,dim);
+        # past it cross-replica vectors are EXACT duplicates (ADVICE r3)
+        assert factor <= dim // gcd(droll, dim), (
+            f"embedding roll collides: factor {factor} > {dim // gcd(droll, dim)} "
+            f"(dim {dim}, droll {droll}); drop 'embeddings' from [tables]")
+        def roll_embs(r):
+            k = (r * droll) % dim
+            if k == 0: return embs
+            return [v[k:] + v[:k] for v in embs]
 
     def replica(name, r):
         tbl = t[name]
@@ -129,9 +146,10 @@ def main():
         print(f"{name}: {big.num_rows} rows -> {out}/{name}.parquet")
 
     # post-check: events ts must still be nanos (graft.Tables reads raw longs)
-    ts_type = pq.read_schema(f"{out}/events.parquet").field("ts").type
-    assert str(ts_type) == "timestamp[ns]", f"events.ts degraded to {ts_type}"
-    print("events.ts type preserved:", ts_type)
+    if "events" in t:
+        ts_type = pq.read_schema(f"{out}/events.parquet").field("ts").type
+        assert str(ts_type) == "timestamp[ns]", f"events.ts degraded to {ts_type}"
+        print("events.ts type preserved:", ts_type)
 
 if __name__ == "__main__":
     main()

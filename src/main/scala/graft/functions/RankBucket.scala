@@ -42,8 +42,14 @@ object RankBucket {
   /** Count of boundaries ≤ v: first index with boundaries(i) > v. Boundaries
     * must be sorted ascending (approxQuantile output); duplicates (a heavy
     * value spanning several quantiles) are handled by the strict upper
-    * bound — all copies count, matching the HOF filter form exactly. */
+    * bound — all copies count, matching the HOF filter form exactly.
+    *
+    * NaN: Spark SQL's `<=` orders NaN above every double, so the replaced
+    * HOF form returned bounds.length for NaN keys; Java's `<=` is false for
+    * NaN and would silently send them to bucket 0. Match the SQL ordering
+    * explicitly — NaN keys land in the last bucket. */
   def compute(v: Double, bounds: Array[Double]): Long = {
+    if (java.lang.Double.isNaN(v)) return bounds.length.toLong
     var lo = 0
     var hi = bounds.length
     while (lo < hi) {

@@ -183,7 +183,22 @@ object DedupOps {
     * driver. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
                           checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // setCheckpointDir is SESSION-GLOBAL: blindly setting it would silently
+    // redirect reliable checkpoints of every other job sharing this
+    // SparkSession. Only set when none is configured; otherwise keep the
+    // session's dir and say so (ADVICE r3). Reliable checkpointing still
+    // engages either way — the dir choice is the session owner's.
+    checkpointDir.foreach { dir =>
+      val sc = pairs.sparkSession.sparkContext
+      sc.getCheckpointDir match {
+        case None => sc.setCheckpointDir(dir)
+        case Some(existing) if !existing.contains(dir) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"connectedComponents: session checkpoint dir already set to $existing; " +
+              s"keeping it and ignoring requested $dir")
+        case _ => // already rooted at the requested dir
+      }
+    }
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))

@@ -60,7 +60,8 @@ object MultimodalOps {
     * a real codec's lifecycle: decoder state per partition, records
     * streamed through. */
   def decodeImages(spark: SparkSession, media: Dataset[MediaRecord],
-                   maxSampledPixels: Int = 1 << 16): Dataset[DecodedImage] = {
+                   maxSampledPixels: Int = 1 << 16,
+                   maxDecodePixels: Long = 64L << 20): Dataset[DecodedImage] = {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { m =>
@@ -76,6 +77,16 @@ object MultimodalOps {
                 try {
                   r.setInput(iis)
                   val fmt = r.getFormatName.toLowerCase(java.util.Locale.ROOT)
+                  // decompression-bomb guard: the header declares dimensions
+                  // BEFORE any raster is allocated — a tiny payload claiming
+                  // a huge raster would OOM the executor at r.read(0), and
+                  // OutOfMemoryError is not caught by NonFatal. Bound the
+                  // declared pixel count first; oversized claims degrade to
+                  // the stub like any other undecodable payload (ADVICE r3).
+                  val declaredPixels = r.getWidth(0).toLong * r.getHeight(0).toLong
+                  if (declaredPixels > maxDecodePixels)
+                    throw new java.io.IOException(
+                      s"declared raster $declaredPixels px exceeds bound $maxDecodePixels")
                   val img = r.read(0)
                   val w = img.getWidth; val h = img.getHeight
                   val stride = math.max(1, math.toIntExact(

@@ -103,14 +103,17 @@ object SortOps {
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
       .repartition(n, col("user_id"))
       .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
-      .as[(Long, Long, Long)]
+      // boxed encoders: a null user_id/ts/event_id (a valid group under the
+      // old groupBy form) must survive encoding as its own group / sort
+      // first, not throw a runtime NPE from a primitive encoder (ADVICE r3)
+      .as[(java.lang.Long, java.lang.Long, java.lang.Long)]
       .mapPartitions { it =>
         // groups are contiguous after the sort; one pass, one group at a time
-        new Iterator[(Long, String, Long)] {
-          private var pending: Option[(Long, Long, Long)] =
+        new Iterator[(java.lang.Long, String, Long)] {
+          private var pending: Option[(java.lang.Long, java.lang.Long, java.lang.Long)] =
             if (it.hasNext) Some(it.next()) else None
           def hasNext: Boolean = pending.isDefined
-          def next(): (Long, String, Long) = {
+          def next(): (java.lang.Long, String, Long) = {
             val user = pending.get._1
             val sb = new java.lang.StringBuilder
             var cnt = 0L

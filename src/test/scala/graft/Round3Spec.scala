@@ -129,6 +129,10 @@ class Round3Spec extends SparkSpecBase {
   test("connectedComponents with a reliable checkpoint dir converges and writes it") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    // connectedComponents only sets the session-global checkpoint dir when
+    // none is configured (Round4: non-clobbering) — clear it so the request
+    // is honored regardless of suite order
+    spark.sparkContext.setCheckpointDir(null)
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
     val got = DedupOps.connectedComponents(pairs, checkpointDir = Some(tmp))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
@@ -183,8 +187,10 @@ class Round3Spec extends SparkSpecBase {
     val rnd = new Random(11)
     val bounds = (1 to 255).map(_ => rnd.nextDouble() * 100).sorted.toArray
     // include exact boundary hits and out-of-range values
+    // NaN: SQL `<=` orders NaN above all doubles, so the HOF form yields
+    // bounds.length — the native expression must agree (ADVICE r3).
     val vals = (1 to 500).map(_ => rnd.nextDouble() * 120 - 10) ++
-      bounds.take(20).toSeq ++ Seq(-1e9, 1e9)
+      bounds.take(20).toSeq ++ Seq(-1e9, 1e9, Double.NaN)
     val df = vals.toDF("v")
     val hof = size(filter(typedlit(bounds.toSeq), b => b <= col("v"))).cast("long")
     val bad = df.select(col("v"),
