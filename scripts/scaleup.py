@@ -53,6 +53,14 @@ def main():
     all_tables = "region nation customer supplier part orders lineitem events documents embeddings".split()
     tables = sys.argv[4].split(",") if len(sys.argv) > 4 else all_tables
     assert set(tables) <= set(all_tables), f"unknown tables: {set(tables) - set(all_tables)}"
+    # FK stride parents: a child table scaled without its parent would hit a
+    # raw KeyError in replica() (strides only covers loaded tables). Validate
+    # the dependency closure up front, naming the missing parents (ADVICE r4).
+    fk_parents = {"orders": {"customer"}, "lineitem": {"orders", "part", "supplier"}}
+    missing = {c: sorted(ps - set(tables)) for c, ps in fk_parents.items()
+               if c in tables and not ps <= set(tables)}
+    assert not missing, ("FK parent tables missing from the requested subset: "
+        + "; ".join(f"'{c}' needs {','.join(ps)}" for c, ps in sorted(missing.items())))
     os.makedirs(out, exist_ok=True)
     t = {n: pq.read_table(f"{base}/{n}.parquet") for n in tables}
 

@@ -192,11 +192,11 @@ object DedupOps {
       val sc = pairs.sparkSession.sparkContext
       sc.getCheckpointDir match {
         case None => sc.setCheckpointDir(dir)
-        case Some(existing) if !existing.contains(dir) =>
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"connectedComponents: session checkpoint dir already set to $existing; " +
-              s"keeping it and ignoring requested $dir")
-        case _ => // already rooted at the requested dir
+        case Some(existing) =>
+          if (!isCheckpointRootedAt(existing, dir))
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"connectedComponents: session checkpoint dir already set to $existing; " +
+                s"keeping it and ignoring requested $dir")
       }
     }
     def truncate(df: DataFrame): DataFrame =
@@ -237,6 +237,17 @@ object DedupOps {
       s"connectedComponents did not converge within the $maxIter-round budget " +
         "(component diameter is at or above maxIter - 2) — raise maxIter")
     labels
+  }
+
+  /** "Rooted at" = equal or a proper child PATH after URI normalization —
+    * never a raw substring match, which would let requested /tmp/a match an
+    * existing /tmp/ab/<uuid> and silently suppress the mismatch warning
+    * (ADVICE r4). setCheckpointDir appends a UUID subdir, so an existing dir
+    * rooted at the request is equal to it or a descendant of it. */
+  private[graft] def isCheckpointRootedAt(existing: String, requested: String): Boolean = {
+    val req = new org.apache.hadoop.fs.Path(requested).toUri.getPath
+    val ex = new org.apache.hadoop.fs.Path(existing).toUri.getPath
+    ex == req || ex.startsWith(req + "/")
   }
 
   /** Full dedup group assignment over the corpus: every doc mapped to the

@@ -119,8 +119,14 @@ object SortOps {
             var cnt = 0L
             var cur = pending
             while (cur.isDefined && cur.get._1 == user) {
-              if (cnt > 0) sb.append(',')
-              sb.append(cur.get._3)
+              // null event_id contract (ADVICE r4): omitted from the ordered
+              // string but counted in n_events — exactly what the oracle's
+              // string_agg(event_id,…)/count(*) pair computes (string_agg
+              // skips NULLs, count(*) does not)
+              if (cur.get._3 != null) {
+                if (sb.length > 0) sb.append(',')
+                sb.append(cur.get._3)
+              }
               cnt += 1
               cur = if (it.hasNext) Some(it.next()) else None
             }

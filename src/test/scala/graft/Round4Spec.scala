@@ -65,8 +65,10 @@ class Round4Spec extends SparkSpecBase {
       assert(sc.getCheckpointDir.contains(configured),
         s"session checkpoint dir must stay $configured, got ${sc.getCheckpointDir}")
     } finally {
-      // restore the session-global state exactly (null unsets: SparkContext
-      // wraps the argument in Option), so suite order stays irrelevant
+      // restore presence/absence of the session-global dir (null unsets:
+      // SparkContext wraps the argument in Option). When prior was SET this
+      // re-roots under the same parent but with a fresh UUID subdir — only
+      // the root matters, and the suite only depends on presence/absence.
       sc.setCheckpointDir(prior.orNull)
     }
   }
