@@ -1,12 +1,15 @@
 #!/usr/bin/env python3
 """Local replay of the driver's correctness gate.
 
-Usage: python3 scripts/check.py [sfDir] [outDir]
+Usage: python3 scripts/check.py [sfDir] [outDir] [--json report.json]
 Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` already ran (or run
 with --run to invoke it). Reads each <outDir>/<name> parquet (Spark result),
 runs SparkEntry's oracle SQL (from <outDir>/oracle_sql.json) in DuckDB over
 the raw testdata tables, and compares: sort columns by name, sort rows,
 compare cell-by-cell (exact for strings/ints, tiny-eps for floats).
+--json writes a per-query report in the driver's CORRECTNESS_r{N}.json
+format (rows_match/schema_match/hash_match/spark_rows/oracle_rows/err), so
+off-driver sweeps (e.g. the sf1 scale run) produce comparable artifacts.
 """
 import duckdb, json, sys, os, glob, math, subprocess
 
@@ -28,8 +31,11 @@ def normalize(rows, cols):
     return sorted(c for c in cols), out
 
 def main():
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf = pos[0] if len(pos) > 0 else "/root/testdata/sf0.01"
+    out = pos[1] if len(pos) > 1 else "/tmp/verify_out"
+    json_out = sys.argv[sys.argv.index("--json") + 1] if "--json" in sys.argv else None
+    report = {}
     if "--run" in sys.argv:
         subprocess.run(["sbt", f'runMain graft.Verify {sf} {out}'], check=True, cwd="/root/repo")
     con = duckdb.connect()
@@ -39,18 +45,25 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
+    def record(name, rows=None, schema=None, hsh=None, srows=None, orows=None, err=None):
+        report[name] = {"rows_match": rows, "schema_match": schema, "hash_match": hsh,
+                        "spark_rows": srows, "oracle_rows": orows, "err": err}
     for name, sql in sorted(oracles.items()):
         spark_dir = f"{out}/{name}"
         files = glob.glob(f"{spark_dir}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            print(f"FAIL {name}: no spark output"); n_fail += 1
+            record(name, err="no spark output"); continue
         try:
             sres = con.sql(f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
             scols, srows = normalize(sres.fetchall(), sres.columns)
             ores = con.sql(sql)
             ocols, orows = normalize(ores.fetchall(), ores.columns)
         except Exception as e:
-            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: {e}"); n_fail += 1
+            record(name, err=str(e)[:400]); continue
+        record(name, rows=len(srows) == len(orows), schema=scols == ocols,
+               hsh=srows == orows, srows=len(srows), orows=len(orows))
         if scols != ocols:
             print(f"FAIL {name}: columns spark={scols} oracle={ocols}"); n_fail += 1; continue
         if len(srows) != len(orows):
@@ -70,6 +83,10 @@ def main():
         files = glob.glob(f"{out}/{name}/*.parquet")
         n = con.sql(f"SELECT count(*) FROM read_parquet('{out}/{name}/*.parquet')").fetchone()[0] if files else 0
         print(f"ROWS-ONLY {name}: {n} rows")
+        record(name, srows=n, err="no_oracle")
+    if json_out:
+        json.dump(report, open(json_out, "w"), indent=2, sort_keys=True)
+        print(f"report -> {json_out}")
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 

@@ -13,11 +13,20 @@ object Verify {
     // SPARK_GRAFT_ONLY=a,b,c runs just those; SPARK_GRAFT_SKIP=x,y drops those.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val skip = sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // coalesce(1) gives the driver one tidy file per query, but it also
+    // collapses each query's FINAL STAGE to one thread — invisible at
+    // sf0.01, a 32× de-parallelizer on heavy queries at sf1+. Large-SF
+    // local sweeps set SPARK_GRAFT_NO_COALESCE=1 to write per-partition
+    // files instead (check.py globs *.parquet, so both layouts compare).
+    val noCoalesce = sys.env.contains("SPARK_GRAFT_NO_COALESCE")
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) && !skip(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        (if (noCoalesce) df else df.coalesce(1)).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         nFailed += 1
         System.err.println(s"[verify] $name failed: $e") // toString: getMessage can be null

@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL: `decodeImages` runs the JDK's javax.imageio codecs
   * (PNG/JPEG/GIF/BMP ship with every JVM — no external packages), reading
   * both the header (format/dimensions) and the pixel raster (mean luminance
-  * as the representative extracted feature). Payloads no JDK codec accepts
-  * (audio/video containers, corrupt bytes) fall back to the deterministic
-  * synthetic-header stub (`decodeStub`) so the pipeline is total — that stub
-  * remains the stand-in for the audio/video codecs the container lacks.
+  * as the representative extracted feature). AUDIO decode is REAL too:
+  * `decodeAudio` runs javax.sound.sampled (WAV/AIFF/AU, PCM + ULAW/ALAW),
+  * reading header metadata and a bounded-prefix RMS amplitude. Payloads no
+  * JDK codec accepts (video containers, corrupt bytes) fall back to the
+  * deterministic synthetic-header stub (`decodeStub`) so the pipeline is
+  * total — that stub remains the stand-in only for VIDEO codecs.
   *
   * Scale: binary payloads ride in parquet as byte arrays; decode is map-side;
   * `repartition` before decode balances payload bytes (not row counts) when
@@ -119,8 +121,219 @@ object MultimodalOps {
     }
   }
 
-  /** STUB DECODER — deterministic fake standing in for the AUDIO/VIDEO
-    * codecs this container lacks (images decode for real via decodeImages).
+  case class DecodedAudio(media_id: Long, format: String, sample_rate: Double,
+                          channels: Int, bits: Int, n_frames: Long,
+                          duration_sec: Double, byte_len: Int, rms: Double,
+                          real_decode: Boolean)
+
+  /** REAL audio decode through the Dataset path: the JDK's
+    * javax.sound.sampled codecs (WAV/AIFF/AU with PCM and ULAW/ALAW
+    * encodings ship with every JVM — no external packages), mirroring the
+    * imageio move that made image decode real. Header fields (container
+    * format, sample rate, channels, bit depth, frame count) come from the
+    * file header; the representative extracted feature is RMS amplitude
+    * over a bounded prefix of frames, computed after normalizing the stream
+    * to 16-bit signed PCM so every source encoding measures on one scale.
+    *
+    * Bomb guard mirrors decodeImages: the header declares the frame count
+    * BEFORE any sample bytes are read, so a tiny payload claiming hours of
+    * audio is refused at the header and degrades to the stub. Payloads no
+    * JDK codec accepts (video containers, corrupt bytes) degrade the same
+    * way — a bad file in 100 TB of media must mark, not kill, the job.
+    * With this, only VIDEO remains on the synthetic stub. */
+  def decodeAudio(spark: SparkSession, media: Dataset[MediaRecord],
+                  maxSampledFrames: Long = 1L << 20,
+                  maxDecodeFrames: Long = 1L << 32): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val real =
+          try {
+            val fileFmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+              new java.io.ByteArrayInputStream(m.bytes))
+            val container = fileFmt.getType.toString.toLowerCase(java.util.Locale.ROOT)
+            val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(m.bytes))
+            try {
+              val fmt = src.getFormat
+              val frames = src.getFrameLength // from the header, pre-read
+              if (frames > maxDecodeFrames)
+                throw new java.io.IOException(
+                  s"declared $frames audio frames exceed bound $maxDecodeFrames")
+              // normalize to 16-bit signed little-endian PCM (same channel
+              // count/rate) so RMS is encoding-independent; ULAW/ALAW and
+              // 8/24-bit PCM all convert through the JDK's own converters
+              val target = new javax.sound.sampled.AudioFormat(
+                fmt.getSampleRate, 16, fmt.getChannels, true, false)
+              val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
+              try {
+                val frameBytes = target.getFrameSize // 2 * channels
+                val budget = math.min(if (frames >= 0) frames else Long.MaxValue,
+                  maxSampledFrames)
+                val buf = new Array[Byte](frameBytes * 4096)
+                var sumSq = 0.0; var n = 0L; var done = false
+                while (!done && n < budget) {
+                  val want = math.min(buf.length.toLong,
+                    (budget - n) * frameBytes).toInt
+                  val got = pcm.read(buf, 0, want)
+                  if (got <= 0) done = true
+                  else {
+                    var i = 0
+                    while (i + 1 < got) {
+                      val s = ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+                      val v = s / 32768.0
+                      sumSq += v * v
+                      i += 2
+                    }
+                    n += got / frameBytes
+                  }
+                }
+                val samples = n * fmt.getChannels
+                Some(DecodedAudio(m.media_id, container,
+                  sample_rate = fmt.getSampleRate.toDouble,
+                  channels = fmt.getChannels,
+                  bits = fmt.getSampleSizeInBits,
+                  n_frames = frames,
+                  duration_sec = if (frames >= 0 && fmt.getSampleRate > 0)
+                    frames / fmt.getSampleRate.toDouble else -1.0,
+                  byte_len = m.bytes.length,
+                  rms = if (samples == 0) 0.0 else math.sqrt(sumSq / samples),
+                  real_decode = true))
+              } finally pcm.close()
+            } finally src.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        real.getOrElse {
+          val b = m.bytes
+          def at(i: Int): Int = if (b.length > i) b(i) & 0xff else 0
+          DecodedAudio(m.media_id, "undecoded",
+            sample_rate = 8000.0 * (1 + at(0) % 6), channels = 1 + at(1) % 2,
+            bits = 8 * (1 + at(2) % 2), n_frames = b.length.toLong,
+            duration_sec = -1.0, byte_len = b.length, rms = 0.0,
+            real_decode = false)
+        }
+      }
+    }
+  }
+
+  case class VideoMeta(media_id: Long, container: String, width: Int, height: Int,
+                       duration_sec: Double, n_tracks: Int, byte_len: Int,
+                       real_parse: Boolean)
+
+  /** REAL video CONTAINER parse — header-level metadata without any codec:
+    * an ISO BMFF (MP4/MOV, ISO/IEC 14496-12) box walk reading
+    * ftyp (brand), moov/mvhd (timescale + duration) and moov/trak/tkhd
+    * (16.16 fixed-point width/height, track count); and the RIFF AVI
+    * header list (avih: width/height/total frames/frame interval). This is
+    * the part of video decode that needs only public byte-layout knowledge;
+    * FRAME decode still goes through the deterministic stub
+    * (`decodeStub`/`frameSampleStub`) since the container ships no codecs.
+    * Unparseable payloads degrade to a stub record (`real_parse = false`) —
+    * same totality contract as decodeImages/decodeAudio. */
+  def parseVideoMeta(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[VideoMeta] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        parseMp4(m.media_id, m.bytes).orElse(parseAvi(m.media_id, m.bytes)).getOrElse {
+          val b = m.bytes
+          def at(i: Int): Int = if (b.length > i) b(i) & 0xff else 0
+          VideoMeta(m.media_id, "unparsed", 16 + at(0) % 240, 16 + at(1) % 240,
+            duration_sec = -1.0, n_tracks = 1, byte_len = b.length, real_parse = false)
+        }
+      }
+    }
+  }
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) | ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def le32(b: Array[Byte], i: Int): Long =
+    ((b(i + 3) & 0xffL) << 24) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** ISO BMFF box walk. Boxes are [u32 size][4cc type][payload]; size==1
+    * means a u64 largesize follows (not produced by the tiny files we care
+    * to bound-check, but handled); containers moov/trak nest boxes. */
+  private[graft] def parseMp4(id: Long, b: Array[Byte]): Option[VideoMeta] = {
+    if (b.length < 16 || fourcc(b, 4) != "ftyp") return None
+    var duration = -1.0; var w = 0; var h = 0; var tracks = 0
+    def walk(from: Long, to: Long, depth: Int): Unit = {
+      var p = from
+      while (p + 8 <= to) {
+        var size = be32(b, p.toInt)
+        val typ = fourcc(b, p.toInt + 4)
+        var hdr = 8L
+        if (size == 1 && p + 16 <= to) { // 64-bit largesize
+          size = (be32(b, p.toInt + 8) << 32) | be32(b, p.toInt + 12); hdr = 16L
+        } else if (size == 0) size = to - p // box runs to end of enclosing space
+        if (size < hdr || p + size > to) return // malformed: stop this level
+        typ match {
+          case "moov" if depth == 0 => walk(p + hdr, p + size, 1)
+          case "trak" if depth == 1 => tracks += 1; walk(p + hdr, p + size, 2)
+          case "mvhd" if depth == 1 && size >= hdr + 20 =>
+            val q = p.toInt + hdr.toInt
+            val version = b(q) & 0xff
+            if (version == 1 && size >= hdr + 32) {
+              val timescale = be32(b, q + 20)
+              val dur = (be32(b, q + 24) << 32) | be32(b, q + 28)
+              if (timescale > 0) duration = dur.toDouble / timescale
+            } else if (version == 0) {
+              val timescale = be32(b, q + 12)
+              val dur = be32(b, q + 16)
+              if (timescale > 0) duration = dur.toDouble / timescale
+            }
+          case "tkhd" if depth == 2 =>
+            val q = p.toInt + hdr.toInt
+            val version = b(q) & 0xff
+            // width offset within the tkhd payload (ISO 14496-12 §8.3.2):
+            // FullBox(4) + times/id/duration (20 for v0, 32 for v1) +
+            // reserved(8) + layer/group/volume/reserved(8) + matrix(36)
+            val fixedOff = if (version == 1) 88 else 76
+            if (size >= hdr + fixedOff + 8 && (w == 0 || h == 0)) {
+              val tw = (be32(b, q + fixedOff) >> 16).toInt // 16.16 fixed point
+              val th = (be32(b, q + fixedOff + 4) >> 16).toInt
+              if (tw > 0 && th > 0) { w = tw; h = th } // first visual track wins
+            }
+          case _ => ()
+        }
+        p += size
+      }
+    }
+    walk(0L, b.length.toLong, 0)
+    if (duration < 0 && tracks == 0) None
+    else Some(VideoMeta(id, "mp4", w, h, duration, tracks, b.length, real_parse = true))
+  }
+
+  /** RIFF AVI: 'RIFF'[size]'AVI ' then LIST hdrl → avih payload at a fixed
+    * layout (µs/frame, total frames, width/height at offsets 0/16/32/36). */
+  private[graft] def parseAvi(id: Long, b: Array[Byte]): Option[VideoMeta] = {
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
+    var p = 12
+    while (p + 8 <= b.length) {
+      val ck = fourcc(b, p); val sz = le32(b, p + 4)
+      if (ck == "LIST" && p + 12 <= b.length && fourcc(b, p + 8) == "hdrl") {
+        var q = p + 12
+        val end = math.min(b.length.toLong, p + 8 + sz)
+        while (q + 8 <= end) {
+          if (fourcc(b, q) == "avih" && q + 8 + 40 <= end) {
+            val usPerFrame = le32(b, q + 8)
+            val totalFrames = le32(b, q + 8 + 16)
+            val streams = le32(b, q + 8 + 24).toInt
+            val w = le32(b, q + 8 + 32).toInt; val h = le32(b, q + 8 + 36).toInt
+            val dur = if (usPerFrame > 0) totalFrames * usPerFrame / 1e6 else -1.0
+            return Some(VideoMeta(id, "avi", w, h, dur, n_tracks = math.max(1, streams),
+              byte_len = b.length, real_parse = true))
+          }
+          q += 8 + le32(b, q + 4).toInt + (le32(b, q + 4).toInt & 1)
+        }
+      }
+      p += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  /** STUB DECODER — deterministic fake standing in for the VIDEO frame
+    * codecs this container lacks (images decode for real via decodeImages,
+    * audio via decodeAudio, video container headers via parseVideoMeta).
     * "Decodes" width/height/frames from the first payload bytes. Partition-
     * wise: one "decoder" per partition, records streamed through it — the
     * exact batch shape a real codec (or mapInPandas) needs. */

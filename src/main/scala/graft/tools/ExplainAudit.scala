@@ -14,7 +14,9 @@ object ExplainAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.001"
+    // SPARK_GRAFT_SF_DIR lets the audit run against any SF — plan FLIPS
+    // (broadcast→SMJ, AQE skew splits) only show on the larger inputs
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q6_forecast_revenue", "q5_local_supplier", "q1_pricing_summary",
         "wordcount", "sessionize", "dedup_minhash_lsh", "ann_bruteforce_topk")

@@ -29,6 +29,129 @@ class Round5Spec extends SparkSpecBase {
     assert(got(2L) == ("20", 1L))
   }
 
+  // 16-bit mono PCM WAV with every sample at a constant amplitude — its RMS
+  // is exactly that amplitude, making the decoded feature value checkable
+  private def wav(nFrames: Int, rateHz: Float, amplitude: Double): Array[Byte] = {
+    import javax.sound.sampled._
+    val s = math.round(amplitude * 32768.0).toShort
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) { pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = (s >> 8).toByte; i += 1 }
+    val fmt = new AudioFormat(rateHz, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeAudio really decodes WAV payloads; non-audio falls back to the stub") {
+    import spark.implicits._
+    val media = Seq(
+      graft.ops.MultimodalOps.MediaRecord(1L, wav(400, 8000f, 0.5), "audio"),
+      graft.ops.MultimodalOps.MediaRecord(2L, "not audio at all".getBytes("UTF-8"), "audio")).toDS()
+    val got = graft.ops.MultimodalOps.decodeAudio(spark, media)
+      .collect().map(d => d.media_id -> d).toMap
+    val a = got(1L)
+    assert(a.real_decode && a.format == "wave" && a.sample_rate == 8000.0 &&
+      a.channels == 1 && a.bits == 16 && a.n_frames == 400L)
+    assert(math.abs(a.duration_sec - 0.05) < 1e-9, s"400 frames @ 8 kHz, got ${a.duration_sec}")
+    assert(math.abs(a.rms - 0.5) < 1e-3, s"constant-amplitude signal has RMS == amplitude, got ${a.rms}")
+    assert(!got(2L).real_decode && got(2L).format == "undecoded")
+  }
+
+  test("decodeAudio refuses an oversized declared frame count at the header (bomb guard)") {
+    import spark.implicits._
+    val media = Seq(graft.ops.MultimodalOps.MediaRecord(1L, wav(400, 8000f, 0.5), "audio")).toDS()
+    val got = graft.ops.MultimodalOps.decodeAudio(spark, media, maxDecodeFrames = 100L)
+      .collect().head
+    assert(!got.real_decode && got.format == "undecoded",
+      "a declared frame count above the bound must degrade to the stub before sample reads")
+  }
+
+  test("decodeAudio RMS prefix bound caps the work, not the metadata") {
+    import spark.implicits._
+    val media = Seq(graft.ops.MultimodalOps.MediaRecord(1L, wav(4000, 16000f, 0.25), "audio")).toDS()
+    val got = graft.ops.MultimodalOps.decodeAudio(spark, media, maxSampledFrames = 256L)
+      .collect().head
+    assert(got.real_decode && got.n_frames == 4000L, "header frame count survives the sampling cap")
+    assert(math.abs(got.rms - 0.25) < 1e-3, "constant signal: prefix RMS equals full RMS")
+  }
+
+  // minimal ISO BMFF / RIFF builders — byte layouts from the public specs
+  // (ISO/IEC 14496-12 §8.2.2/§8.3.2, AVI RIFF avih), so the parser is
+  // checked against independently-constructed structure
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be32(8L + body.length) ++ cc(typ) ++ body
+  }
+
+  private def tinyMp4(w: Int, h: Int, timescale: Long, duration: Long): Array[Byte] = {
+    val mvhd = box("mvhd", Array.fill[Byte](4)(0), // version 0 + flags
+      be32(0), be32(0), be32(timescale), be32(duration), // ctime mtime scale dur
+      Array.fill[Byte](80)(0)) // rate/volume/reserved/matrix/predefined/next_track
+    def tkhd(tw: Int, th: Int) = box("tkhd", Array.fill[Byte](4)(0),
+      be32(0), be32(0), be32(1), be32(0), be32(duration), // ctime mtime id rsvd dur
+      Array.fill[Byte](8)(0), Array.fill[Byte](8)(0), // reserved + layer/group/vol/rsvd
+      Array.fill[Byte](36)(0), // matrix
+      be32(tw.toLong << 16), be32(th.toLong << 16)) // 16.16 fixed
+    // track 1 is SOUND (zero dimensions), track 2 visual — the parser must
+    // take the first track with nonzero dimensions, not just the first track
+    box("ftyp", cc("isom"), be32(512), cc("isom"), cc("iso2")) ++
+      box("moov", mvhd, box("trak", tkhd(0, 0)), box("trak", tkhd(w, h))) ++
+      box("mdat", Array.fill[Byte](16)(0x5a))
+  }
+
+  private def tinyAvi(w: Int, h: Int, usPerFrame: Long, frames: Long, streams: Int): Array[Byte] = {
+    val avih = cc("avih") ++ le32(56) ++ (le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames) ++ le32(0) ++ le32(streams) ++ le32(0) ++ le32(w) ++ le32(h) ++
+      Array.fill[Byte](16)(0))
+    val hdrl = cc("LIST") ++ le32(4L + avih.length) ++ cc("hdrl") ++ avih
+    val movi = cc("LIST") ++ le32(4) ++ cc("movi")
+    val body = cc("AVI ") ++ hdrl ++ movi
+    cc("RIFF") ++ le32(body.length.toLong) ++ body
+  }
+
+  test("parseVideoMeta reads MP4 box structure and AVI headers for real; junk falls back") {
+    import spark.implicits._
+    val media = Seq(
+      graft.ops.MultimodalOps.MediaRecord(1L, tinyMp4(640, 360, 1000, 2500), "video"),
+      graft.ops.MultimodalOps.MediaRecord(2L, tinyAvi(320, 240, 40000, 250, 2), "video"),
+      graft.ops.MultimodalOps.MediaRecord(3L, "definitely not a video".getBytes("UTF-8"), "video")).toDS()
+    val got = graft.ops.MultimodalOps.parseVideoMeta(spark, media)
+      .collect().map(v => v.media_id -> v).toMap
+    val mp4 = got(1L)
+    assert(mp4.real_parse && mp4.container == "mp4", mp4.toString)
+    assert(mp4.width == 640 && mp4.height == 360, s"visual track dims, got ${mp4.width}x${mp4.height}")
+    assert(math.abs(mp4.duration_sec - 2.5) < 1e-9, s"2500/1000 ticks, got ${mp4.duration_sec}")
+    assert(mp4.n_tracks == 2)
+    val avi = got(2L)
+    assert(avi.real_parse && avi.container == "avi" && avi.width == 320 && avi.height == 240)
+    assert(math.abs(avi.duration_sec - 10.0) < 1e-9, s"250 frames @ 25 fps, got ${avi.duration_sec}")
+    assert(avi.n_tracks == 2)
+    assert(!got(3L).real_parse && got(3L).container == "unparsed")
+  }
+
+  test("parseMp4 is total on truncated/malformed boxes (no throw, no false positive)") {
+    import graft.ops.MultimodalOps.{parseMp4, parseAvi}
+    val good = tinyMp4(64, 48, 600, 600)
+    for (cut <- Seq(3, 9, 17, good.length / 2)) {
+      val t = java.util.Arrays.copyOf(good, cut)
+      val r = parseMp4(1L, t) // must not throw; partial metadata is fine
+      assert(r.forall(_.container == "mp4"))
+    }
+    // a box declaring a size beyond the payload must stop the walk cleanly:
+    // nothing is reachable past the lie, so no metadata survives → None
+    val lying = good.clone()
+    System.arraycopy(be32(Int.MaxValue.toLong), 0, lying, 0, 4)
+    assert(parseMp4(1L, lying).isEmpty)
+    assert(parseAvi(1L, "RIFF".getBytes("US-ASCII")).isEmpty)
+  }
+
   test("checkpoint rooted check is a path prefix, not a substring") {
     import graft.ops.DedupOps.isCheckpointRootedAt
     assert(isCheckpointRootedAt("/tmp/a", "/tmp/a"))
