@@ -14,6 +14,11 @@ import graft.ops._
   */
 object SparkEntry {
 
+  /** Where the Verify-mode dedup_simhash run materializes its fingerprints;
+    * the oracle SQL brute-forces all-pairs hamming over this same dump (the
+    * path is baked into the static SQL, so it must be stable across runs). */
+  val SimhashFpDumpDir = "/tmp/graft_simhash_fp"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -132,7 +137,19 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(Tables.documents(s, d))),
     "dedup_groups" -> ((s, d) => DedupOps.dedupGroups(Tables.documents(s, d))),
     "dedup_levenshtein" -> ((s, d) => DedupOps.levenshteinPairs(Tables.documents(s, d))),
-    "dedup_simhash" -> ((s, d) => DedupOps.simhashPairs(Tables.documents(s, d))),
+    // Under Verify (graft.fp.dump set) the fingerprints are materialized to a
+    // fixed path and the pair stage re-reads them, so the DuckDB oracle can
+    // brute-force all-pairs hamming over the IDENTICAL fingerprint relation —
+    // turning the banding stage from spec-trusted into oracle-checked. Bench
+    // and library callers take the direct single-plan path.
+    "dedup_simhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      if (sys.props.contains("graft.fp.dump")) {
+        DedupOps.simhashFingerprints(docs).coalesce(1)
+          .write.mode("overwrite").parquet(SimhashFpDumpDir)
+        DedupOps.simhashPairsFromFingerprints(s.read.parquet(SimhashFpDumpDir))
+      } else DedupOps.simhashPairs(docs)
+    }),
     "embedding_neardup" -> ((s, d) => SimilarityOps.embeddingNearDup(s, Tables.embeddings(s, d))),
     "ann_bruteforce_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, Tables.embeddings(s, d))),
     "ann_ivf_topk" -> ((s, d) => SimilarityOps.ivfTopK(s, Tables.embeddings(s, d))),
@@ -146,6 +163,37 @@ object SparkEntry {
     "rolling_fingerprint" -> ((s, d) => TextAnalysis.rollingFingerprint(Tables.documents(s, d))),
     "dedup_jaccard_ppjoin" -> ((s, d) => DedupOps.ngramJaccardPairsPrefix(Tables.documents(s, d))),
     "multimodal_meta" -> ((s, d) => MultimodalOps.multimodalMeta(Tables.documents(s, d))),
+    // REAL-decoder round trips: payloads are synthesized from closed-form
+    // per-doc parameters, run through the actual JDK codecs / container
+    // parsers, and every decoded field is predicted by the SQL oracle.
+    "audio_decode" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.round
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map(id => MultimodalOps.MediaRecord(id,
+          MultimodalOps.synthWav((100 + id % 400).toInt, 8000f, ((id % 9) + 1) / 10.0),
+          "audio"))
+      MultimodalOps.decodeAudio(s, media).toDF()
+        .select(col("media_id"), col("format"), col("sample_rate"), col("channels"),
+          col("bits"), col("n_frames"), round(col("duration_sec"), 6).as("duration_sec"),
+          round(col("rms"), 6).as("rms"))
+    }),
+    "video_meta" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.round
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 160 + 16 * (id % 20).toInt
+          val h = 120 + 16 * (id % 15).toInt
+          val bytes =
+            if (id % 2 == 0) MultimodalOps.synthMp4(w, h, 1000L, 1000L + 100L * (id % 30))
+            else MultimodalOps.synthAvi(w, h, 40000L, 250L + id % 100, streams = 2)
+          MultimodalOps.MediaRecord(id, bytes, "video")
+        }
+      MultimodalOps.parseVideoMeta(s, media).toDF()
+        .select(col("media_id"), col("container"), col("width"), col("height"),
+          round(col("duration_sec"), 6).as("duration_sec"), col("n_tracks"))
+    }),
     "pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
     "decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -505,7 +553,7 @@ object SparkEntry {
       """WITH flagged AS (
            SELECT user_id, ts, event_id,
              CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w IS NULL
-                    OR CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w >= 1800
+                    OR CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w > 1800
                   THEN 1 ELSE 0 END AS new_session
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -875,6 +923,34 @@ object SparkEntry {
          ex AS (SELECT unnest(s) AS ngram FROM sh)
          SELECT ngram, count(*) AS n_docs FROM ex
          GROUP BY ngram HAVING count(*) >= 2""",
+    // Decoded-field predictions in closed form from the same per-doc
+    // parameters the Spark side synthesizes payloads with; rms mirrors the
+    // builder's quantization (round(amp*32768)/32768) arithmetic exactly.
+    "audio_decode" ->
+      """SELECT doc_id AS media_id, 'wave' AS format, 8000.0::DOUBLE AS sample_rate,
+         1 AS channels, 16 AS bits, 100 + doc_id % 400 AS n_frames,
+         round((100 + doc_id % 400) / 8000.0, 6) AS duration_sec,
+         round(round(((doc_id % 9) + 1) / 10.0 * 32768.0) / 32768.0, 6) AS rms
+         FROM documents""",
+    "video_meta" ->
+      """SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS container,
+         160 + 16 * (doc_id % 20) AS width,
+         120 + 16 * (doc_id % 15) AS height,
+         round(CASE WHEN doc_id % 2 = 0 THEN (1000 + 100 * (doc_id % 30)) / 1000.0
+               ELSE (250 + doc_id % 100) * 40000 / 1000000.0 END, 6) AS duration_sec,
+         2 AS n_tracks
+         FROM documents""",
+    // All-pairs hamming over the fingerprint relation the Verify run dumped —
+    // checks the banding stage found EVERY pair within the radius, not just
+    // plausible ones (the fingerprint function itself is spec-covered).
+    "dedup_simhash" ->
+      s"""WITH fp AS (SELECT doc_id, fp
+           FROM read_parquet('$SimhashFpDumpDir/*.parquet'))
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.fp, b.fp)) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 6""",
     "multimodal_meta" ->
       """SELECT doc_id, strlen(text) AS byte_len, md5(text) AS content_md5,
          CASE WHEN ascii(text[1])%3=0 THEN 'image'

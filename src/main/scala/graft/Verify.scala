@@ -5,6 +5,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Verify-only behavior switch: queries whose oracle needs a materialized
+    // intermediate (dedup_simhash's fingerprint dump) check for this prop, so
+    // Bench and library callers never pay for or depend on the side write.
+    System.setProperty("graft.fp.dump", "1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSessions.local(cpus)
     new java.io.File(outDir).mkdirs()

@@ -657,8 +657,12 @@ object AggOps {
   def sessionizeNative(events: DataFrame, gapSec: Long = 1800L): DataFrame =
     events
       // gap decisions at epoch-second resolution (unix_timestamp floors),
-      // matching the lag-based op and making the cross-engine compare exact
-      // — raw microsecond gaps would flip boundary sessions vs the oracle
+      // making the cross-engine compare exact. Boundary contract: like the
+      // lag-based `sessionize`, session_window is end-inclusive — an event
+      // at EXACTLY gapSec after the previous one merges; only gap > gapSec
+      // splits. The oracle must use `> gapSec` too (a `>=` slipped into
+      // this op's oracle and only surfaced at sf1, where exact-1800s gaps
+      // first occur in the data)
       .groupBy(col("user_id"),
         session_window(timestamp_seconds(unix_timestamp(col("ts"))), s"$gapSec seconds").as("w"))
       .agg(count(lit(1)).as("n_events"))

@@ -371,4 +371,66 @@ object MultimodalOps {
       .flatMap(d => (0 until d.n_frames by k).map(f => (d.media_id, f)))
       .toDF("media_id", "frame_idx")
   }
+
+  // ---- deterministic synthetic payload builders ----------------------------
+  // Drive the REAL decoders end-to-end from closed-form parameters, so a SQL
+  // oracle can predict every decoded field without decoding anything itself.
+
+  /** Constant-amplitude 16-bit mono PCM WAV (every sample is the same value,
+    * so RMS == quantized amplitude exactly). amplitude must stay < 1.0:
+    * round(1.0 * 32768) overflows Short. Encoded by the JDK's own WAV writer,
+    * not by hand, so the decoder is exercised against an independent encoder. */
+  private[graft] def synthWav(nFrames: Int, rateHz: Float, amplitude: Double): Array[Byte] = {
+    import javax.sound.sampled._
+    val s = math.round(amplitude * 32768.0).toShort
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = (s >> 8).toByte; i += 1
+    }
+    val fmt = new AudioFormat(rateHz, 16, 1, true, false)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def be32w(v: Long): Array[Byte] =
+    Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def le32w(v: Long): Array[Byte] =
+    Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def ccw(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  private def mp4box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be32w(8L + body.length) ++ ccw(typ) ++ body
+  }
+
+  /** Minimal ISO BMFF file (ftyp + moov{mvhd, sound trak, visual trak} +
+    * mdat) with the given visual dimensions and mvhd timescale/duration.
+    * Two tracks so parsing must skip the zero-dimension (sound) tkhd. */
+  private[graft] def synthMp4(w: Int, h: Int, timescale: Long, durationTicks: Long): Array[Byte] = {
+    val mvhd = mp4box("mvhd", new Array[Byte](4), // version 0 + flags
+      be32w(0), be32w(0), be32w(timescale), be32w(durationTicks),
+      new Array[Byte](80)) // rate/volume/reserved/matrix/predefined/next_track
+    def tkhd(tw: Int, th: Int) = mp4box("tkhd", new Array[Byte](4),
+      be32w(0), be32w(0), be32w(1), be32w(0), be32w(durationTicks),
+      new Array[Byte](8), new Array[Byte](8), new Array[Byte](36),
+      be32w(tw.toLong << 16), be32w(th.toLong << 16)) // 16.16 fixed point
+    mp4box("ftyp", ccw("isom"), be32w(512), ccw("isom"), ccw("iso2")) ++
+      mp4box("moov", mvhd, mp4box("trak", tkhd(0, 0)), mp4box("trak", tkhd(w, h))) ++
+      mp4box("mdat", Array.fill[Byte](16)(0x5a))
+  }
+
+  /** Minimal RIFF AVI (LIST hdrl → avih + empty movi) with the given
+    * dimensions, frame interval, frame count, and stream count. */
+  private[graft] def synthAvi(w: Int, h: Int, usPerFrame: Long, frames: Long,
+                              streams: Int): Array[Byte] = {
+    val avih = ccw("avih") ++ le32w(56) ++ (le32w(usPerFrame) ++ le32w(0) ++
+      le32w(0) ++ le32w(0) ++ le32w(frames) ++ le32w(0) ++ le32w(streams) ++
+      le32w(0) ++ le32w(w) ++ le32w(h) ++ new Array[Byte](16))
+    val hdrl = ccw("LIST") ++ le32w(4L + avih.length) ++ ccw("hdrl") ++ avih
+    val movi = ccw("LIST") ++ le32w(4) ++ ccw("movi")
+    val body = ccw("AVI ") ++ hdrl ++ movi
+    ccw("RIFF") ++ le32w(body.length.toLong) ++ body
+  }
 }

@@ -11,7 +11,6 @@ class ContractSpec extends SparkSpecBase {
     "ann_ivf_topk",      // IVF recall spec (OpsSpec)
     "ann_lsh_topk",      // planted-cluster recall spec (OpsSpec)
     "approx_sketch",     // accuracy-vs-exact spec (SketchSpec)
-    "dedup_simhash",     // banding recall specs (OpsSpec, ScaleSoundnessSpec)
     "rolling_fingerprint", // property spec (OpsSpec)
     "hll_reaggregate")   // lossless-union spec (SketchSpec)
 

@@ -152,6 +152,27 @@ class Round5Spec extends SparkSpecBase {
     assert(parseAvi(1L, "RIFF".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("both sessionize forms merge an EXACT-gap event (end-inclusive boundary)") {
+    // caught at sf1: one exact-1800s gap in the base events (replicated 10x)
+    // split under the native op's >= oracle but merged by session_window.
+    // Contract pinned here: gap == gapSec merges, gap > gapSec splits —
+    // for BOTH the lag-based and the native form.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    val events = Seq(
+      (1L, 0L, "a"), (1L, 1800L, "b"),   // exact gap: one session
+      (2L, 0L, "c"), (2L, 1801L, "d"),   // just over: two sessions
+      (3L, 0L, "e"), (3L, 1799L, "f"))   // under: one session
+      .toDF("user_id", "sec", "event_id")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    def counts(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    val lag = counts(graft.ops.AggOps.sessionize(events))
+    val native = counts(graft.ops.AggOps.sessionizeNative(events))
+    assert(lag == Map(1L -> 1L, 2L -> 2L, 3L -> 1L), s"lag form: $lag")
+    assert(native == Map(1L -> 1L, 2L -> 2L, 3L -> 1L), s"native form: $native")
+  }
+
   test("checkpoint rooted check is a path prefix, not a substring") {
     import graft.ops.DedupOps.isCheckpointRootedAt
     assert(isCheckpointRootedAt("/tmp/a", "/tmp/a"))
