@@ -7,7 +7,20 @@ import java.util.Locale
   * (count() would let Catalyst prune projections and under-report work).
   * Prints one JSON line: {"metric":"total","value":…,"queries":{…}}.
   * All numbers formatted with Locale.ROOT — a comma-decimal JVM locale
-  * would otherwise emit invalid JSON. */
+  * would otherwise emit invalid JSON.
+  *
+  * Noise hardening (this host shows 5×+ run-to-run steal on identical
+  * code): per-query "queries" carries best-of-n, "samples" carries every
+  * raw sample so a corrupted suite is diagnosable after the fact, and a
+  * SENTINEL query timed at suite start and re-timed at suite end flags a
+  * host whose load shifted mid-suite ("noisy": true when they differ >2×).
+  *
+  * "plans" carries a canonicalized fingerprint of each query's physical
+  * plan (expression ids / plan ids / file paths masked), so cross-round
+  * plan flips (broadcast→SMJ, new shuffles) are detected by diffing two
+  * BENCH jsons instead of re-deriving plans by hand. The fingerprint is
+  * the STATIC plan — AQE runtime re-plans don't show; flips driven by
+  * stats (broadcast thresholds, join strategy) do. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -24,33 +37,71 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Best-of-n per query: this host (single-tenant microVM) shows 5×+
-    // run-to-run steal/IO noise on identical code, so a single sample is
-    // not a usable signal — the best of n is the closest observable to the
-    // true cost. A transiently-failed sample is dropped, not allowed to
-    // poison the successful ones; -1 only when EVERY sample failed.
+    // Best-of-n per query: the best of n is the closest observable to the
+    // true cost under steal noise. A transiently-failed sample is dropped,
+    // not allowed to poison the successful ones; -1 only when EVERY sample
+    // failed.
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    def run(name: String): Double = {
-      val ok = (1 to runs).map(_ => runOnce(name)).filter(_ >= 0)
+    def run(name: String): Seq[Double] = (1 to runs).map(_ => runOnce(name))
+    def best(samples: Seq[Double]): Double = {
+      val ok = samples.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min
     }
 
+    def fmt(v: Double): String = String.format(Locale.ROOT, "%.3f", Double.box(v))
+
+    /** Canonicalized static-plan fingerprint: stable across runs, changes
+      * when the planned shape changes. */
+    def planHash(name: String): String =
+      try {
+        val canon = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+          .replaceAll("#\\d+", "#x")
+          .replaceAll("plan_id=\\d+", "plan_id=x")
+          .replaceAll("id=#?\\d+", "id=x")
+          .replaceAll("file:[^\\s,\\]\\)]*", "file:x")
+          .replaceAll("Location: [^,\\]]*", "Location: x")
+          // JVM object identities: lambda class counters (Lambda$123/0x...)
+          // and toString identity hashes ([[F@1a2b3c, closure@...)
+          .replaceAll("Lambda\\$\\d+/0x[0-9a-f]+", "Lambda")
+          .replaceAll("@[0-9a-f]+", "@x")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(canon.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(12)
+      } catch { case _: Throwable => "err" }
+
     // JVM/codegen warmup on the configured dataset (not reported) — the
     // flagship entry() hardcodes its own dir, which may not exist here
-    try SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    val sentinelName = "q1_pricing_summary"
+    runOnce(sentinelName)
+    // sentinel sample AFTER warmup: the comparable start-of-suite number
+    val sentinelStart = runOnce(sentinelName)
 
+    // Same subset knobs as Verify — the sf10 sweep benches the TPC-H/events
+    // families only (documents/embeddings can't scale past the
+    // decorrelation bounds, see scripts/scaleup.py)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val skip = sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> run(n))
+      .filter(n => only.forall(_.contains(n)) && !skip(n))
+    val samples = names.map(n => n -> run(n))
+    val results = samples.map { case (n, ss) => n -> best(ss) }
+    val sentinelEnd = runOnce(sentinelName)
+    val noisy = sentinelStart > 0 && sentinelEnd > 0 &&
+      math.max(sentinelStart, sentinelEnd) / math.min(sentinelStart, sentinelEnd) > 2.0
+
     val nFailed = results.count(_._2 < 0)
-    val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + String.format(Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val ss = samples.map { case (k, vs) =>
+      "\"" + k + "\":[" + vs.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val ph = names.map(n => "\"" + n + "\":\"" + planHash(n) + "\"")
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(String.format(Locale.ROOT,
-      """{"metric":"total","value":%.3f,"unit":"sec","queries":%s,"sf":"%s","runs":%d,"failed":%d}""",
-      Double.box(total), qs, sfDir, Int.box(runs), Int.box(nFailed)))
+      """{"metric":"total","value":%.3f,"unit":"sec","queries":%s,"samples":%s,"plans":%s,"sentinel":{"start_sec":%s,"end_sec":%s,"noisy":%b},"sf":"%s","runs":%d,"failed":%d}""",
+      Double.box(total), qs, ss, ph, fmt(sentinelStart), fmt(sentinelEnd),
+      Boolean.box(noisy), sfDir, Int.box(runs), Int.box(nFailed)))
     spark.stop()
   }
 }
