@@ -27,7 +27,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
-      val xi = x.getFloat(i); val yi = y.getFloat(i)
+      // widen BEFORE the multiply: the oracle computes on DOUBLE[] lists, so
+      // a float-precision product here lands on round() boundaries at scale
+      val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
       dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
     }
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
@@ -42,7 +44,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  float $xi = $a.getFloat($i); float $yi = $b.getFloat($i);
+         |  double $xi = (double) $a.getFloat($i); double $yi = (double) $b.getFloat($i);
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
          |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0
