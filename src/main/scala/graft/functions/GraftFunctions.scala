@@ -29,6 +29,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("rolling_min_hash",
       exprs => RollingMinHash(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("rolling_window_hashes",
+      exprs => RollingWindowHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("bounded_levenshtein",
@@ -104,6 +107,11 @@ object GraftFunctions {
   /** Winnowing-style min rolling hash over k-byte windows (native expr). */
   def rollingMinHash(text: Column, k: Int): Column =
     call_function("rolling_min_hash", text, org.apache.spark.sql.functions.lit(k))
+
+  /** ALL k-byte window hashes (array<bigint>) — Verify-support twin of
+    * rolling_min_hash so the min reduction can be oracle-checked. */
+  def rollingWindowHashes(text: Column, k: Int): Column =
+    call_function("rolling_window_hashes", text, org.apache.spark.sql.functions.lit(k))
 
   /** Distinct word n-gram shingles of a token array (native expr). */
   def shingleArray(tokens: Column, n: Int): Column =

@@ -33,7 +33,54 @@ case class RollingMinHash(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Verify-support twin of RollingMinHash: ALL k-byte window hashes as
+  * array<long> (same polynomial hash, same short-text fallback), so the
+  * per-doc min reduction can be oracle-checked over a materialized
+  * (doc_id, h) relation — `min(array)` must equal `rolling_min_hash`. */
+case class RollingWindowHashes(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(k >= 1)
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_window_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    RollingMinHash.computeAll(v.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = graft.functions.RollingMinHash$$.MODULE$$.computeAll($str, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object RollingMinHash {
+  /** Every window hash, in position order (the relation the oracle reduces).
+    * Must stay in lockstep with compute(): same base, same wraparound, same
+    * short-text fallback. */
+  def computeAll(v: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val bytes = v.getBytes
+    if (bytes.length < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(SimHash64.fnv1a64(v)))
+    val B = 257L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    val out = new Array[Long](bytes.length - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+    out(0) = h
+    while (i < bytes.length) {
+      h = (h - (bytes(i - k) & 0xffL) * pow) * B + (bytes(i) & 0xffL)
+      out(i - k + 1) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def compute(v: UTF8String, k: Int): Long = {
     val bytes = v.getBytes
     if (bytes.length < k) return SimHash64.fnv1a64(v)

@@ -76,9 +76,23 @@ object SimilarityOps {
     * they can never appear in the output and mispruning them is harmless;
     * their π/2 assignment angle only widens radii, which is conservative.) */
   def embeddingNearDup(spark: SparkSession, emb: DataFrame, tau: Double = 0.4,
-                       nlist: Int = 16, centroidStride: Int = 31): DataFrame = {
+                       nlist: Int = 0, centroidStride: Int = 0): DataFrame = {
     GraftFunctions.register(spark)
-    val centroids = trainCentroids(emb, nlist, centroidStride)
+    // nlist <= 0 → adaptive ~sqrt(N): with FIXED nlist, bucket sizes grow
+    // linearly with the corpus and bucket-pair verification quadratically —
+    // measured 83x cost for 10x data at sf1. sqrt(N) buckets keep both the
+    // bucket size and the bucket count at ~sqrt(N), so admissible-pair work
+    // grows ~N^1.5 worst-case instead of N^2 (and far less on clustered
+    // corpora, where triangle pruning kills most bucket pairs). Capped so
+    // the driver-held model (nlist x dim floats) and the nlist^2 admissible
+    // matrix stay bounded; the count() is a cheap id-only scan next to the
+    // join it sizes.
+    lazy val n = emb.count()
+    val nl = if (nlist > 0) nlist
+      else math.min(512, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+    val stride = if (centroidStride > 0) centroidStride
+      else math.max(1, (n / (2L * nl)).toInt)
+    val centroids = trainCentroids(emb, nl, stride)
     if (centroids.isEmpty) return emptyPairs(emb)
 
     val assigned = emb.select(
@@ -152,6 +166,60 @@ object SimilarityOps {
     val scored = cands.join(broadcast(queries), col("q_id") =!= col("n_id"))
       .withColumn("cos", round(cosineSim(col("qe"), col("ne")), 6))
     rankTopK(scored, k)
+  }
+
+  /** Verify-mode tail shared by both bucketed ANN variants: given the
+    * materialized (n_id, bucket) and (q_id, bucket) relations, recover the
+    * candidate set, score it exactly, and rank. The DuckDB oracle runs the
+    * SAME recovery over the identical parquet dumps, which turns the
+    * bucket-join + scoring + ranking stages from spec-trusted into
+    * oracle-checked (the bucketing function itself stays spec-covered —
+    * it IS the dumped relation). dropDuplicates is a no-op for IVF (one
+    * bucket per neighbour, distinct probes) and required for multi-table
+    * LSH; both sides of the compare apply it, so the paths stay in parity. */
+  def topKFromBucketDumps(spark: SparkSession, emb: DataFrame,
+                          buckets: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.register(spark)
+    val candKeys = buckets.join(broadcast(probes), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+    val scored = candKeys
+      .join(emb.select(col("vec_id").as("n_id"), col("embedding").as("ne")), "n_id")
+      .join(broadcast(emb.select(col("vec_id").as("q_id"), col("embedding").as("qe"))), "q_id")
+      .withColumn("cos", round(cosineSim(col("qe"), col("ne")), 6))
+    rankTopK(scored, k)
+  }
+
+  /** (n_id, bucket) assignment + (q_id, bucket) probe relations of the IVF
+    * index — the Verify-mode dump feeding topKFromBucketDumps + its oracle. */
+  def ivfBucketRelations(spark: SparkSession, emb: DataFrame, nQueries: Int = 10,
+                         nlist: Int = 16, nprobe: Int = 3,
+                         centroidStride: Int = 50): (DataFrame, DataFrame) = {
+    GraftFunctions.register(spark)
+    val centroids = trainCentroids(emb, nlist, centroidStride)
+    val probeK = math.min(nprobe, math.max(1, centroids.length))
+    (emb.select(col("vec_id").as("n_id"),
+       nearestCentroids(col("embedding"), centroids, 1)(0).as("bucket")),
+     emb.filter(col("vec_id") < nQueries)
+       .select(col("vec_id").as("q_id"),
+         explode(nearestCentroids(col("embedding"), centroids, probeK)).as("bucket")))
+  }
+
+  /** (n_id, bucket) + (q_id, bucket) relations of the multi-table LSH index
+    * (bucket ids are table-namespaced) — Verify-mode dump counterpart. */
+  def lshBucketRelations(spark: SparkSession, emb: DataFrame, nQueries: Int = 10,
+                         tables: Int = 8, bits: Int = 4,
+                         seed: Long = 42L): (DataFrame, DataFrame) = {
+    GraftFunctions.register(spark)
+    val dimRow = emb.select(size(col("embedding"))).limit(1).collect()
+    val dim = if (dimRow.isEmpty) 1 else dimRow(0).getInt(0)
+    val planes = graft.functions.HyperplaneLsh.genPlanes(tables * bits, dim, seed)
+    (emb.select(col("vec_id").as("n_id"),
+       explode(GraftFunctions.hyperplaneLsh(col("embedding"), planes, tables, bits)).as("bucket")),
+     emb.filter(col("vec_id") < nQueries)
+       .select(col("vec_id").as("q_id"),
+         explode(GraftFunctions.hyperplaneLsh(col("embedding"), planes, tables, bits)).as("bucket")))
   }
 
   /** Sign-LSH ANN (the "or LSH-bucketed" half of the scale path, next to

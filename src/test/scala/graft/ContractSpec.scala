@@ -6,12 +6,11 @@ package graft
 class ContractSpec extends SparkSpecBase {
 
   /** Ops whose output is not SQL-expressible in DuckDB (engine-internal
-    * hashes / approx sketches) — each MUST have spec coverage instead. */
+    * approx sketches) — each MUST have spec coverage instead. Since r5 the
+    * ANN variants and rolling_fingerprint are oracle-checked via the
+    * materialized-relation pattern (bucket/probe + window-hash dumps). */
   private val rowsOnly = Set(
-    "ann_ivf_topk",      // IVF recall spec (OpsSpec)
-    "ann_lsh_topk",      // planted-cluster recall spec (OpsSpec)
     "approx_sketch",     // accuracy-vs-exact spec (SketchSpec)
-    "rolling_fingerprint", // property spec (OpsSpec)
     "hll_reaggregate")   // lossless-union spec (SketchSpec)
 
   test("every query has an oracle or is on the documented rows-only list") {

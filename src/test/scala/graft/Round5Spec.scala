@@ -173,6 +173,37 @@ class Round5Spec extends SparkSpecBase {
     assert(native == Map(1L -> 1L, 2L -> 2L, 3L -> 1L), s"native form: $native")
   }
 
+  test("ANN dump-path (bucket relations -> topK) equals the direct path for IVF and LSH") {
+    // Verify recomputes ann_ivf/lsh_topk FROM the materialized bucket/probe
+    // relations so the oracle can check candidates+scores+ranks over the
+    // identical parquet; this pins the two paths to the same output.
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+
+    val (ib, ip) = graft.ops.SimilarityOps.ivfBucketRelations(spark, emb)
+    assert(rows(graft.ops.SimilarityOps.topKFromBucketDumps(spark, emb, ib, ip, k = 5)) ==
+      rows(graft.ops.SimilarityOps.ivfTopK(spark, emb)), "IVF dump path diverged")
+
+    val (lb, lp) = graft.ops.SimilarityOps.lshBucketRelations(spark, emb)
+    assert(rows(graft.ops.SimilarityOps.topKFromBucketDumps(spark, emb, lb, lp, k = 5)) ==
+      rows(graft.ops.SimilarityOps.annLshTopK(spark, emb)), "LSH dump path diverged")
+  }
+
+  test("rolling window hashes stay in lockstep with rolling_min_hash (min == fingerprint)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.RollingMinHash
+    val texts = Seq("", "a", "short", "x" * 15, "y" * 16,
+      "the quick brown fox jumps over the lazy dog", "æøå unicode ß text π", "z" * 500)
+    for (t <- texts; k <- Seq(1, 4, 16)) {
+      val u = UTF8String.fromString(t)
+      val all = RollingMinHash.computeAll(u, k).toLongArray()
+      assert(all.min == RollingMinHash.compute(u, k), s"k=$k text='${t.take(20)}'")
+      val expected = math.max(1, u.getBytes.length - k + 1)
+      assert(all.length == expected, s"window count k=$k: ${all.length} != $expected")
+    }
+  }
+
   test("checkpoint rooted check is a path prefix, not a substring") {
     import graft.ops.DedupOps.isCheckpointRootedAt
     assert(isCheckpointRootedAt("/tmp/a", "/tmp/a"))
