@@ -15,6 +15,11 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim",
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_f",
+      exprs => DotProductF(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("tile_neardup_pairs",
+      exprs => TileNearDupPairs(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].doubleValue()), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",
@@ -127,6 +132,16 @@ object GraftFunctions {
 
   /** Cosine similarity of two array<float> columns (codegen'd, double acc). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** Dot product of two array<float> columns (codegen'd, double products) —
+    * lets pair-dominated joins precompute norms per vector; see DotProductF. */
+  def dotF(a: Column, b: Column): Column = call_function("dot_f", a, b)
+
+  /** Tile scorer for the exact near-dup join — all qualifying (a_id, b_id,
+    * cos) pairs of two vector blocks; see TileNearDupPairs. */
+  def tileNearDupPairs(blkA: Column, blkB: Column, tau: Double): Column =
+    call_function("tile_neardup_pairs", blkA, blkB,
+      org.apache.spark.sql.functions.lit(tau))
 
   /** Indexes of the k nearest centroids by cosine (map-side argmax over the
     * bounded model matrix — no join, no window). */

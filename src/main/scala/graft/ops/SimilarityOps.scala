@@ -95,9 +95,17 @@ object SimilarityOps {
     val centroids = trainCentroids(emb, nl, stride)
     if (centroids.isEmpty) return emptyPairs(emb)
 
+    // Per-vector sqrt-norm precomputed ONCE here: the verify join below is
+    // pair-dominated (worst case ~N^2/buckets candidates when the corpus is
+    // unclustered and triangle pruning can't bite), so the cosine there is
+    // dot/(nrm_a*nrm_b) — one dot_f per PAIR instead of CosineSimilarity's
+    // three accumulators. sqrt(dot_f(v,v)) matches cosine_sim's norm term
+    // bit-for-bit (same products, same order, correctly-rounded sqrt), so
+    // the output is unchanged vs the cosine_sim form.
     val assigned = emb.select(
         col("vec_id"), col("embedding"),
-        nearestCentroids(col("embedding"), centroids, 1)(0).as("bucket"))
+        nearestCentroids(col("embedding"), centroids, 1)(0).as("bucket"),
+        sqrt(GraftFunctions.dotF(col("embedding"), col("embedding"))).as("nrm"))
       .withColumn("theta",
         acos(greatest(lit(-1.0), least(lit(1.0),
           cosToCentroid(col("embedding"), centroids, col("bucket"))))))
@@ -131,17 +139,41 @@ object SimilarityOps {
     import spark.implicits._
     val adm = broadcast(admissible.toDF("ba", "bb"))
 
-    val a = assigned.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("bucket").as("ba"))
-    val b = assigned.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("bucket").as("bb"))
+    // TILED verification: a row-per-candidate join pays join-probe +
+    // UnsafeRow-copy machinery per pair (~1 KB of row traffic each for
+    // 64-float vectors — measured 2 min at sf1 where the dot products alone
+    // are ~3 s of flops). Instead each bucket is sliced into sub-blocks of
+    // ~TileTarget vectors, the join emits one row per admissible BLOCK PAIR
+    // (candidates / TileTarget² rows), and TileNearDupPairs scores the whole
+    // tile in a primitive loop, emitting only survivors. Output is
+    // pair-for-pair identical to the row form (same dot order, same
+    // rounding, A-side id < B-side id keeps each unordered pair once across
+    // the two directed tiles; spec-pinned against the all-pairs twin).
+    // Tile rows carry ~TileTarget×(dim×4+16) bytes — bounded regardless of
+    // corpus size, so executor memory holds at any SF.
+    val nsub = math.max(1L, n / (nl.toLong * TileTarget)).toInt
+    val blocks = assigned
+      .withColumn("sub", pmod(col("vec_id"), lit(nsub)))
+      .groupBy(col("bucket"), col("sub"))
+      .agg(collect_list(struct(col("vec_id").as("id"), col("embedding").as("vec"),
+        col("nrm").as("nrm"))).as("blk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val ta = blocks.select(col("bucket").as("ba"), col("blk").as("blkA"))
+    val tb = blocks.select(col("bucket").as("bb"), col("blk").as("blkB"))
     // plan stays lazy (an eager checkpoint would hide the join plan and run
-    // the job at construction); the cached assignment is reclaimed by the
+    // the job at construction); the cached relations are reclaimed by the
     // ContextCleaner once this plan becomes unreachable
-    a.join(adm, "ba").join(b, Seq("bb"))
-      .filter(col("a_id") < col("b_id"))
-      .withColumn("cos", round(cosineSim(col("ea"), col("eb")), 5))
-      .filter(col("cos") >= tau)
-      .select(col("a_id"), col("b_id"), col("cos"))
+    ta.join(adm, "ba").join(tb, Seq("bb"))
+      .select(explode(GraftFunctions.tileNearDupPairs(col("blkA"), col("blkB"), tau)).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"), col("p.cos").as("cos"))
   }
+
+  /** Sub-block size target for the tiled near-dup verification: big enough
+    * to amortize per-tile unpack over ~TileTarget² pairs, small enough that
+    * a tile pair (~2 × TileTarget × dim floats) is cache- and
+    * executor-friendly at any corpus size. */
+  private val TileTarget = 512L
 
   /** The quadratic all-pairs baseline (spec reference only — the bucketed
     * form above is the operator; this one exists to prove it exact). */
