@@ -56,10 +56,20 @@ object BoundedLevenshtein {
     if (n - m > k) return -1
     if (m == 0) return n // n - m <= k already checked
     val pb = p.getBytes
-    val tb = t.getBytes
     val peq = new Array[Long](128)
     var i = 0
     while (i < m) { peq(pb(i) & 0x7f) |= 1L << i; i += 1 }
+    core(peq, m, t.getBytes, n, k)
+  }
+
+  /** Myers core with a caller-built pattern bitmask — lets tile scorers
+    * hoist the peq table (and its 1 KB allocation) out of the pair loop,
+    * building it once per pattern instead of once per PAIR. Works for any
+    * text length (shorter or longer than the pattern); the caller checks
+    * |m − n| > k and ASCII-ness. Levenshtein is symmetric, so fixing the
+    * pattern role yields the same integer as distance(). */
+  def core(peq: Array[Long], m: Int, tb: Array[Byte], n: Int, k: Int): Int = {
+    if (m == 0) return if (n <= k) n else -1
     var pv = -1L
     var mv = 0L
     var score = m

@@ -20,6 +20,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("tile_neardup_pairs",
       exprs => TileNearDupPairs(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Number].doubleValue()), "built-in")
+    reg.createOrReplaceTempFunction("tile_levenshtein_pairs",
+      exprs => TileLevenshteinPairs(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("tile_hamming_pairs",
+      exprs => TileHammingPairs(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",
@@ -142,6 +148,19 @@ object GraftFunctions {
   def tileNearDupPairs(blkA: Column, blkB: Column, tau: Double): Column =
     call_function("tile_neardup_pairs", blkA, blkB,
       org.apache.spark.sql.functions.lit(tau))
+
+  /** Tile scorer for the blocked edit-distance join — all (a_id, b_id,
+    * dist ≤ maxDist) pairs of two prefix blocks; see TileLevenshteinPairs. */
+  def tileLevenshteinPairs(blkA: Column, blkB: Column, maxDist: Int): Column =
+    call_function("tile_levenshtein_pairs", blkA, blkB,
+      org.apache.spark.sql.functions.lit(maxDist))
+
+  /** Tile scorer for the banded SimHash self-join — all (fa, fb,
+    * hamming ≤ maxHamming) pairs of two fingerprint blocks; see
+    * TileHammingPairs. */
+  def tileHammingPairs(blkA: Column, blkB: Column, maxHamming: Int): Column =
+    call_function("tile_hamming_pairs", blkA, blkB,
+      org.apache.spark.sql.functions.lit(maxHamming))
 
   /** Indexes of the k nearest centroids by cosine (map-side argmax over the
     * bounded model matrix — no join, no window). */

@@ -292,15 +292,36 @@ object DedupOps {
         substring(col("text"), 1, prefixLen).as("pfx"),
         element_at(TextOps.tokens(col("text")), 1).as("tok"))
       .withColumn("lb", (length(col("pfx")) / w).cast("long"))
-    val probe = p.withColumn("jb",
+    // TILED verification (same lesson as embeddingNearDup, see
+    // TileLevenshteinPairs): the (tok × length-bucket) blocks collide hard
+    // on shared-vocabulary corpora, making the verify stage pair-dominated —
+    // and the per-pair path pays join-row machinery plus a fresh 1 KB Myers
+    // bitmask allocation per bounded_levenshtein call. Blocks of ≤ ~512
+    // prefixes join per-PAIR-OF-BLOCKS (sub split bounds tile memory at any
+    // corpus size); the tile scorer builds each pattern's bitmask once and
+    // sweeps it across the whole opposing block. The probe side explodes
+    // into {lb−1, lb, lb+1} exactly as the row form did, so every
+    // qualifying pair still meets on one equi-key, and the A-side id <
+    // B-side id check inside the tile keeps it emitted once.
+    // sub split sized from the MEASURED worst block (a 1-row driver-side
+    // aggregate, the KMeans-model pattern): natural near-unique-key corpora
+    // get nsub=1 (zero overhead), shared-vocabulary ones get tiles bounded
+    // at ~512 prefixes regardless of corpus size.
+    val maxBlock = p.groupBy(col("tok"), col("lb")).count()
+      .agg(max(col("count"))).collect()(0)
+    val nsub = if (maxBlock.isNullAt(0)) 1
+      else math.max(1L, (maxBlock.getLong(0) + 511) / 512).toInt
+    val blocks = p
+      .withColumn("sub", pmod(col("doc_id"), lit(nsub)))
+      .groupBy(col("tok"), col("lb"), col("sub"))
+      .agg(collect_list(struct(col("doc_id").as("id"), col("pfx").as("pfx"))).as("blk"))
+    val probe = blocks.withColumn("jb",
       explode(array(col("lb") - 1, col("lb"), col("lb") + 1)))
-    probe.as("a").join(p.as("b"),
-        col("a.tok") === col("b.tok") && col("a.jb") === col("b.lb") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .withColumn("dist",
-        GraftFunctions.boundedLevenshtein(col("a.pfx"), col("b.pfx"), maxDist).cast("long"))
-      .filter(col("dist") >= 0)
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"), col("dist"))
+      .select(col("tok"), col("jb"), col("blk").as("blkA"))
+    val target = blocks.select(col("tok"), col("lb").as("jb"), col("blk").as("blkB"))
+    probe.join(target, Seq("tok", "jb"))
+      .select(explode(GraftFunctions.tileLevenshteinPairs(col("blkA"), col("blkB"), maxDist)).as("r"))
+      .select(col("r.a_id").as("a_id"), col("r.b_id").as("b_id"), col("r.dist").as("dist"))
   }
 
   /** SimHash fingerprints per doc (map-side, native expression). */
@@ -359,13 +380,32 @@ object DedupOps {
     val banded = bandSlices(distinctFp, nBands)
       .select(col("fp"), col("band"), col("band_bits"))
     // near fingerprint PAIRS (fa < fb numerically; hamming 1..maxHamming)
-    val fpPairs = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.band_bits") === col("y.band_bits") &&
-        col("x.fp") < col("y.fp"))
-      .select(col("x.fp").as("fa"), col("y.fp").as("fb"))
+    // TILED bucket self-join (same lesson as embeddingNearDup /
+    // levenshteinPairs, see TileHammingPairs): band buckets skew hard when
+    // fingerprint bits correlate across the corpus (measured 546 M candidate
+    // pairs at sf1, one 9-bit band value holding a third of all fps), and a
+    // row-per-candidate join pays ~180 ns of expansion machinery per pair
+    // for a 2 ns xor+popcount check. Buckets are split into ~2048-fp
+    // sub-blocks (sized off the MEASURED worst bucket — a 1-row driver
+    // aggregate); block pairs join per band bucket and the tile scorer
+    // emits only within-radius pairs, so the dedup shuffle sees ≤ nBands
+    // copies of the output instead of the candidate volume. fa < fb inside
+    // the tile keeps each pair once per band (both sub-block directions
+    // appear in the join, complementary order checks pick exactly one).
+    val maxBucket = banded.groupBy(col("band"), col("band_bits")).count()
+      .agg(max(col("count"))).collect()(0)
+    val nsub = if (maxBucket.isNullAt(0)) 1
+      else math.max(1L, (maxBucket.getLong(0) + 2047) / 2048).toInt
+    val blocks = banded
+      .withColumn("sub", pmod(col("fp"), lit(nsub)))
+      .groupBy(col("band"), col("band_bits"), col("sub"))
+      .agg(collect_list(col("fp")).as("blk"))
+    val ta = blocks.select(col("band"), col("band_bits"), col("blk").as("blkA"))
+    val tb = blocks.select(col("band"), col("band_bits"), col("blk").as("blkB"))
+    val fpPairs = ta.join(tb, Seq("band", "band_bits"))
+      .select(explode(GraftFunctions.tileHammingPairs(col("blkA"), col("blkB"), maxHamming)).as("r"))
+      .select(col("r.fa").as("fa"), col("r.fb").as("fb"), col("r.hamming").as("hamming"))
       .dropDuplicates("fa", "fb")
-      .withColumn("hamming", GraftFunctions.hamming64(col("fa"), col("fb")))
-      .filter(col("hamming") <= maxHamming)
     expandFpPairsToDocPairs(docs, fpPairs)
   }
 
@@ -418,13 +458,15 @@ object DedupOps {
           "transform(sequence(0, hi - lo), " +
             "j -> CASE WHEN j = 0 THEN band_bits ELSE band_bits ^ shiftleft(1L, j - 1) END)"))
           .as("probe_bits"))
+    // same filter-before-dedup ordering as the banded form: shrink the
+    // dedup shuffle to within-radius survivors
     val fpPairs = probes.as("x").join(index.as("y"),
         col("x.band") === col("y.band") && col("x.probe_bits") === col("y.band_bits") &&
         col("x.fp") < col("y.fp"))
       .select(col("x.fp").as("fa"), col("y.fp").as("fb"))
-      .dropDuplicates("fa", "fb")
       .withColumn("hamming", GraftFunctions.hamming64(col("fa"), col("fb")))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("fa", "fb")
     expandFpPairsToDocPairs(docs, fpPairs)
   }
 }

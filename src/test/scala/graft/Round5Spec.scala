@@ -204,6 +204,26 @@ class Round5Spec extends SparkSpecBase {
     }
   }
 
+  test("tiled levenshteinPairs with sub-split blocks (nsub > 1) matches the builtin formulation") {
+    // 1100 docs all sharing the first token and length bucket → maxBlock
+    // 1100 → nsub 3: pairs must meet across sub-block tiles exactly once
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, levenshtein, substring}
+    val docs = (0L until 1100L).map { i =>
+      (i, s"alpha item ${i % 37} ${"pad" * (i % 3).toInt} tail")
+    }.toDF("doc_id", "text")
+    val p = docs.select(col("doc_id"), substring(col("text"), 1, 48).as("pfx"))
+    val expected = p.as("a").join(p.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("dist", levenshtein(col("a.pfx"), col("b.pfx"), 12).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"), col("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = graft.ops.DedupOps.levenshteinPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"tiled: ${got.size} pairs, builtin: ${expected.size}; diff ${(got diff expected).take(3)} / ${(expected diff got).take(3)}")
+  }
+
   test("checkpoint rooted check is a path prefix, not a substring") {
     import graft.ops.DedupOps.isCheckpointRootedAt
     assert(isCheckpointRootedAt("/tmp/a", "/tmp/a"))
