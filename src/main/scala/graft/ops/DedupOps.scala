@@ -114,10 +114,29 @@ object DedupOps {
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sg"))))
       .filter(col("rnk") <= col("nsh") - ceil(col("nsh") * tau) + 1)
-      .select(col("doc_id"), col("sg"))
+      .select(col("doc_id"), col("sg"), col("rnk"), col("nsh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // POSITIONAL filter (the second half of PPJoin, Xiao et al. 2008 §3.2):
+    // for a token shared at positions (pa, pb) of the df-ordered shingle
+    // lists, the intersection is bounded by tokens strictly before it in the
+    // GLOBAL order plus itself plus tokens after it on the smaller side:
+    //   i ≤ min(pa−1, pb−1) + 1 + min(na−pa, nb−pb),
+    // and J ≥ τ needs i ≥ ⌈τ·(na+nb)/(1+τ)⌉. The bound holds for EVERY
+    // common token (not just the first), so filtering each candidate row
+    // keeps at least one row per qualifying pair — zero recall loss; it
+    // runs in the join's output stream BEFORE the dedup shuffle and the
+    // array-shipping verify, which is where the adversarial-vocabulary
+    // candidate volume dies.
+    // τ is relaxed by the verify stage's acceptance slack (round(jacc,6) ≥ τ
+    // admits true J down to τ − 5e-7) plus float headroom, so the bound can
+    // only ADMIT extra candidates, never prune a pair the verify would keep.
+    val tauEff = tau - 1e-6
+    val ubound = least(col("a.rnk") - 1, col("b.rnk") - 1) + lit(1) +
+      least(col("a.nsh") - col("a.rnk"), col("b.nsh") - col("b.rnk"))
+    val needed = ceil((col("a.nsh") + col("b.nsh")) * lit(tauEff / (1.0 + tauEff)) - lit(1e-9))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+      .filter(ubound >= needed)
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
     verifyPairs(cand, sh, tau)
