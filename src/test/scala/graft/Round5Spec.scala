@@ -224,6 +224,70 @@ class Round5Spec extends SparkSpecBase {
       s"tiled: ${got.size} pairs, builtin: ${expected.size}; diff ${(got diff expected).take(3)} / ${(expected diff got).take(3)}")
   }
 
+  test("TileHammingPairs == brute-force xor/popcount on random fingerprint blocks") {
+    import graft.functions.TileHammingPairs
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    val rnd = new scala.util.Random(7)
+    // clustered longs so some pairs actually land within the radius
+    def blk(n: Int) = Array.fill(n)(rnd.nextLong() & 0xff00ff00ff00ff0L | (rnd.nextInt(4).toLong))
+    for (trial <- 1 to 5) {
+      val a = blk(40 + trial); val b = blk(35)
+      val expr = TileHammingPairs(null, null, 6)
+      val got = expr.nullSafeEval(new GenericArrayData(a), new GenericArrayData(b))
+        .asInstanceOf[ArrayData]
+      val gotSet = (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 3); (r.getLong(0), r.getLong(1), r.getInt(2))
+      }.toSet
+      val expected = (for {
+        x <- a; y <- b; if x < y
+        h = java.lang.Long.bitCount(x ^ y); if h <= 6
+      } yield (x, y, h)).toSet
+      assert(gotSet == expected, s"trial $trial: ${gotSet.size} vs ${expected.size}")
+    }
+  }
+
+  test("TileNearDupPairs == cosine_sim row form on random float blocks (round/threshold parity)") {
+    import graft.functions.{CosineSimilarity, TileNearDupPairs}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val rnd = new scala.util.Random(11)
+    def vec(dim: Int) = Array.fill(dim)(rnd.nextFloat() - 0.2f)
+    def nrm(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    def block(ids: Seq[Long], vs: Seq[Array[Float]]): GenericArrayData =
+      new GenericArrayData(ids.zip(vs).map { case (id, v) =>
+        InternalRow(id, new GenericArrayData(v.map(Float.box)), nrm(v))
+      }.toArray[Any])
+    val dim = 16
+    val (aIds, aVs) = ((0L until 25L), Seq.fill(25)(vec(dim)))
+    val (bIds, bVs) = ((10L until 40L), Seq.fill(30)(vec(dim)))
+    val tau = 0.4
+    val got = TileNearDupPairs(null, null, tau)
+      .nullSafeEval(block(aIds, aVs), block(bIds, bVs)).asInstanceOf[ArrayData]
+    val gotSet = (0 until got.numElements()).map { i =>
+      val r = got.getStruct(i, 3); (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }.toSet
+    // row-form reference: cosine_sim literal eval + Spark round() semantics
+    def rowCos(a: Array[Float], b: Array[Float]): Double = {
+      val raw = CosineSimilarity(
+        Literal.create(a.toSeq, ArrayType(FloatType)),
+        Literal.create(b.toSeq, ArrayType(FloatType))).eval().asInstanceOf[Double]
+      java.math.BigDecimal.valueOf(raw).setScale(5, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val expected = (for {
+      (ia, va) <- aIds.zip(aVs); (ib, vb) <- bIds.zip(bVs)
+      if ia < ib
+      c = rowCos(va, vb); if c >= tau
+    } yield (ia, ib, c)).toSet
+    assert(gotSet == expected, s"${gotSet.size} vs ${expected.size}; " +
+      s"missing ${(expected -- gotSet).take(3)}; extra ${(gotSet -- expected).take(3)}")
+  }
+
   test("checkpoint rooted check is a path prefix, not a substring") {
     import graft.ops.DedupOps.isCheckpointRootedAt
     assert(isCheckpointRootedAt("/tmp/a", "/tmp/a"))
