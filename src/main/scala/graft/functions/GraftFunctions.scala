@@ -45,6 +45,10 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("bucket_count_sketch",
+      exprs => BucketCountSketch(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction("sketch_intersect_ub",
+      exprs => SketchIntersectUB(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("bounded_levenshtein",
       exprs => BoundedLevenshtein(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
@@ -108,6 +112,16 @@ object GraftFunctions {
   /** |A ∩ B| for sorted distinct long arrays (native, codegen'd). */
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
+
+  /** 256-byte top-byte bucket-count sketch of a distinct-hash array —
+    * feeds the exact-admissible intersection upper bound below. */
+  def bucketCountSketch(hv: Column): Column =
+    call_function("bucket_count_sketch", hv)
+
+  /** Σ min over two bucket-count sketches: an upper bound on |A ∩ B|
+    * (-1 = bound unavailable, keep the candidate). Codegen'd. */
+  def sketchIntersectUB(a: Column, b: Column): Column =
+    call_function("sketch_intersect_ub", a, b)
 
   /** Thresholded Levenshtein (Myers bit-parallel; -1 past the threshold) —
     * same contract as builtin levenshtein(a, b, k), ~10× cheaper on short

@@ -66,7 +66,13 @@ case class TileNearDupPairs(left: Expression, right: Expression, tau: Double)
       nrms(i) = row.getDouble(2)
       val v = row.getArray(1).toFloatArray()
       if (flat == null) { dim = v.length; flat = new Array[Float](n * dim) }
-      System.arraycopy(v, 0, flat, i * dim, math.min(dim, v.length))
+      // ragged dimensions fail FAST: zero-padding here while norms were
+      // precomputed over full vectors would silently diverge from
+      // cosine_sim's common-prefix semantics instead of erroring
+      require(v.length == dim,
+        s"tile_neardup_pairs: ragged embedding dimensions ($dim vs ${v.length}) — " +
+          "fixed-dim corpus required")
+      System.arraycopy(v, 0, flat, i * dim, dim)
       i += 1
     }
     (ids, if (flat == null) Array.emptyFloatArray else flat, dim, nrms)

@@ -55,13 +55,44 @@ object DedupOps {
       .select(col("doc_id"), col("s"),
         transform(col("s"), x => pmod(xxhash64(x), lit(P))).as("hs"),
         array_sort(transform(col("s"), x => xxhash64(x))).as("hv"))
+      // sk = 256-byte bucket-count sketch of hv, computed once per doc at
+      // shingle time: verifyPairs' pre-filter ships it per candidate pair
+      // instead of the ~KB hv arrays (see BucketCountSketch)
+      .withColumn("sk", GraftFunctions.bucketCountSketch(col("hv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Jaccard verification of candidate (a_id, b_id) pairs against the
-    * persisted shingle relation, over sorted 64-bit hash arrays. */
-  private def verifyPairs(cand: DataFrame, sh: DataFrame, tau: Double): DataFrame =
-    cand
+    * persisted shingle relation, over sorted 64-bit hash arrays.
+    *
+    * Two EXACT-admissible pre-filters run before the hv arrays attach —
+    * they drop only pairs that provably cannot reach τ, so the output is
+    * pair-for-pair identical to the unfiltered form (both are relaxed by
+    * the acceptance slack: round(jacc, 6) ≥ τ admits true J down to
+    * τ − 5e-7, so the bounds test against τ − 1e-6):
+    *  1. LENGTH: J ≥ τ ⇒ min(|A|,|B|) ≥ τ·max(|A|,|B|) — int-only.
+    *  2. SKETCH: |A∩B| ≤ Σ min of the 256-byte bucket-count sketches
+    *     (BucketCountSketch), and J ≥ τ ⇒ |A∩B| ≥ τ/(1+τ)·(|A|+|B|).
+    * The candidate stream through the pair joins carries ~264 B of
+    * (nsh, sk) per side instead of the ~KB hv arrays (~6× fewer shuffle
+    * bytes in the pair-dominated stage), and the full arrays attach only
+    * to near-survivors. On uniform corpora the sketch bound for unrelated
+    * pairs concentrates near Σ min of independent Poisson(nsh/256) counts
+    * — well under the τ requirement — so the expensive joins see roughly
+    * the output size, not the candidate volume. */
+  private def verifyPairs(cand: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
+    val tauEff = tau - 1e-6
+    val meta = sh.select(col("doc_id"), size(col("hv")).as("nsh"), col("sk"))
+    val pruned = cand.select(col("a_id"), col("b_id"))
+      .join(meta.select(col("doc_id").as("a_id"), col("nsh").as("na"), col("sk").as("ska")), "a_id")
+      .join(meta.select(col("doc_id").as("b_id"), col("nsh").as("nb"), col("sk").as("skb")), "b_id")
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        greatest(col("na"), col("nb")) * lit(tauEff) - lit(1e-9))
+      .withColumn("ub", GraftFunctions.sketchIntersectUB(col("ska"), col("skb")))
+      .filter(col("ub") === -1 ||
+        col("ub").cast("double") >= (col("na") + col("nb")) * lit(tauEff / (1.0 + tauEff)) - lit(1e-9))
+      .select(col("a_id"), col("b_id"))
+    pruned
       .join(sh.select(col("doc_id").as("a_id"), col("hv").as("ha")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("hv").as("hb")), "b_id")
       .withColumn("inter", GraftFunctions.sortedIntersectCount(col("ha"), col("hb")))
@@ -69,6 +100,7 @@ object DedupOps {
         (size(col("ha")) + size(col("hb")) - col("inter")), 6))
       .filter(col("jacc") >= tau)
       .select(col("a_id"), col("b_id"), col("jacc"))
+  }
 
   /** Exact dedup: content-hash groupBy; canonical copy = min doc_id. */
   def dedupExact(docs: DataFrame): DataFrame =

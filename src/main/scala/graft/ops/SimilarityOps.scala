@@ -86,7 +86,8 @@ object SimilarityOps {
     // corpora, where triangle pruning kills most bucket pairs). Capped so
     // the driver-held model (nlist x dim floats) and the nlist^2 admissible
     // matrix stay bounded; the count() is a cheap id-only scan next to the
-    // join it sizes.
+    // join it sizes — and callers passing BOTH nlist and centroidStride
+    // never force it (no eager pass at all before the model collect).
     lazy val n = emb.count()
     val nl = if (nlist > 0) nlist
       else math.min(512, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
@@ -111,10 +112,21 @@ object SimilarityOps {
           cosToCentroid(col("embedding"), centroids, col("bucket"))))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // per-bucket radius: tiny aggregate (≤ nlist rows) → driver model state
+    // per-bucket radius AND size in ONE tiny aggregate (≤ nlist rows →
+    // driver model state): the size rides along so tile sizing below costs
+    // zero extra passes, and it is the MEASURED worst bucket — under
+    // centroid skew a uniform n/(nl·TileTarget) estimate lets one block
+    // hold ~nl·TileTarget vectors (tens of MB per collect_list row,
+    // O(block²) pairs in one tile task); sizing off the max keeps every
+    // tile at ~TileTarget rows regardless of how lopsided the buckets are.
     val radius = Array.fill(centroids.length)(0.0)
-    assigned.groupBy(col("bucket")).agg(max(col("theta")).as("r"))
-      .collect().foreach(r => radius(r.getInt(0)) = r.getDouble(1))
+    var maxBucketN = 0L
+    assigned.groupBy(col("bucket"))
+      .agg(max(col("theta")).as("r"), count(lit(1)).as("cnt"))
+      .collect().foreach { r =>
+        radius(r.getInt(0)) = r.getDouble(1)
+        maxBucketN = math.max(maxBucketN, r.getLong(2))
+      }
 
     // admissible ORDERED bucket pairs (i,j): both directions listed, so the
     // a_id < b_id filter keeps each unordered vector pair exactly once.
@@ -151,7 +163,7 @@ object SimilarityOps {
     // the two directed tiles; spec-pinned against the all-pairs twin).
     // Tile rows carry ~TileTarget×(dim×4+16) bytes — bounded regardless of
     // corpus size, so executor memory holds at any SF.
-    val nsub = math.max(1L, n / (nl.toLong * TileTarget)).toInt
+    val nsub = math.max(1L, (maxBucketN + TileTarget - 1) / TileTarget).toInt
     val blocks = assigned
       .withColumn("sub", pmod(col("vec_id"), lit(nsub)))
       .groupBy(col("bucket"), col("sub"))
@@ -216,9 +228,15 @@ object SimilarityOps {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"))
       .dropDuplicates("q_id", "n_id")
+    // q-side broadcast carries ONLY the query vectors: semi-join emb down
+    // to the distinct probe q_ids (a handful) before broadcasting — the
+    // whole-table broadcast form would scale the broadcast with the corpus
+    // and OOM a verify run at larger SFs.
+    val qEmb = emb.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .join(broadcast(probes.select(col("q_id")).dropDuplicates("q_id")), Seq("q_id"), "left_semi")
     val scored = candKeys
       .join(emb.select(col("vec_id").as("n_id"), col("embedding").as("ne")), "n_id")
-      .join(broadcast(emb.select(col("vec_id").as("q_id"), col("embedding").as("qe"))), "q_id")
+      .join(broadcast(qEmb), "q_id")
       .withColumn("cos", round(cosineSim(col("qe"), col("ne")), 6))
     rankTopK(scored, k)
   }
@@ -230,6 +248,10 @@ object SimilarityOps {
                          centroidStride: Int = 50): (DataFrame, DataFrame) = {
     GraftFunctions.register(spark)
     val centroids = trainCentroids(emb, nlist, centroidStride)
+    // empty-corpus early return mirroring ivfTopK's guard — without it the
+    // dump path would evaluate nearestCentroids over an empty model while
+    // the direct path returns emptyTopK, diverging on the edge case
+    if (centroids.isEmpty) return emptyBucketRelations(emb)
     val probeK = math.min(nprobe, math.max(1, centroids.length))
     (emb.select(col("vec_id").as("n_id"),
        nearestCentroids(col("embedding"), centroids, 1)(0).as("bucket")),
@@ -238,6 +260,13 @@ object SimilarityOps {
          explode(nearestCentroids(col("embedding"), centroids, probeK)).as("bucket")))
   }
 
+  /** ((n_id, bucket), (q_id, bucket))-shaped empty pair for degenerate-input
+    * early returns of both bucket-relation dumps — id types input-derived,
+    * bucket int to match nearestCentroids/hyperplaneLsh elements. */
+  private def emptyBucketRelations(emb: DataFrame): (DataFrame, DataFrame) =
+    (emb.select(col("vec_id").as("n_id"), lit(0).cast("int").as("bucket")).limit(0),
+     emb.select(col("vec_id").as("q_id"), lit(0).cast("int").as("bucket")).limit(0))
+
   /** (n_id, bucket) + (q_id, bucket) relations of the multi-table LSH index
     * (bucket ids are table-namespaced) — Verify-mode dump counterpart. */
   def lshBucketRelations(spark: SparkSession, emb: DataFrame, nQueries: Int = 10,
@@ -245,8 +274,9 @@ object SimilarityOps {
                          seed: Long = 42L): (DataFrame, DataFrame) = {
     GraftFunctions.register(spark)
     val dimRow = emb.select(size(col("embedding"))).limit(1).collect()
-    val dim = if (dimRow.isEmpty) 1 else dimRow(0).getInt(0)
-    val planes = graft.functions.HyperplaneLsh.genPlanes(tables * bits, dim, seed)
+    // same degenerate-input guard as ivfBucketRelations / annLshTopK
+    if (dimRow.isEmpty) return emptyBucketRelations(emb)
+    val planes = graft.functions.HyperplaneLsh.genPlanes(tables * bits, dimRow(0).getInt(0), seed)
     (emb.select(col("vec_id").as("n_id"),
        explode(GraftFunctions.hyperplaneLsh(col("embedding"), planes, tables, bits)).as("bucket")),
      emb.filter(col("vec_id") < nQueries)

@@ -1,0 +1,72 @@
+package graft
+
+/** Round-6 hardening: the bucket-count sketch pre-verify filter must be
+  * EXACT-admissible (never drops a pair the full verify would keep), and
+  * the verify pipeline with the filter active must emit identical pairs to
+  * a filter-free reference. */
+class Round6Spec extends SparkSpecBase {
+
+  private def sketch(hashes: Seq[Long]): Array[Byte] = {
+    val sk = new Array[Byte](256)
+    hashes.distinct.foreach { h =>
+      val b = (h >>> 56).toInt
+      if (sk(b) != -1) sk(b) = (sk(b) + 1).toByte
+    }
+    sk
+  }
+
+  test("sketch_intersect_ub upper-bounds the true intersection on random hash sets") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(6L)
+    // sets drawn from a small pool so intersections are non-trivial
+    val pool = Array.fill(4000)(rnd.nextLong())
+    val sets = Seq.tabulate(60) { i =>
+      (i.toLong, Seq.fill(50 + rnd.nextInt(400))(pool(rnd.nextInt(pool.length))).distinct.sorted)
+    }
+    val df = sets.toDF("id", "hv")
+      .selectExpr("id", "hv", "bucket_count_sketch(hv) as sk")
+    val pairs = df.as("a").join(df.as("b"), org.apache.spark.sql.functions.expr("a.id < b.id"))
+      .selectExpr("a.id as ai", "b.id as bi",
+        "sketch_intersect_ub(a.sk, b.sk) as ub",
+        "sorted_intersect_count(a.hv, b.hv) as inter")
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val ub = r.getInt(2); val inter = r.getLong(3)
+      assert(ub == -1 || ub >= inter,
+        s"sketch bound $ub under true intersection $inter for pair (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // and the bound must actually discriminate: for disjoint-ish random sets
+    // it should often be far below min(|A|,|B|) — sanity that it's not
+    // degenerate (all -1 or all min)
+    assert(pairs.exists(r => r.getInt(2) >= 0))
+  }
+
+  test("sketch_intersect_ub returns -1 (no bound) only when both sides saturate a bucket") {
+    // 300 hashes in one top-byte bucket saturate the byte counter at 255
+    def inBucket(bucket: Int, n: Int): Seq[Long] =
+      Seq.tabulate(n)(i => (bucket.toLong << 56) | i.toLong)
+    val satA = sketch(inBucket(7, 300))
+    val satB = sketch(inBucket(7, 280))
+    val small = sketch(inBucket(7, 40) ++ inBucket(9, 10))
+    val eval = (x: Array[Byte], y: Array[Byte]) =>
+      graft.functions.SketchIntersectUB(
+        org.apache.spark.sql.catalyst.expressions.Literal(x),
+        org.apache.spark.sql.catalyst.expressions.Literal(y)).eval(null).asInstanceOf[Int]
+    assert(eval(satA, satB) == -1, "both saturated in bucket 7 → bound unavailable")
+    // one saturated side is still exact: min(255-capped, 50) = true min
+    assert(eval(satA, small) == 40 + 0, "min(sat, unsat) stays exact")
+    assert(eval(small, small) == 50)
+  }
+
+  test("ppjoin with the sketch pre-filter matches the inverted-index exact form") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val exact = graft.ops.DedupOps.ngramJaccardPairs(docs, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pp = graft.ops.DedupOps.ngramJaccardPairsPrefix(docs, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pp == exact, s"ppjoin ${pp.size} pairs vs exact ${exact.size}")
+    assert(exact.nonEmpty)
+  }
+}
