@@ -6,10 +6,19 @@ import org.apache.spark.sql.SparkSession
   * BenchOne) — the config block was drifting across three copies. */
 object GraftSessions {
   def local(cpus: String, extra: Map[String, String] = Map.empty): SparkSession = {
+    // shuffle width defaults to the core count (right at bench SF, where
+    // every shuffle fits in memory), overridable for large-SF sweeps where
+    // partition COUNT must scale with data volume instead: target ~128 MB
+    // of shuffle input per partition, or each partition's sort/join state
+    // outgrows executor memory and the stage hits the spill wall (measured
+    // at sf100: 17 GB parquet over 32 partitions = ~0.5 GB+ per shuffle
+    // partition). On a real cluster this is the same knob set per-job.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -244,6 +244,28 @@ object SparkEntry {
         .select(col("media_id"), col("container"), col("width"), col("height"),
           round(col("duration_sec"), 6).as("duration_sec"), col("n_tracks"))
     }),
+    // MJPEG-in-AVI frame decode round trip: per-doc synthetic AVIs whose
+    // frames are real JPEGs of constant grays planted on a 16-step grid;
+    // the decoded mean luminance recovers the grid level exactly (JPEG
+    // round-trip error ±3 ≪ half the grid step), which the SQL oracle
+    // predicts in closed form — frame sampling, dimensions, and the fact
+    // that REAL pixel decode happened are all oracle-checked.
+    "video_frames" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.round
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 48 + 16 * (id % 4).toInt
+          val h = 32 + 16 * (id % 3).toInt
+          val nf = 4 + (id % 5).toInt
+          val lumas = (0 until nf).map(f => 16 + 16 * ((id + f) % 13).toInt)
+          MultimodalOps.MediaRecord(id, MultimodalOps.synthMjpegAvi(w, h, 40000L, lumas), "video")
+        }
+      MultimodalOps.decodeVideoFrames(s, media, everyK = 2).toDF()
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          round((col("mean_luma") - 16.0) / 16.0).cast("long").as("luma_level"))
+    }),
     "pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
     "decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -991,6 +1013,15 @@ object SparkEntry {
                ELSE (250 + doc_id % 100) * 40000 / 1000000.0 END, 6) AS duration_sec,
          2 AS n_tracks
          FROM documents""",
+    // Frame-sampling structure + planted luma grid recovered in closed
+    // form (everyK=2 over 4 + doc_id%5 frames; decoded luma rounds back to
+    // its planted 16-step grid level).
+    "video_frames" ->
+      """SELECT doc_id AS media_id, u.frame_idx,
+         48 + 16 * (doc_id % 4) AS width,
+         32 + 16 * (doc_id % 3) AS height,
+         (doc_id + u.frame_idx) % 13 AS luma_level
+         FROM documents, UNNEST(range(0, (4 + doc_id % 5)::BIGINT, 2)) AS u(frame_idx)""",
     // Candidate recovery + exact scoring + ranking over the bucket/probe
     // relations the Verify run dumped — checks the bucket join, the cosine
     // scoring, and the (cos desc, n_id) ranking independently; the bucketing

@@ -45,6 +45,15 @@ object GraftFunctions {
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("synthetic_doc_text",
+      exprs => SyntheticDocText(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].longValue()), "built-in")
+    reg.createOrReplaceTempFunction("synthetic_embedding",
+      exprs => SyntheticEmbedding(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].longValue()), "built-in")
     reg.createOrReplaceTempFunction("bucket_count_sketch",
       exprs => BucketCountSketch(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("sketch_intersect_ub",
@@ -112,6 +121,18 @@ object GraftFunctions {
   /** |A ∩ B| for sorted distinct long arrays (native, codegen'd). */
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
+
+  /** Deterministic synthetic-corpus text of doc `id` (planted-duplicate
+    * generation — see SyntheticCorpus). */
+  def syntheticDocText(id: Column, vocab: Int, seed: Long): Column =
+    call_function("synthetic_doc_text", id,
+      org.apache.spark.sql.functions.lit(vocab), org.apache.spark.sql.functions.lit(seed))
+
+  /** Deterministic synthetic embedding of vec `id` (planted clusters). */
+  def syntheticEmbedding(id: Column, dim: Int, nClusters: Int, seed: Long): Column =
+    call_function("synthetic_embedding", id,
+      org.apache.spark.sql.functions.lit(dim), org.apache.spark.sql.functions.lit(nClusters),
+      org.apache.spark.sql.functions.lit(seed))
 
   /** 256-byte top-byte bucket-count sketch of a distinct-hash array —
     * feeds the exact-admissible intersection upper bound below. */

@@ -331,12 +331,129 @@ object MultimodalOps {
     None
   }
 
-  /** STUB DECODER — deterministic fake standing in for the VIDEO frame
-    * codecs this container lacks (images decode for real via decodeImages,
-    * audio via decodeAudio, video container headers via parseVideoMeta).
-    * "Decodes" width/height/frames from the first payload bytes. Partition-
-    * wise: one "decoder" per partition, records streamed through it — the
-    * exact batch shape a real codec (or mapInPandas) needs. */
+  case class DecodedFrame(media_id: Long, frame_idx: Int, width: Int, height: Int,
+                          frame_bytes: Int, mean_luma: Double, real_decode: Boolean)
+
+  /** Mean ITU-R 601 luminance of a decoded raster, stride-subsampled to a
+    * bounded pixel budget (shared by decodeImages-style feature passes). */
+  private def meanLuma(img: java.awt.image.BufferedImage, maxSampledPixels: Int): Double = {
+    val w = img.getWidth; val h = img.getHeight
+    val stride = math.max(1, math.toIntExact(
+      math.round(math.sqrt(w.toLong * h / maxSampledPixels.toDouble))))
+    var sum = 0.0; var n = 0L; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        n += 1; x += stride
+      }
+      y += stride
+    }
+    if (n == 0) 0.0 else sum / n
+  }
+
+  /** (offset, length) of every video frame chunk (##dc / ##db) inside the
+    * RIFF AVI `movi` list — the public byte layout (same walk style as the
+    * avih parser above; `movi` may also nest `rec ` LISTs, handled). */
+  private[graft] def aviFrameChunks(b: Array[Byte]): Seq[(Int, Int)] = {
+    if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def isFrame(cc: String): Boolean =
+      cc.length == 4 && cc(0).isDigit && cc(1).isDigit && cc(2) == 'd' &&
+        (cc(3) == 'c' || cc(3) == 'b')
+    def scan(from: Int, to: Long): Unit = {
+      var q = from
+      while (q + 8 <= to) {
+        val cc = fourcc(b, q); val csz = le32(b, q + 4)
+        if (q + 8 + csz > to) return // malformed: stop this level
+        if (cc == "LIST" && q + 12 <= to && fourcc(b, q + 8) == "rec ")
+          scan(q + 12, q + 8 + csz)
+        else if (isFrame(cc) && csz > 0) out += ((q + 8, csz.toInt))
+        q += 8 + csz.toInt + (csz.toInt & 1)
+      }
+    }
+    var p = 12
+    while (p + 8 <= b.length) {
+      val ck = fourcc(b, p); val sz = le32(b, p + 4)
+      if (ck == "LIST" && p + 12 <= b.length && fourcc(b, p + 8) == "movi")
+        scan(p + 12, math.min(b.length.toLong, p + 8 + sz))
+      p += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    out.toSeq
+  }
+
+  /** REAL video FRAME decode for MJPEG-in-AVI — the last decoder to leave
+    * the stub. MJPEG frames are baseline JPEGs stored one per `##dc` chunk
+    * in the `movi` list (public RIFF layout), so the already-used
+    * javax.imageio JPEG codec decodes them with no new packages: every
+    * `everyK`th frame (up to `maxFramesPerVideo`) is decoded and its mean
+    * luminance emitted — the frame-sampling fan-out shape (one row per
+    * sampled frame) that frameSampleStub only mimicked. Bomb guard per
+    * frame mirrors decodeImages (declared raster bounded BEFORE pixel
+    * allocation). Payloads that are not AVI or whose frames are not JPEG
+    * (other FourCC codecs) degrade to one stub row with
+    * `real_decode = false` — the stub is now the fallback for non-MJPEG
+    * codecs only. */
+  def decodeVideoFrames(spark: SparkSession, media: Dataset[MediaRecord],
+                        everyK: Int = 4, maxFramesPerVideo: Int = 8,
+                        maxSampledPixels: Int = 1 << 16,
+                        maxDecodePixels: Long = 64L << 20): Dataset[DecodedFrame] = {
+    import spark.implicits._
+    require(everyK >= 1 && maxFramesPerVideo >= 1)
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        def stubRow = {
+          val b = m.bytes
+          def at(i: Int): Int = if (b.length > i) b(i) & 0xff else 0
+          Seq(DecodedFrame(m.media_id, 0, 16 + at(0) % 240, 16 + at(1) % 240,
+            b.length, mean_luma = 0.0, real_decode = false))
+        }
+        val chunks = aviFrameChunks(m.bytes)
+        if (chunks.isEmpty) stubRow
+        else {
+          val sampled = chunks.zipWithIndex.collect {
+            case (c, idx) if idx % everyK == 0 => (c, idx)
+          }.take(maxFramesPerVideo)
+          val decoded = sampled.flatMap { case ((off, len), idx) =>
+            try {
+              val iis = javax.imageio.ImageIO.createImageInputStream(
+                new java.io.ByteArrayInputStream(m.bytes, off, len))
+              try {
+                val readers = javax.imageio.ImageIO.getImageReaders(iis)
+                if (!readers.hasNext) None
+                else {
+                  val r = readers.next()
+                  try {
+                    r.setInput(iis)
+                    val declared = r.getWidth(0).toLong * r.getHeight(0).toLong
+                    if (declared > maxDecodePixels)
+                      throw new java.io.IOException(
+                        s"frame raster $declared px exceeds bound $maxDecodePixels")
+                    val img = r.read(0)
+                    Some(DecodedFrame(m.media_id, idx, img.getWidth, img.getHeight,
+                      len, meanLuma(img, maxSampledPixels), real_decode = true))
+                  } finally r.dispose()
+                }
+              } finally if (iis != null) iis.close()
+            } catch { case scala.util.control.NonFatal(_) => None }
+          }
+          // an AVI whose frames all fail to decode (non-MJPEG codec) is a
+          // stub case, not an empty video
+          if (decoded.isEmpty) stubRow else decoded
+        }
+      }
+    }
+  }
+
+  /** STUB DECODER — deterministic fake now standing in ONLY for non-MJPEG
+    * video codecs (images decode for real via decodeImages, audio via
+    * decodeAudio, video containers via parseVideoMeta, MJPEG-in-AVI frames
+    * via decodeVideoFrames). "Decodes" width/height/frames from the first
+    * payload bytes. Partition-wise: one "decoder" per partition, records
+    * streamed through it — the exact batch shape a real codec (or
+    * mapInPandas) needs. */
   def decodeStub(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[DecodedMeta] = {
     import spark.implicits._
     media.mapPartitions { it =>
@@ -430,6 +547,41 @@ object MultimodalOps {
       le32w(0) ++ le32w(w) ++ le32w(h) ++ new Array[Byte](16))
     val hdrl = ccw("LIST") ++ le32w(4L + avih.length) ++ ccw("hdrl") ++ avih
     val movi = ccw("LIST") ++ le32w(4) ++ ccw("movi")
+    val body = ccw("AVI ") ++ hdrl ++ movi
+    ccw("RIFF") ++ le32w(body.length.toLong) ++ body
+  }
+
+  /** A single baseline-JPEG frame of constant gray `luma` (encoded by the
+    * JDK's own JPEG writer, so decodeVideoFrames is exercised against an
+    * independent encoder; a constant raster is DC-only, so the decoded
+    * mean luminance recovers `luma` to within quantization error). */
+  private[graft] def synthJpegFrame(w: Int, h: Int, luma: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(luma, luma, luma))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal MJPEG AVI: the synthAvi header plus a `movi` list holding one
+    * `00dc` chunk per frame, each a real JPEG of constant gray
+    * `frameLumas(i)` — the closed-form payload the frame-decode round trip
+    * checks against. */
+  private[graft] def synthMjpegAvi(w: Int, h: Int, usPerFrame: Long,
+                                   frameLumas: Seq[Int]): Array[Byte] = {
+    val avih = ccw("avih") ++ le32w(56) ++ (le32w(usPerFrame) ++ le32w(0) ++
+      le32w(0) ++ le32w(0) ++ le32w(frameLumas.size.toLong) ++ le32w(0) ++ le32w(1) ++
+      le32w(0) ++ le32w(w) ++ le32w(h) ++ new Array[Byte](16))
+    val hdrl = ccw("LIST") ++ le32w(4L + avih.length) ++ ccw("hdrl") ++ avih
+    val frames = frameLumas.toArray.flatMap { l =>
+      val jpg = synthJpegFrame(w, h, l)
+      val pad = if (jpg.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray
+      ccw("00dc") ++ le32w(jpg.length.toLong) ++ jpg ++ pad
+    }
+    val movi = ccw("LIST") ++ le32w(4L + frames.length) ++ ccw("movi") ++ frames
     val body = ccw("AVI ") ++ hdrl ++ movi
     ccw("RIFF") ++ le32w(body.length.toLong) ++ body
   }

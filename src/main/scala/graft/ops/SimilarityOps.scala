@@ -149,7 +149,6 @@ object SimilarityOps {
       if cc - radius(i) - radius(j) <= thetaTau
     } yield (i, j)
     import spark.implicits._
-    val adm = broadcast(admissible.toDF("ba", "bb"))
 
     // TILED verification: a row-per-candidate join pays join-probe +
     // UnsafeRow-copy machinery per pair (~1 KB of row traffic each for
@@ -171,12 +170,42 @@ object SimilarityOps {
         col("nrm").as("nrm"))).as("blk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val ta = blocks.select(col("bucket").as("ba"), col("blk").as("blkA"))
+    // TWO tile-join strategies, chosen by the MEASURED admissible density
+    // (the matrix is already driver-state — the choice is free):
+    //  - SPARSE (clustered corpus, triangle pruning bites): join blocks per
+    //    admissible bucket pair. Shuffle bytes ~ 2·|adm|·nsub·bucketBytes —
+    //    tiny when |adm| ~ O(nl).
+    //  - DENSE (unclustered corpus — high-dim random vectors leave every
+    //    bucket pair admissible): the per-pair form re-ships every block
+    //    once per PARTNER (measured 800+ GB of shuffle at 500 k vectors —
+    //    quadratic bytes even though tiles made the quadratic FLOPs cheap).
+    //    Grid form (the Okcan & Riedewald 2011 theta-join grid, tile
+    //    edition): partner buckets are hashed into G groups, each A-block
+    //    ships once per GROUP it has a partner in (≤ G·corpus bytes total),
+    //    the B side ships once, and non-admissible (ba, bb) combinations
+    //    die in the join condition on the un-copied JoinedRow — the tile
+    //    kernel evaluates only on admissible pairs, identical output.
+    // Break-even from the byte formulas: grid wins iff G·nl < 2·|adm|·nsub.
+    val gridG = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val ta = blocks.select(col("bucket").as("ba"), col("sub").as("subA"), col("blk").as("blkA"))
     val tb = blocks.select(col("bucket").as("bb"), col("blk").as("blkB"))
     // plan stays lazy (an eager checkpoint would hide the join plan and run
     // the job at construction); the cached relations are reclaimed by the
     // ContextCleaner once this plan becomes unreachable
-    ta.join(adm, "ba").join(tb, Seq("bb"))
+    val tiles =
+      if (admissible.size.toLong * 2L * nsub <= gridG.toLong * nl) {
+        val adm = broadcast(admissible.toDF("ba", "bb"))
+        ta.join(adm, "ba").join(tb, Seq("bb"))
+      } else {
+        // ba → its partner groups with the partner set per group
+        val admG = admissible.groupBy { case (i, j) => (i, j % gridG) }
+          .map { case ((i, g), ps) => (i, g, ps.map(_._2).toArray) }.toSeq
+          .toDF("ba", "gb", "bbs")
+        val taRep = ta.join(broadcast(admG), Seq("ba"))
+        taRep.join(tb.withColumn("gb", pmod(col("bb"), lit(gridG))),
+          Seq("gb")).filter(array_contains(col("bbs"), col("bb")))
+      }
+    tiles
       .select(explode(GraftFunctions.tileNearDupPairs(col("blkA"), col("blkB"), tau)).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"), col("p.cos").as("cos"))
   }

@@ -1,0 +1,247 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.functions.GraftFunctions
+
+/** Dedup/ANN scale runner over the planted-duplicate synthetic corpus
+  * (graft.ops.CorpusGen) — the scale evidence the TPC-H family gets from
+  * scaleup.py, for the family scaleup.py cannot replicate soundly.
+  *
+  * Usage (env): SPARK_GRAFT_SCALE_N (default 500000), SPARK_GRAFT_CPUS,
+  * SPARK_GRAFT_SCALE_DIR (corpus parquet dir, default /tmp/graft_scale),
+  * SPARK_GRAFT_SCALE_RUNS (timing samples per op, default 2).
+  *
+  * Emits ONE JSON line: per-op best-of-n seconds, plus ground-truth
+  * checks. The DuckDB oracle is deliberately NOT in this loop — at 500 k
+  * docs the all-pairs oracles are quadratic in DuckDB (1.2e11 pairs) and
+  * would benchmark the oracle, not the operators. Correctness here is:
+  *  - RECALL: every planted pair whose directly-computed similarity
+  *    clears the operator's threshold appears in the operator's output
+  *    (computed per planted pair — linear cost; this is exactly the
+  *    candidate-generation soundness claim — banding/bucketing/blocking
+  *    may not lose a qualifying pair).
+  *  - SOUNDNESS: every emitted pair's similarity is recomputed directly
+  *    from the corpus and must clear the threshold (linear in output).
+  *  - exact-dup group counts match the planted group arithmetic.
+  */
+object ScaleDedup {
+
+  private def time[A](runs: Int)(f: => A): (Double, A) = {
+    var best = Double.MaxValue
+    var last: A = null.asInstanceOf[A]
+    for (_ <- 1 to runs) {
+      val t0 = System.nanoTime()
+      last = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (dt < best) best = dt
+    }
+    (best, last)
+  }
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "500000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale") + s"/n$n"
+    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt)
+    val spark = graft.GraftSessions.local(cpus)
+    GraftFunctions.register(spark)
+    import spark.implicits._
+
+    // ---- generate once, materialize to parquet, re-read (ops must scan
+    // real files, not re-run the generator inside their plans) ----
+    val (genSec, _) = time(1) {
+      CorpusGen.documents(spark, n).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      CorpusGen.embeddings(spark, n).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val planted = CorpusGen.plantedPairs(spark, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nGroups = planted.filter(col("kind") === "exact").count()
+
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val checks = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def record(name: String)(build: => DataFrame): DataFrame = {
+      val (sec, df) = time(runs) { val d = build; noop(d); d }
+      times(name) = sec
+      System.err.println(f"[scale] $name%-24s ${sec}%8.2f s")
+      df
+    }
+
+    // ---- dedup_exact: planted arithmetic is the full ground truth ----
+    val exact = record("dedup_exact") { DedupOps.dedupExact(docs) }
+    val dupGroups = exact.filter(col("n_copies") === 2).count()
+    val single = exact.filter(col("n_copies") === 1).count()
+    checks("dedup_exact") =
+      if (dupGroups == nGroups && single == n - 2 * nGroups) "PASS"
+      else s"FAIL: $dupGroups dup-groups (want $nGroups), $single singletons (want ${n - 2 * nGroups})"
+
+    // ---- minhash LSH @ tau=0.8: recall vs planted, soundness vs direct J ----
+    val lsh = record("dedup_minhash_lsh") { DedupOps.minhashLshPairs(docs, tau = 0.8) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // direct per-pair Jaccard of the planted pairs (linear: one join each way)
+    def shingleSets(d: DataFrame) = d
+      .select(col("doc_id"), graft.ops.DedupOps.shinglesFromTokens(TextOps.tokens(col("text"))).as("s"))
+      .select(col("doc_id"), array_sort(transform(col("s"), x => xxhash64(x))).as("hv"))
+    val hvRel = shingleSets(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val plantedJ = planted
+      .join(hvRel.select(col("doc_id").as("a_id"), col("hv").as("ha")), "a_id")
+      .join(hvRel.select(col("doc_id").as("b_id"), col("hv").as("hb")), "b_id")
+      .withColumn("inter", GraftFunctions.sortedIntersectCount(col("ha"), col("hb")))
+      .withColumn("jacc", round(col("inter") /
+        (size(col("ha")) + size(col("hb")) - col("inter")), 6))
+      .select(col("a_id"), col("b_id"), col("kind"), col("jacc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val jStats = plantedJ.groupBy(col("kind")).agg(min("jacc"), avg("jacc")).collect()
+      .map(r => f"${r.getString(0)}: minJ=${r.getDouble(1)}%.4f avgJ=${r.getDouble(2)}%.4f")
+    val plantedQualify = plantedJ.filter(col("jacc") >= 0.8)
+    val lshMissed = plantedQualify.join(lsh, Seq("a_id", "b_id"), "left_anti").count()
+    val lshUnsound = lsh
+      .join(hvRel.select(col("doc_id").as("a_id"), col("hv").as("ha")), "a_id")
+      .join(hvRel.select(col("doc_id").as("b_id"), col("hv").as("hb")), "b_id")
+      .withColumn("inter", GraftFunctions.sortedIntersectCount(col("ha"), col("hb")))
+      .withColumn("j2", round(col("inter") / (size(col("ha")) + size(col("hb")) - col("inter")), 6))
+      .filter(col("j2") < 0.8 || col("j2") =!= col("jacc")).count()
+    val lshN = lsh.count(); val pq = plantedQualify.count()
+    checks("dedup_minhash_lsh") =
+      if (lshMissed == 0 && lshUnsound == 0)
+        s"PASS: $lshN pairs, all $pq qualifying planted found, all recomputed J match"
+      else s"FAIL: missed=$lshMissed unsound=$lshUnsound (out=$lshN plantedQ=$pq)"
+
+    // ---- ppjoin @ tau=0.5 (same claim, prefix+positional+sketch path) ----
+    val pp = record("dedup_jaccard_ppjoin") { DedupOps.ngramJaccardPairsPrefix(docs, tau = 0.5) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ppMissed = plantedJ.filter(col("jacc") >= 0.5)
+      .join(pp, Seq("a_id", "b_id"), "left_anti").count()
+    val ppUnsound = pp
+      .join(hvRel.select(col("doc_id").as("a_id"), col("hv").as("ha")), "a_id")
+      .join(hvRel.select(col("doc_id").as("b_id"), col("hv").as("hb")), "b_id")
+      .withColumn("inter", GraftFunctions.sortedIntersectCount(col("ha"), col("hb")))
+      .withColumn("j2", round(col("inter") / (size(col("ha")) + size(col("hb")) - col("inter")), 6))
+      .filter(col("j2") < 0.5 || col("j2") =!= col("jacc")).count()
+    checks("dedup_jaccard_ppjoin") =
+      if (ppMissed == 0 && ppUnsound == 0) s"PASS: ${pp.count()} pairs sound, planted recall 1.0"
+      else s"FAIL: missed=$ppMissed unsound=$ppUnsound"
+
+    // ---- simhash @ hamming<=6: planted pairs within radius must appear ----
+    val sim = record("dedup_simhash") { DedupOps.simhashPairs(docs) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fps = DedupOps.simhashFingerprints(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val plantedH = planted
+      .join(fps.select(col("doc_id").as("a_id"), col("fp").as("fa")), "a_id")
+      .join(fps.select(col("doc_id").as("b_id"), col("fp").as("fb")), "b_id")
+      .withColumn("h", GraftFunctions.hamming64(col("fa"), col("fb")))
+    val plantedWithin = plantedH.filter(col("h") <= 6)
+    val simMissed = plantedWithin.select(col("a_id"), col("b_id"))
+      .join(sim, Seq("a_id", "b_id"), "left_anti").count()
+    val simUnsound = sim
+      .join(fps.select(col("doc_id").as("a_id"), col("fp").as("fa")), "a_id")
+      .join(fps.select(col("doc_id").as("b_id"), col("fp").as("fb")), "b_id")
+      .filter(GraftFunctions.hamming64(col("fa"), col("fb")) =!= col("hamming") ||
+        col("hamming") > 6).count()
+    val pw = plantedWithin.count()
+    checks("dedup_simhash") =
+      if (simMissed == 0 && simUnsound == 0)
+        s"PASS: ${sim.count()} pairs, all $pw planted-within-radius found, hammings recomputed"
+      else s"FAIL: missed=$simMissed unsound=$simUnsound"
+
+    // ---- levenshtein prefix dedup: planted share identical 48-char
+    // prefixes AND first tokens → all planted pairs must appear at dist 0 ----
+    val lev = record("dedup_levenshtein") { DedupOps.levenshteinPairs(docs) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val levMissed = planted.select(col("a_id"), col("b_id"))
+      .join(lev, Seq("a_id", "b_id"), "left_anti").count()
+    val pfx = docs.select(col("doc_id"), substring(col("text"), 1, 48).as("pfx"))
+    val levUnsound = lev
+      .join(pfx.select(col("doc_id").as("a_id"), col("pfx").as("pa")), "a_id")
+      .join(pfx.select(col("doc_id").as("b_id"), col("pfx").as("pb")), "b_id")
+      .filter(GraftFunctions.boundedLevenshtein(col("pa"), col("pb"), 12) =!= col("dist"))
+      .count()
+    checks("dedup_levenshtein") =
+      if (levMissed == 0 && levUnsound == 0) s"PASS: ${lev.count()} pairs, planted recall 1.0, dists recomputed"
+      else s"FAIL: missed=$levMissed unsound=$levUnsound"
+
+    // ---- dedup groups end-to-end (pairs → connected components) ----
+    record("dedup_groups") { DedupOps.dedupGroups(docs, tau = 0.8) }
+
+    // ---- embedding near-dup @ tau=0.8 ----
+    val nd = record("embedding_neardup") { SimilarityOps.embeddingNearDup(spark, emb, tau = 0.8) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val plantedCos = planted
+      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("ea")), "a_id")
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")), "b_id")
+      .withColumn("cos", round(GraftFunctions.cosineSim(col("ea"), col("eb")), 5))
+    val plantedCosQ = plantedCos.filter(col("cos") >= 0.8)
+    val ndMissed = plantedCosQ.select(col("a_id"), col("b_id"))
+      .join(nd, Seq("a_id", "b_id"), "left_anti").count()
+    val ndUnsound = nd
+      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("ea")), "a_id")
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")), "b_id")
+      .filter(round(GraftFunctions.cosineSim(col("ea"), col("eb")), 5) =!= col("cos") ||
+        col("cos") < 0.8).count()
+    val pcq = plantedCosQ.count()
+    checks("embedding_neardup") =
+      if (ndMissed == 0 && ndUnsound == 0)
+        s"PASS: ${nd.count()} pairs, all $pcq qualifying planted found, cosines recomputed"
+      else s"FAIL: missed=$ndMissed unsound=$ndUnsound"
+
+    // ---- ANN: brute force is ground truth for ivf/lsh recall at scale ----
+    val bf = record("ann_bruteforce_topk") { SimilarityOps.bruteForceTopK(spark, emb) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ivf = record("ann_ivf_topk") {
+      SimilarityOps.ivfTopK(spark, emb, nlist = 512, nprobe = 16,
+        centroidStride = math.max(1, (n / 1024L).toInt))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lshTop = record("ann_lsh_topk") {
+      SimilarityOps.annLshTopK(spark, emb, tables = 12, bits = 6)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bfKeys = bf.select(col("q_id"), col("n_id"))
+    val ivfRecall = ivf.select(col("q_id"), col("n_id")).join(bfKeys, Seq("q_id", "n_id")).count() /
+      math.max(1.0, bfKeys.count().toDouble)
+    val lshRecall = lshTop.select(col("q_id"), col("n_id")).join(bfKeys, Seq("q_id", "n_id")).count() /
+      math.max(1.0, bfKeys.count().toDouble)
+    checks("ann_recall") = f"ivf@16/512=${ivfRecall}%.2f lsh@12x6=${lshRecall}%.2f vs brute force"
+
+    // ---- tile-sizing evidence: the measured worst blocks the adaptive
+    // sub-splits respond to (recomputed with the ops' own formulas) ----
+    val simFpBand = {
+      val distinctFp = fps.select(col("fp")).distinct()
+      val banded = distinctFp.select(col("fp"),
+          explode(sequence(lit(0), lit(6))).as("band"))
+        .withColumn("lo", (col("band") * 64 / 7).cast("int"))
+        .withColumn("hi", ((col("band") + 1) * 64 / 7).cast("int"))
+        .withColumn("band_bits",
+          expr("shiftrightunsigned(fp, lo) & (shiftleft(1L, hi - lo) - 1)"))
+      banded.groupBy(col("band"), col("band_bits")).count().agg(max("count")).collect()(0).getLong(0)
+    }
+    val levBlock = docs.select(element_at(TextOps.tokens(col("text")), 1).as("tok"),
+        (length(substring(col("text"), 1, 48)) / 12).cast("long").as("lb"))
+      .groupBy("tok", "lb").count().agg(max("count")).collect()(0).getLong(0)
+    checks("tile_sizing") =
+      s"simhash worst band bucket=$simFpBand (nsub=${math.max(1L, (simFpBand + 2047) / 2048)}), " +
+        s"lev worst block=$levBlock (nsub=${math.max(1L, (levBlock + 511) / 512)})"
+
+    val total = times.values.sum
+    val json = new StringBuilder
+    json.append("{\"metric\":\"scale_dedup\",\"value\":")
+      .append(f"$total%.3f")
+      .append(",\"unit\":\"sec\",\"n_docs\":").append(n)
+      .append(",\"generate_sec\":").append(f"$genSec%.3f")
+      .append(",\"runs\":").append(runs)
+      .append(",\"oracle\":\"planted ground truth + per-pair recomputation (DuckDB all-pairs oracle deliberately skipped: quadratic in the oracle, not the operator)\"")
+      .append(",\"queries\":{")
+    json.append(times.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(","))
+    json.append("},\"checks\":{")
+    json.append(checks.map { case (k, v) => s""""$k":"${v.replace("\"", "'")}"""" }.mkString(","))
+    json.append("},\"planted_stats\":\"").append(jStats.mkString("; ").replace("\"", "'"))
+    json.append("\"}")
+    println(json.toString())
+    spark.stop()
+  }
+}

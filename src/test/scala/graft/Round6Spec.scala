@@ -60,6 +60,33 @@ class Round6Spec extends SparkSpecBase {
     assert(eval(small, small) == 50)
   }
 
+  test("decodeVideoFrames really decodes MJPEG-in-AVI frames; non-MJPEG falls back to the stub") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    // 6 frames of known constant grays, sampled every 2nd → frames 0,2,4
+    val lumas = Seq(30, 60, 90, 120, 150, 200)
+    val mjpeg = MultimodalOps.synthMjpegAvi(48, 32, 40000L, lumas)
+    // an AVI with no frames and a non-AVI payload both stub out
+    val plainAvi = MultimodalOps.synthAvi(64, 48, 40000L, 10L, 1)
+    val media = Seq(
+      MultimodalOps.MediaRecord(1L, mjpeg, "video"),
+      MultimodalOps.MediaRecord(2L, plainAvi, "video"),
+      MultimodalOps.MediaRecord(3L, Array[Byte](1, 2, 3, 4), "video")).toDS()
+    val out = MultimodalOps.decodeVideoFrames(spark, media, everyK = 2)
+      .collect().groupBy(_.media_id)
+
+    val real = out(1L).sortBy(_.frame_idx)
+    assert(real.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(real.forall(f => f.real_decode && f.width == 48 && f.height == 32))
+    // constant-gray JPEG round trip: mean luma within quantization error
+    real.zip(Seq(30, 90, 150)).foreach { case (f, expected) =>
+      assert(math.abs(f.mean_luma - expected) < 3.0,
+        s"frame ${f.frame_idx}: mean_luma ${f.mean_luma} vs planted $expected")
+    }
+    assert(out(2L).toSeq.map(f => (f.frame_idx, f.real_decode)) == Seq((0, false)))
+    assert(out(3L).toSeq.map(f => (f.frame_idx, f.real_decode)) == Seq((0, false)))
+  }
+
   test("ppjoin with the sketch pre-filter matches the inverted-index exact form") {
     val docs = graft.Tables.documents(spark, sfDir)
     val exact = graft.ops.DedupOps.ngramJaccardPairs(docs, tau = 0.5)
