@@ -354,16 +354,21 @@ object DedupOps {
     // into {lb−1, lb, lb+1} exactly as the row form did, so every
     // qualifying pair still meets on one equi-key, and the A-side id <
     // B-side id check inside the tile keeps it emitted once.
-    // sub split sized from the MEASURED worst block (a 1-row driver-side
-    // aggregate, the KMeans-model pattern): natural near-unique-key corpora
-    // get nsub=1 (zero overhead), shared-vocabulary ones get tiles bounded
-    // at ~512 prefixes regardless of corpus size.
-    val maxBlock = p.groupBy(col("tok"), col("lb")).count()
-      .agg(max(col("count"))).collect()(0)
-    val nsub = if (maxBlock.isNullAt(0)) 1
-      else math.max(1L, (maxBlock.getLong(0) + 511) / 512).toInt
-    val blocks = p
-      .withColumn("sub", pmod(col("doc_id"), lit(nsub)))
+    // sub split sized PER BLOCK inside the plan (r6 — replaces the eager
+    // worst-block aggregate, which cost an extra full pass of the prefix
+    // relation at plan-construction time): block counts are a map-side-
+    // combined groupBy on the small (tok, lb) key domain, joined back (AQE
+    // picks broadcast when the count relation is small), and each block
+    // splits into ceil(cnt/512) sub-blocks. Plan construction triggers ZERO
+    // jobs (spec-pinned), and the output is invariant to the sub
+    // partitioning — the tile join never keys on sub, so sizing granularity
+    // cannot change results. Natural near-unique-key corpora get nsub=1
+    // (zero overhead); each skewed block gets exactly the split it needs —
+    // strictly finer than sizing every block off the global worst.
+    val cnts = p.groupBy(col("tok"), col("lb")).agg(count(lit(1)).as("cnt"))
+    val blocks = p.join(cnts, Seq("tok", "lb"))
+      .withColumn("sub", pmod(col("doc_id"),
+        greatest(lit(1L), ceil(col("cnt") / lit(512.0)).cast("long"))))
       .groupBy(col("tok"), col("lb"), col("sub"))
       .agg(collect_list(struct(col("doc_id").as("id"), col("pfx").as("pfx"))).as("blk"))
     val probe = blocks.withColumn("jb",
@@ -437,18 +442,20 @@ object DedupOps {
     // pairs at sf1, one 9-bit band value holding a third of all fps), and a
     // row-per-candidate join pays ~180 ns of expansion machinery per pair
     // for a 2 ns xor+popcount check. Buckets are split into ~2048-fp
-    // sub-blocks (sized off the MEASURED worst bucket — a 1-row driver
-    // aggregate); block pairs join per band bucket and the tile scorer
+    // sub-blocks (sized per bucket from a lazy in-plan count-join);
+    // block pairs join per band bucket and the tile scorer
     // emits only within-radius pairs, so the dedup shuffle sees ≤ nBands
     // copies of the output instead of the candidate volume. fa < fb inside
     // the tile keeps each pair once per band (both sub-block directions
     // appear in the join, complementary order checks pick exactly one).
-    val maxBucket = banded.groupBy(col("band"), col("band_bits")).count()
-      .agg(max(col("count"))).collect()(0)
-    val nsub = if (maxBucket.isNullAt(0)) 1
-      else math.max(1L, (maxBucket.getLong(0) + 2047) / 2048).toInt
-    val blocks = banded
-      .withColumn("sub", pmod(col("fp"), lit(nsub)))
+    // bucket counts computed LAZILY in-plan (r6, same pattern as
+    // levenshteinPairs: the eager worst-bucket aggregate cost an extra full
+    // pass at construction): per-bucket split of ceil(cnt/2048), output
+    // invariant to the split, zero jobs before the action.
+    val cnts = banded.groupBy(col("band"), col("band_bits")).agg(count(lit(1)).as("cnt"))
+    val blocks = banded.join(cnts, Seq("band", "band_bits"))
+      .withColumn("sub", pmod(col("fp"),
+        greatest(lit(1L), ceil(col("cnt") / lit(2048.0)).cast("long"))))
       .groupBy(col("band"), col("band_bits"), col("sub"))
       .agg(collect_list(col("fp")).as("blk"))
     val ta = blocks.select(col("band"), col("band_bits"), col("blk").as("blkA"))

@@ -87,6 +87,28 @@ class Round6Spec extends SparkSpecBase {
     assert(out(3L).toSeq.map(f => (f.frame_idx, f.real_decode)) == Seq((0, false)))
   }
 
+  test("tile sizing is lazy: building lev/simhash dedup plans triggers zero Spark jobs") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // materialize the input FIRST (parquet listing/schema jobs are not the
+    // subject of the claim)
+    val docs = graft.Tables.documents(spark, sfDir)
+    docs.count()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val lev = graft.ops.DedupOps.levenshteinPairs(docs)
+      val sim = graft.ops.DedupOps.simhashPairs(docs)
+      Thread.sleep(1500) // listener bus is async; drain before asserting
+      assert(jobs.get() == 0,
+        s"plan construction ran ${jobs.get()} eager sizing job(s) — tile sizing must be in-plan")
+      // and the lazily-sized plans still produce their (oracle-pinned) outputs
+      assert(lev.count() > 0 && sim.count() > 0)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("ppjoin with the sketch pre-filter matches the inverted-index exact form") {
     val docs = graft.Tables.documents(spark, sfDir)
     val exact = graft.ops.DedupOps.ngramJaccardPairs(docs, tau = 0.5)
