@@ -253,7 +253,13 @@ object SparkEntry {
     "video_frames" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.functions.round
+      // every 10th doc: the round trip ENCODES each synthetic frame as a
+      // real JPEG before decoding it, so the oracle query's cost is encode-
+      // bound — 1/10 of the docs keeps hundreds of decoded frames of
+      // coverage without the suite paying ~30k JPEG encodes (oracle filter
+      // matches)
       val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .filter(_ % 10 == 0)
         .map { id =>
           val w = 48 + 16 * (id % 4).toInt
           val h = 32 + 16 * (id % 3).toInt
@@ -1021,7 +1027,8 @@ object SparkEntry {
          48 + 16 * (doc_id % 4) AS width,
          32 + 16 * (doc_id % 3) AS height,
          (doc_id + u.frame_idx) % 13 AS luma_level
-         FROM documents, UNNEST(range(0, (4 + doc_id % 5)::BIGINT, 2)) AS u(frame_idx)""",
+         FROM documents, UNNEST(range(0, (4 + doc_id % 5)::BIGINT, 2)) AS u(frame_idx)
+         WHERE doc_id % 10 = 0""",
     // Candidate recovery + exact scoring + ranking over the bucket/probe
     // relations the Verify run dumped — checks the bucket join, the cosine
     // scoring, and the (cos desc, n_id) ranking independently; the bucketing
