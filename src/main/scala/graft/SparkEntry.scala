@@ -272,6 +272,27 @@ object SparkEntry {
           col("width").cast("long").as("width"), col("height").cast("long").as("height"),
           round((col("mean_luma") - 16.0) / 16.0).cast("long").as("luma_level"))
     }),
+    // REAL pixel resize round trip: constant-gray PNGs of closed-form dims
+    // → bomb-guarded decode → bilinear resample into the aspect-kept 64-box
+    // (shrink-only integer arithmetic) → lossless re-encode; the oracle
+    // predicts the box arithmetic exactly and the constant gray survives
+    // resampling + PNG bit-for-bit, so real pixel work is oracle-checked.
+    "image_resize" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.round
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .filter(_ % 10 == 0)
+        .map { id =>
+          val w = 40 + 16 * (id % 7).toInt
+          val h = 24 + 16 * (id % 5).toInt
+          MultimodalOps.MediaRecord(id,
+            MultimodalOps.synthPng(w, h, 16 + 16 * (id % 13).toInt), "image")
+        }
+      MultimodalOps.resizeImages(s, media, maxDim = 64).toDF()
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round((col("mean_luma") - 16.0) / 16.0).cast("long").as("luma_level"))
+    }),
     "pii_scrub" -> ((s, d) => TextAnalysis.piiScrub(Tables.documents(s, d))),
     "decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1029,6 +1050,15 @@ object SparkEntry {
          (doc_id + u.frame_idx) % 13 AS luma_level
          FROM documents, UNNEST(range(0, (4 + doc_id % 5)::BIGINT, 2)) AS u(frame_idx)
          WHERE doc_id % 10 = 0""",
+    // Shrink-only aspect-kept box fit, same integer arithmetic as the Scala
+    // path (// is floor division, as is Scala Int /); constant gray is
+    // invariant under resampling so luma_level recovers id%13 exactly.
+    "image_resize" ->
+      """SELECT doc_id AS media_id,
+         greatest(1, (40 + 16*(doc_id%7)) * 64 // greatest(40 + 16*(doc_id%7), 24 + 16*(doc_id%5), 64)) AS width,
+         greatest(1, (24 + 16*(doc_id%5)) * 64 // greatest(40 + 16*(doc_id%7), 24 + 16*(doc_id%5), 64)) AS height,
+         doc_id % 13 AS luma_level
+         FROM documents WHERE doc_id % 10 = 0""",
     // Candidate recovery + exact scoring + ranking over the bucket/probe
     // relations the Verify run dumped — checks the bucket join, the cosine
     // scoring, and the (cos desc, n_id) ranking independently; the bucketing

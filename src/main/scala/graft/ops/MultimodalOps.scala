@@ -468,6 +468,73 @@ object MultimodalOps {
     }
   }
 
+  case class ResizedImage(media_id: Long, width: Int, height: Int,
+                          out_bytes: Array[Byte], mean_luma: Double, real_decode: Boolean)
+
+  /** REAL image resize (r6 — the resize stage's pixels, not just its
+    * metadata): decode (bomb-guarded, as decodeImages), resample into an
+    * aspect-kept bounded box with Graphics2D bilinear, re-encode LOSSLESSLY
+    * (PNG) so downstream stages consume real resized rasters. The box uses
+    * the SAME shrink-only integer arithmetic as resizeStub —
+    * out = max(1, dim·maxDim / max(w, h, maxDim)) — so the closed-form
+    * metadata oracle carries over unchanged to the real path. Undecodable
+    * payloads degrade to the stub's metadata-only resize with
+    * `real_decode = false` (mark, not kill). */
+  def resizeImages(spark: SparkSession, media: Dataset[MediaRecord], maxDim: Int = 64,
+                   maxSampledPixels: Int = 1 << 16,
+                   maxDecodePixels: Long = 64L << 20): Dataset[ResizedImage] = {
+    import spark.implicits._
+    require(maxDim >= 1)
+    media.mapPartitions { it =>
+      it.map { m =>
+        val real =
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(m.bytes))
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) None
+              else {
+                val r = readers.next()
+                try {
+                  r.setInput(iis)
+                  val declared = r.getWidth(0).toLong * r.getHeight(0).toLong
+                  if (declared > maxDecodePixels)
+                    throw new java.io.IOException(
+                      s"declared raster $declared px exceeds bound $maxDecodePixels")
+                  val img = r.read(0)
+                  val w = img.getWidth; val h = img.getHeight
+                  val den = math.max(math.max(w, h), maxDim)
+                  val ow = math.max(1, w * maxDim / den)
+                  val oh = math.max(1, h * maxDim / den)
+                  val out = new java.awt.image.BufferedImage(
+                    ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  val g = out.createGraphics()
+                  g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                  g.drawImage(img, 0, 0, ow, oh, null)
+                  g.dispose()
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(out, "png", bos)
+                  Some(ResizedImage(m.media_id, ow, oh, bos.toByteArray,
+                    meanLuma(out, maxSampledPixels), real_decode = true))
+                } finally r.dispose()
+              }
+            } finally if (iis != null) iis.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        real.getOrElse {
+          val b = m.bytes
+          def at(i: Int): Int = if (b.length > i) b(i) & 0xff else 0
+          val w0 = 16 + at(0) % 240; val h0 = 16 + at(1) % 240
+          val den = math.max(math.max(w0, h0), maxDim)
+          ResizedImage(m.media_id, math.max(1, w0 * maxDim / den),
+            math.max(1, h0 * maxDim / den), Array.emptyByteArray,
+            mean_luma = 0.0, real_decode = false)
+        }
+      }
+    }
+  }
+
   /** Stub resize: recompute metadata for a bounded box, keeping aspect via
     * integer arithmetic (the plumbing of an image-resize stage). */
   def resizeStub(spark: SparkSession, decoded: Dataset[DecodedMeta], maxDim: Int = 64): Dataset[DecodedMeta] = {
@@ -549,6 +616,20 @@ object MultimodalOps {
     val movi = ccw("LIST") ++ le32w(4) ++ ccw("movi")
     val body = ccw("AVI ") ++ hdrl ++ movi
     ccw("RIFF") ++ le32w(body.length.toLong) ++ body
+  }
+
+  /** Constant-gray PNG (lossless, JDK-encoded): the closed-form payload for
+    * resize round trips — any resampling of a constant raster is the same
+    * constant, and PNG re-encode preserves it exactly. */
+  private[graft] def synthPng(w: Int, h: Int, luma: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(luma, luma, luma))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** A single baseline-JPEG frame of constant gray `luma` (encoded by the

@@ -109,6 +109,33 @@ class Round6Spec extends SparkSpecBase {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("resizeImages really resamples pixels: box arithmetic, luma invariance, fallback") {
+    import spark.implicits._
+    import graft.ops.MultimodalOps
+    val media = Seq(
+      // 128x48 gray 96: shrinks to 64x24, luma exactly preserved
+      MultimodalOps.MediaRecord(1L, MultimodalOps.synthPng(128, 48, 96), "image"),
+      // 40x24 gray 160: inside the box — shrink-only keeps dims
+      MultimodalOps.MediaRecord(2L, MultimodalOps.synthPng(40, 24, 160), "image"),
+      // 48x96 portrait gray 32: shrinks to 32x64
+      MultimodalOps.MediaRecord(3L, MultimodalOps.synthPng(48, 96, 32), "image"),
+      // non-image payload: metadata-only fallback
+      MultimodalOps.MediaRecord(4L, Array[Byte](9, 9, 9), "image")).toDS()
+    val out = MultimodalOps.resizeImages(spark, media, maxDim = 64)
+      .collect().map(r => r.media_id -> r).toMap
+    assert((out(1L).width, out(1L).height, out(1L).real_decode) == (64, 24, true))
+    assert(math.abs(out(1L).mean_luma - 96.0) < 1e-6)
+    assert((out(2L).width, out(2L).height) == (40, 24) && out(2L).real_decode)
+    assert(math.abs(out(2L).mean_luma - 160.0) < 1e-6)
+    assert((out(3L).width, out(3L).height) == (32, 64))
+    assert(math.abs(out(3L).mean_luma - 32.0) < 1e-6)
+    assert(!out(4L).real_decode && out(4L).out_bytes.isEmpty)
+    // the resized bytes are a real lossless raster: decode one back
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out(1L).out_bytes))
+    assert(img.getWidth == 64 && img.getHeight == 24)
+    assert((img.getRGB(10, 10) & 0xff) == 96)
+  }
+
   test("ppjoin with the sketch pre-filter matches the inverted-index exact form") {
     val docs = graft.Tables.documents(spark, sfDir)
     val exact = graft.ops.DedupOps.ngramJaccardPairs(docs, tau = 0.5)
