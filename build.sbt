@@ -24,7 +24,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // SIMD tile kernels (graft.functions.SimdDot); callers probe availability
+  // and fall back to scalar kernels if the module is absent at runtime
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+Compile / javacOptions ++= Seq("--add-modules", "jdk.incubator.vector")

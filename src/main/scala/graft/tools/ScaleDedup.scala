@@ -11,7 +11,12 @@ import graft.functions.GraftFunctions
   *
   * Usage (env): SPARK_GRAFT_SCALE_N (default 500000), SPARK_GRAFT_CPUS,
   * SPARK_GRAFT_SCALE_DIR (corpus parquet dir, default /tmp/graft_scale),
-  * SPARK_GRAFT_SCALE_RUNS (timing samples per op, default 2).
+  * SPARK_GRAFT_SCALE_RUNS (timing samples per op, default 2),
+  * SPARK_GRAFT_SCALE_OPS (comma list of op names to run — default all;
+  * shared relations and the matching ground-truth checks follow the ops),
+  * SPARK_GRAFT_SCALE_REUSE=1 (reuse an already-materialized corpus dir
+  * instead of regenerating — the generator is a pure function of (n, id),
+  * so a reused dir is identical to a fresh one).
   *
   * Emits ONE JSON line: per-op best-of-n seconds, plus ground-truth
   * checks. The DuckDB oracle is deliberately NOT in this loop — at 500 k
@@ -48,13 +53,19 @@ object ScaleDedup {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale") + s"/n$n"
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt)
+    val opsFilter: Set[String] = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    def enabled(name: String): Boolean = opsFilter.isEmpty || opsFilter.contains(name)
     val spark = graft.GraftSessions.local(cpus)
     GraftFunctions.register(spark)
     import spark.implicits._
 
     // ---- generate once, materialize to parquet, re-read (ops must scan
     // real files, not re-run the generator inside their plans) ----
-    val (genSec, _) = time(1) {
+    val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
+      new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists() &&
+      new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists()
+    val (genSec, _) = if (reuse) (0.0, ()) else time(1) {
       CorpusGen.documents(spark, n).write.mode("overwrite").parquet(s"$dir/documents.parquet")
       CorpusGen.embeddings(spark, n).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     }
@@ -74,22 +85,22 @@ object ScaleDedup {
     }
 
     // ---- dedup_exact: planted arithmetic is the full ground truth ----
-    val exact = record("dedup_exact") { DedupOps.dedupExact(docs) }
-    val dupGroups = exact.filter(col("n_copies") === 2).count()
-    val single = exact.filter(col("n_copies") === 1).count()
-    checks("dedup_exact") =
-      if (dupGroups == nGroups && single == n - 2 * nGroups) "PASS"
-      else s"FAIL: $dupGroups dup-groups (want $nGroups), $single singletons (want ${n - 2 * nGroups})"
+    if (enabled("dedup_exact")) {
+      val exact = record("dedup_exact") { DedupOps.dedupExact(docs) }
+      val dupGroups = exact.filter(col("n_copies") === 2).count()
+      val single = exact.filter(col("n_copies") === 1).count()
+      checks("dedup_exact") =
+        if (dupGroups == nGroups && single == n - 2 * nGroups) "PASS"
+        else s"FAIL: $dupGroups dup-groups (want $nGroups), $single singletons (want ${n - 2 * nGroups})"
+    }
 
-    // ---- minhash LSH @ tau=0.8: recall vs planted, soundness vs direct J ----
-    val lsh = record("dedup_minhash_lsh") { DedupOps.minhashLshPairs(docs, tau = 0.8) }
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // direct per-pair Jaccard of the planted pairs (linear: one join each way)
+    // direct per-pair Jaccard of the planted pairs (linear: one join each
+    // way); shared by the minhash and ppjoin checks, built only if needed
     def shingleSets(d: DataFrame) = d
       .select(col("doc_id"), graft.ops.DedupOps.shinglesFromTokens(TextOps.tokens(col("text"))).as("s"))
       .select(col("doc_id"), array_sort(transform(col("s"), x => xxhash64(x))).as("hv"))
-    val hvRel = shingleSets(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val plantedJ = planted
+    lazy val hvRel = shingleSets(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lazy val plantedJ = planted
       .join(hvRel.select(col("doc_id").as("a_id"), col("hv").as("ha")), "a_id")
       .join(hvRel.select(col("doc_id").as("b_id"), col("hv").as("hb")), "b_id")
       .withColumn("inter", GraftFunctions.sortedIntersectCount(col("ha"), col("hb")))
@@ -97,41 +108,52 @@ object ScaleDedup {
         (size(col("ha")) + size(col("hb")) - col("inter")), 6))
       .select(col("a_id"), col("b_id"), col("kind"), col("jacc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val jStats = plantedJ.groupBy(col("kind")).agg(min("jacc"), avg("jacc")).collect()
-      .map(r => f"${r.getString(0)}: minJ=${r.getDouble(1)}%.4f avgJ=${r.getDouble(2)}%.4f")
-    val plantedQualify = plantedJ.filter(col("jacc") >= 0.8)
-    val lshMissed = plantedQualify.join(lsh, Seq("a_id", "b_id"), "left_anti").count()
-    val lshUnsound = lsh
-      .join(hvRel.select(col("doc_id").as("a_id"), col("hv").as("ha")), "a_id")
-      .join(hvRel.select(col("doc_id").as("b_id"), col("hv").as("hb")), "b_id")
-      .withColumn("inter", GraftFunctions.sortedIntersectCount(col("ha"), col("hb")))
-      .withColumn("j2", round(col("inter") / (size(col("ha")) + size(col("hb")) - col("inter")), 6))
-      .filter(col("j2") < 0.8 || col("j2") =!= col("jacc")).count()
-    val lshN = lsh.count(); val pq = plantedQualify.count()
-    checks("dedup_minhash_lsh") =
-      if (lshMissed == 0 && lshUnsound == 0)
-        s"PASS: $lshN pairs, all $pq qualifying planted found, all recomputed J match"
-      else s"FAIL: missed=$lshMissed unsound=$lshUnsound (out=$lshN plantedQ=$pq)"
+    var jStats: Array[String] = Array.empty
+
+    // ---- minhash LSH @ tau=0.8: recall vs planted, soundness vs direct J ----
+    if (enabled("dedup_minhash_lsh")) {
+      val lsh = record("dedup_minhash_lsh") { DedupOps.minhashLshPairs(docs, tau = 0.8) }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      jStats = plantedJ.groupBy(col("kind")).agg(min("jacc"), avg("jacc")).collect()
+        .map(r => f"${r.getString(0)}: minJ=${r.getDouble(1)}%.4f avgJ=${r.getDouble(2)}%.4f")
+      val plantedQualify = plantedJ.filter(col("jacc") >= 0.8)
+      val lshMissed = plantedQualify.join(lsh, Seq("a_id", "b_id"), "left_anti").count()
+      val lshUnsound = lsh
+        .join(hvRel.select(col("doc_id").as("a_id"), col("hv").as("ha")), "a_id")
+        .join(hvRel.select(col("doc_id").as("b_id"), col("hv").as("hb")), "b_id")
+        .withColumn("inter", GraftFunctions.sortedIntersectCount(col("ha"), col("hb")))
+        .withColumn("j2", round(col("inter") / (size(col("ha")) + size(col("hb")) - col("inter")), 6))
+        .filter(col("j2") < 0.8 || col("j2") =!= col("jacc")).count()
+      val lshN = lsh.count(); val pq = plantedQualify.count()
+      checks("dedup_minhash_lsh") =
+        if (lshMissed == 0 && lshUnsound == 0)
+          s"PASS: $lshN pairs, all $pq qualifying planted found, all recomputed J match"
+        else s"FAIL: missed=$lshMissed unsound=$lshUnsound (out=$lshN plantedQ=$pq)"
+    }
 
     // ---- ppjoin @ tau=0.5 (same claim, prefix+positional+sketch path) ----
-    val pp = record("dedup_jaccard_ppjoin") { DedupOps.ngramJaccardPairsPrefix(docs, tau = 0.5) }
+    if (enabled("dedup_jaccard_ppjoin")) {
+      val pp = record("dedup_jaccard_ppjoin") { DedupOps.ngramJaccardPairsPrefix(docs, tau = 0.5) }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ppMissed = plantedJ.filter(col("jacc") >= 0.5)
+        .join(pp, Seq("a_id", "b_id"), "left_anti").count()
+      val ppUnsound = pp
+        .join(hvRel.select(col("doc_id").as("a_id"), col("hv").as("ha")), "a_id")
+        .join(hvRel.select(col("doc_id").as("b_id"), col("hv").as("hb")), "b_id")
+        .withColumn("inter", GraftFunctions.sortedIntersectCount(col("ha"), col("hb")))
+        .withColumn("j2", round(col("inter") / (size(col("ha")) + size(col("hb")) - col("inter")), 6))
+        .filter(col("j2") < 0.5 || col("j2") =!= col("jacc")).count()
+      checks("dedup_jaccard_ppjoin") =
+        if (ppMissed == 0 && ppUnsound == 0) s"PASS: ${pp.count()} pairs sound, planted recall 1.0"
+        else s"FAIL: missed=$ppMissed unsound=$ppUnsound"
+    }
+
+    lazy val fps = DedupOps.simhashFingerprints(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ppMissed = plantedJ.filter(col("jacc") >= 0.5)
-      .join(pp, Seq("a_id", "b_id"), "left_anti").count()
-    val ppUnsound = pp
-      .join(hvRel.select(col("doc_id").as("a_id"), col("hv").as("ha")), "a_id")
-      .join(hvRel.select(col("doc_id").as("b_id"), col("hv").as("hb")), "b_id")
-      .withColumn("inter", GraftFunctions.sortedIntersectCount(col("ha"), col("hb")))
-      .withColumn("j2", round(col("inter") / (size(col("ha")) + size(col("hb")) - col("inter")), 6))
-      .filter(col("j2") < 0.5 || col("j2") =!= col("jacc")).count()
-    checks("dedup_jaccard_ppjoin") =
-      if (ppMissed == 0 && ppUnsound == 0) s"PASS: ${pp.count()} pairs sound, planted recall 1.0"
-      else s"FAIL: missed=$ppMissed unsound=$ppUnsound"
 
     // ---- simhash @ hamming<=6: planted pairs within radius must appear ----
+    if (enabled("dedup_simhash")) {
     val sim = record("dedup_simhash") { DedupOps.simhashPairs(docs) }
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val fps = DedupOps.simhashFingerprints(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val plantedH = planted
       .join(fps.select(col("doc_id").as("a_id"), col("fp").as("fa")), "a_id")
@@ -150,9 +172,11 @@ object ScaleDedup {
       if (simMissed == 0 && simUnsound == 0)
         s"PASS: ${sim.count()} pairs, all $pw planted-within-radius found, hammings recomputed"
       else s"FAIL: missed=$simMissed unsound=$simUnsound"
+    }
 
     // ---- levenshtein prefix dedup: planted share identical 48-char
     // prefixes AND first tokens → all planted pairs must appear at dist 0 ----
+    if (enabled("dedup_levenshtein")) {
     val lev = record("dedup_levenshtein") { DedupOps.levenshteinPairs(docs) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val levMissed = planted.select(col("a_id"), col("b_id"))
@@ -166,11 +190,14 @@ object ScaleDedup {
     checks("dedup_levenshtein") =
       if (levMissed == 0 && levUnsound == 0) s"PASS: ${lev.count()} pairs, planted recall 1.0, dists recomputed"
       else s"FAIL: missed=$levMissed unsound=$levUnsound"
+    }
 
     // ---- dedup groups end-to-end (pairs → connected components) ----
-    record("dedup_groups") { DedupOps.dedupGroups(docs, tau = 0.8) }
+    if (enabled("dedup_groups"))
+      record("dedup_groups") { DedupOps.dedupGroups(docs, tau = 0.8) }
 
     // ---- embedding near-dup @ tau=0.8 ----
+    if (enabled("embedding_neardup")) {
     val nd = record("embedding_neardup") { SimilarityOps.embeddingNearDup(spark, emb, tau = 0.8) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val plantedCos = planted
@@ -190,8 +217,10 @@ object ScaleDedup {
       if (ndMissed == 0 && ndUnsound == 0)
         s"PASS: ${nd.count()} pairs, all $pcq qualifying planted found, cosines recomputed"
       else s"FAIL: missed=$ndMissed unsound=$ndUnsound"
+    }
 
     // ---- ANN: brute force is ground truth for ivf/lsh recall at scale ----
+    if (enabled("ann")) {
     val bf = record("ann_bruteforce_topk") { SimilarityOps.bruteForceTopK(spark, emb) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ivf = record("ann_ivf_topk") {
@@ -207,9 +236,11 @@ object ScaleDedup {
     val lshRecall = lshTop.select(col("q_id"), col("n_id")).join(bfKeys, Seq("q_id", "n_id")).count() /
       math.max(1.0, bfKeys.count().toDouble)
     checks("ann_recall") = f"ivf@16/512=${ivfRecall}%.2f lsh@12x6=${lshRecall}%.2f vs brute force"
+    }
 
     // ---- tile-sizing evidence: the measured worst blocks the adaptive
     // sub-splits respond to (recomputed with the ops' own formulas) ----
+    if (enabled("tile_sizing")) {
     val simFpBand = {
       val distinctFp = fps.select(col("fp")).distinct()
       val banded = distinctFp.select(col("fp"),
@@ -226,6 +257,7 @@ object ScaleDedup {
     checks("tile_sizing") =
       s"simhash worst band bucket=$simFpBand (nsub=${math.max(1L, (simFpBand + 2047) / 2048)}), " +
         s"lev worst block=$levBlock (nsub=${math.max(1L, (levBlock + 511) / 512)})"
+    }
 
     val total = times.values.sum
     val json = new StringBuilder
