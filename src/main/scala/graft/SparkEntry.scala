@@ -193,6 +193,8 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextAnalysis.docFingerprint(Tables.documents(s, d))),
     "tfidf_top_terms" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
     "ngram_counts" -> ((s, d) => TextAnalysis.ngramCounts(Tables.documents(s, d))),
+    "mixture_sample" -> ((s, d) => TextAnalysis.mixtureSample(Tables.documents(s, d))),
+    "repetition_score" -> ((s, d) => TextAnalysis.repetitionScore(Tables.documents(s, d))),
     // Dump-mode: materialize every window hash and recompute the per-doc min
     // FROM the dump, so the DuckDB oracle reduces the identical relation —
     // the min-sampling reduction becomes oracle-checked (the polynomial hash
@@ -964,6 +966,29 @@ object SparkEntry {
          length(text) AS n_chars,
          len(list_filter(string_split_regex(text,'\s+'), x->x<>'')) AS n_tokens
          FROM documents""",
+    "mixture_sample" ->
+      """SELECT doc_id, source, lang, n_chars FROM documents
+         WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0
+             < ((CAST(substr(source, 4) AS INT) % 5) + 1) / 5.0""",
+    "repetition_score" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         c AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+             CAST(CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END AS BIGINT) AS n_bigrams,
+             CAST(CASE WHEN len(t) >= 2
+               THEN len(list_distinct([t[i]||' '||t[i+1] FOR i IN generate_series(1, len(t)-1)]))
+               ELSE 0 END AS BIGINT) AS n_distinct_bigrams
+           FROM tok)
+         SELECT doc_id, n_tokens, n_distinct, n_bigrams, n_distinct_bigrams,
+           CASE WHEN n_tokens > 0
+             THEN round(1.0 - n_distinct / n_tokens::DOUBLE, 6) ELSE 0.0 END AS dup_token_ratio,
+           CASE WHEN n_bigrams > 0
+             THEN round(1.0 - n_distinct_bigrams / n_bigrams::DOUBLE, 6) ELSE 0.0 END AS dup_bigram_ratio,
+           CAST(CASE WHEN n_bigrams > 0
+               AND round(1.0 - n_distinct_bigrams / n_bigrams::DOUBLE, 6) > 0.5
+             THEN 1 ELSE 0 END AS INT) AS flag_repetitive
+         FROM c""",
     "pii_scrub" ->
       """WITH staged AS (SELECT doc_id, text,
              regexp_replace(text,

@@ -158,4 +158,41 @@ object TextAnalysis {
       substring(md5(col("text")), 1, 8).as("fp8"),
       length(col("text")).cast("long").as("n_chars"),
       size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+
+  /** Weighted domain-mixture sampler: keep each document with a per-source
+    * target fraction, decided by a DETERMINISTIC per-row coin — the Knuth
+    * multiplicative hash u = (doc_id · 2654435761 mod 2³²)/2³², not rand() —
+    * so the sample is reproducible across engines, runs, and retries (the
+    * property a training-mixture builder needs for resumable pipelines).
+    * Per-source fractions derive from the source index (idx%5+1)/5, standing
+    * in for a mixture-weights table; a real pipeline would broadcast-join
+    * one. Pure map-side filter: at 100 TB this runs at scan speed with
+    * column pruning, no shuffle, and composes with any downstream op. */
+  def mixtureSample(docs: DataFrame): DataFrame = {
+    val idx = substring(col("source"), 4, 9).cast("int")
+    val frac = ((idx % 5) + 1).cast("double") / 5.0
+    val u = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).cast("double") / 4294967296.0
+    docs.filter(u < frac)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+  }
+
+  /** Intra-document repetition scoring (the Gopher-style "repetitive doc"
+    * curation rule): duplicate-token and duplicate-bigram ratios per doc,
+    * plus the filter flag. Total bigrams is arithmetic (n_tokens−1); only
+    * the DISTINCT side touches arrays, via the native ShingleArray(n=2)
+    * expression — no interpreted lambda in the hot path. Map-side only:
+    * scan-speed at any corpus size. */
+  def repetitionScore(docs: DataFrame, flagAbove: Double = 0.5): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    docs.select(col("doc_id"), size(t).cast("long").as("n_tokens"),
+        size(array_distinct(t)).cast("long").as("n_distinct"),
+        greatest(size(t) - 1, lit(0)).cast("long").as("n_bigrams"),
+        size(DedupOps.shinglesFromTokens(t, 2)).cast("long").as("n_distinct_bigrams"))
+      .withColumn("dup_token_ratio", when(col("n_tokens") > 0,
+        round(lit(1.0) - col("n_distinct") / col("n_tokens"), 6)).otherwise(lit(0.0)))
+      .withColumn("dup_bigram_ratio", when(col("n_bigrams") > 0,
+        round(lit(1.0) - col("n_distinct_bigrams") / col("n_bigrams"), 6)).otherwise(lit(0.0)))
+      .withColumn("flag_repetitive",
+        when(col("dup_bigram_ratio") > flagAbove, 1).otherwise(0).cast("int"))
+  }
 }

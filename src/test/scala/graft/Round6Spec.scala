@@ -145,4 +145,45 @@ class Round6Spec extends SparkSpecBase {
     assert(pp == exact, s"ppjoin ${pp.size} pairs vs exact ${exact.size}")
     assert(exact.nonEmpty)
   }
+
+  test("mixtureSample: deterministic coin, per-source rates track target fractions") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val s1 = graft.ops.TextAnalysis.mixtureSample(docs)
+    // deterministic: two plans, identical output
+    assert(s1.collect().map(_.getLong(0)).sorted.toSeq ==
+      graft.ops.TextAnalysis.mixtureSample(docs).collect().map(_.getLong(0)).sorted.toSeq)
+    // every kept row individually satisfies its source's coin — recompute
+    val kept = s1.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val all = docs.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    all.foreach { case (id, src) =>
+      val frac = ((src.drop(3).toInt % 5) + 1) / 5.0
+      val u = java.lang.Long.remainderUnsigned(id * 2654435761L, 4294967296L) / 4294967296.0
+      assert(kept.contains((id, src)) == (u < frac), s"doc $id src $src u=$u frac=$frac")
+    }
+    // fraction-5 sources (idx%5==4 → frac 1.0) are kept in full
+    val full = all.filter { case (_, s) => s.drop(3).toInt % 5 == 4 }
+    assert(full.nonEmpty && full.forall(kept.contains))
+  }
+
+  test("repetitionScore: ratios from first principles on crafted docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),       // 6 tokens {a,b}, 5 bigrams {a b, b a} -> dup-heavy
+      (2L, "u v w x y z"),       // all distinct: both ratios 0
+      (3L, "solo"),              // 1 token, 0 bigrams -> guarded division
+      (4L, "")                   // empty text
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.repetitionScore(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 6 && out(1L).getLong(2) == 2)     // tokens, distinct
+    assert(out(1L).getLong(3) == 5 && out(1L).getLong(4) == 2)     // bigrams, distinct
+    assert(out(1L).getDouble(5) == math.BigDecimal(1.0 - 2.0 / 6).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(1L).getDouble(6) == 0.6 && out(1L).getInt(7) == 1)  // 1 - 2/5, flagged
+    assert(out(2L).getDouble(5) == 0.0 && out(2L).getDouble(6) == 0.0 && out(2L).getInt(7) == 0)
+    // degenerate docs (no bigrams / no tokens) are NOT repetitive
+    assert(out(3L).getLong(1) == 1 && out(3L).getLong(3) == 0 &&
+      out(3L).getDouble(6) == 0.0 && out(3L).getInt(7) == 0)
+    assert(out(4L).getLong(1) == 0 && out(4L).getDouble(5) == 0.0 && out(4L).getInt(7) == 0)
+  }
 }
