@@ -29,6 +29,7 @@ object SparkEntry {
   val LshBucketDumpDir = "/tmp/graft_lsh_buckets"
   val LshProbeDumpDir = "/tmp/graft_lsh_probes"
   val RollingHashDumpDir = "/tmp/graft_rolling_hashes"
+  val HllRegDumpDir = "/tmp/graft_hll_registers"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -123,7 +124,20 @@ object SparkEntry {
     "percentiles_by_type" -> ((s, d) => AggOps.percentilesByType(Tables.events(s, d))),
     "value_stats_by_type" -> ((s, d) => AggOps.valueStatsByType(Tables.events(s, d))),
     "user_retention" -> ((s, d) => AggOps.userRetention(Tables.events(s, d))),
-    "hll_reaggregate" -> ((s, d) => AggOps.hllReaggregate(Tables.events(s, d))),
+    // Transparent-register HLL (p=12): under Verify the daily register
+    // relation is dumped and the result recomputed FROM the dump, so the
+    // max-union re-aggregation AND the harmonic-mean estimate are
+    // oracle-checked (DuckDB runs the identical arithmetic over the same
+    // registers). The DataSketches-builtin variant stays as the production
+    // API (AggOps.hllReaggregate, spec-compared).
+    "hll_reaggregate" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      if (sys.props.contains("graft.fp.dump")) {
+        AggOps.hllDailyRegisters(ev).coalesce(1)
+          .write.mode("overwrite").parquet(HllRegDumpDir)
+        AggOps.hllReaggregateFromRegisters(s.read.parquet(HllRegDumpDir))
+      } else AggOps.hllReaggregateTransparent(ev)
+    }),
     "events_hourly" -> ((s, d) => AggOps.eventsHourly(Tables.events(s, d))),
     // §2.1 MapReduce example surface
     "wordcount" -> ((s, d) => TextOps.wordCount(Tables.documents(s, d))),
@@ -752,6 +766,27 @@ object SparkEntry {
            round(var_samp(value), 6) AS var_v,
            round(corr(value, hour(ts)), 6) AS corr_v_hour
          FROM events GROUP BY event_type""",
+    // Re-aggregates the DUMPED daily register relation with the identical
+    // published arithmetic (Flajolet harmonic mean + linear-counting
+    // correction) — the union algebra and the estimate are cross-engine-
+    // checked; the xxhash64/rho register build stays Spark-side (it IS the
+    // dumped relation, spec-covered — same pattern as dedup_simhash).
+    "hll_reaggregate" ->
+      s"""WITH regs AS (SELECT day, event_type, bucket, r
+             FROM read_parquet('$HllRegDumpDir/*.parquet')),
+         u AS (SELECT event_type, bucket, max(r) AS r FROM regs GROUP BY 1, 2),
+         agg AS (SELECT event_type, sum(power(2.0, -r)) AS sp,
+             count(*) AS np FROM u GROUP BY 1),
+         est AS (SELECT event_type,
+             0.7213 / (1 + 1.079 / 4096.0) * 4096 * 4096 / (sp + (4096 - np)) AS raw,
+             4096 - np AS zeros FROM agg)
+         SELECT e.event_type,
+           round(CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+             THEN 4096 * ln(4096 / zeros::DOUBLE) ELSE raw END, 2) AS est_users,
+           d.n_days
+         FROM est e JOIN (SELECT event_type,
+             CAST(count(DISTINCT day) AS BIGINT) AS n_days
+           FROM regs GROUP BY 1) d USING (event_type)""",
     "user_retention" ->
       """WITH first AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
            FROM events GROUP BY user_id),

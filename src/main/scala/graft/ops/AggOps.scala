@@ -633,6 +633,64 @@ object AggOps {
         count(lit(1)).as("n_days"))
   }
 
+  /** Transparent HLL (p=12, m=4096 registers): the same mergeable-sketch
+    * rollup as [[hllReaggregate]], but the daily sketch is an EXPLICIT
+    * register relation (day, event_type, bucket, r) — exactly what an HLL
+    * stores, as rows. Union across days is max-per-bucket and the estimate
+    * is the published harmonic-mean formula (Flajolet et al. 2007, with
+    * linear-counting small-range correction), so any engine can both merge
+    * and read these sketches — register relations are portable sketch
+    * storage, and the whole pipeline becomes oracle-checkable (DuckDB
+    * re-aggregates the dumped registers and recomputes the estimate with
+    * the identical arithmetic). rho needs no custom expression: the
+    * leftmost-1-bit position comes from the codegen'd smear/popcount
+    * identity bit_count(smear(w)) = 64 − clz(w). */
+  private val HllP = 12
+  private val HllM = 1 << HllP
+
+  def hllDailyRegisters(events: DataFrame): DataFrame = {
+    val h = xxhash64(col("user_id"))
+    def smear(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val s1 = c.bitwiseOR(shiftrightunsigned(c, 1))
+      val s2 = s1.bitwiseOR(shiftrightunsigned(s1, 2))
+      val s4 = s2.bitwiseOR(shiftrightunsigned(s2, 4))
+      val s8 = s4.bitwiseOR(shiftrightunsigned(s4, 8))
+      val s16 = s8.bitwiseOR(shiftrightunsigned(s8, 16))
+      s16.bitwiseOR(shiftrightunsigned(s16, 32))
+    }
+    val w = shiftleft(h, HllP)
+    val rho = when(w === 0, lit(64 - HllP + 1))
+      .otherwise(lit(65) - bit_count(smear(w)).cast("int"))
+    events.select(to_date(col("ts")).as("day"), col("event_type"),
+        shiftrightunsigned(h, 64 - HllP).as("bucket"), rho.as("rho"))
+      .groupBy(col("day"), col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+  }
+
+  /** Register-max union across days + harmonic-mean estimate; reads ONLY
+    * the register relation, never raw events — the rollup contract. */
+  def hllReaggregateFromRegisters(regs: DataFrame): DataFrame = {
+    val m = HllM.toDouble
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val est = regs.groupBy(col("event_type"), col("bucket")).agg(max(col("r")).as("r"))
+      .groupBy(col("event_type"))
+      .agg(sum(pow(lit(2.0), -col("r"))).as("sp"), count(lit(1)).as("np"))
+      // absent buckets carry register 0 → 2⁰ = 1 each; zeros = #absent
+      .withColumn("sumPow", col("sp") + (lit(m) - col("np")))
+      .withColumn("zeros", lit(m) - col("np"))
+      .withColumn("raw", lit(alpha * m * m) / col("sumPow"))
+      .withColumn("est", when(col("raw") <= 2.5 * m && col("zeros") > 0,
+        lit(m) * log(lit(m) / col("zeros"))).otherwise(col("raw")))
+    est.join(
+        regs.select(col("event_type"), col("day")).distinct()
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n_days")),
+        "event_type")
+      .select(col("event_type"), round(col("est"), 2).as("est_users"), col("n_days"))
+  }
+
+  def hllReaggregateTransparent(events: DataFrame): DataFrame =
+    hllReaggregateFromRegisters(hllDailyRegisters(events))
+
   /** SLIDING windows (1-hour window, 15-minute slide): each event lands in
     * exactly 4 overlapping windows — Spark expands map-side then partial-
     * aggregates, so the shuffle carries per-window partials (4× window

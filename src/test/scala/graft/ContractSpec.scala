@@ -9,9 +9,11 @@ class ContractSpec extends SparkSpecBase {
     * approx sketches) — each MUST have spec coverage instead. Since r5 the
     * ANN variants and rolling_fingerprint are oracle-checked via the
     * materialized-relation pattern (bucket/probe + window-hash dumps). */
+  /** Since r6 hll_reaggregate is oracle-checked too: the transparent
+    * register-relation HLL dumps its daily registers and DuckDB re-runs
+    * the max-union + harmonic-mean estimate over them. */
   private val rowsOnly = Set(
-    "approx_sketch",     // accuracy-vs-exact spec (SketchSpec)
-    "hll_reaggregate")   // lossless-union spec (SketchSpec)
+    "approx_sketch")     // accuracy-vs-exact spec (SketchSpec)
 
   test("every query has an oracle or is on the documented rows-only list") {
     val qs = SparkEntry.queries.keySet

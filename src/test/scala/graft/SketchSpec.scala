@@ -115,6 +115,33 @@ class SketchSpec extends SparkSpecBase {
     }
   }
 
+  test("transparent-register HLL: reagg == single-pass exactly, tracks exact within error") {
+    val events = Tables.events(spark, sfDir)
+    val viaDaily = graft.ops.AggOps.hllReaggregateTransparent(events)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    // single-pass: estimate straight from the day-merged register build —
+    // max over day-maxes == global max, so estimates must be IDENTICAL
+    val singleRegs = graft.ops.AggOps.hllDailyRegisters(
+        events.withColumn("ts", org.apache.spark.sql.functions.lit("2024-01-01 00:00:00").cast("timestamp")))
+    val single = graft.ops.AggOps.hllReaggregateFromRegisters(singleRegs)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaDaily.view.mapValues(_._1).toMap == single,
+      s"register union must be lossless: $viaDaily vs $single")
+    val exact = events.groupBy(col("event_type"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // standard error at m=4096 is 1.04/sqrt(m) ≈ 1.6%; allow 5%
+    exact.foreach { case (k, n) =>
+      assert(math.abs(viaDaily(k)._1 - n) / n <= 0.05,
+        s"$k: transparent est ${viaDaily(k)._1} vs exact $n drifts > 5%")
+    }
+    // n_days matches the raw per-type day counts
+    val days = events.select(col("event_type"), org.apache.spark.sql.functions.to_date(col("ts")).as("d"))
+      .distinct().groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaDaily.view.mapValues(_._2).toMap == days)
+  }
+
   test("sketch works from SQL text and per group") {
     GraftFunctions.register(spark)
     docs.select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
