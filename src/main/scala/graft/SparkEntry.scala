@@ -318,6 +318,7 @@ object SparkEntry {
     }),
     "pack_sequences" -> ((s, d) => CurationPipeline.packSequences(Tables.documents(s, d))),
     "curation_pipeline" -> ((s, d) => CurationPipeline.curate(Tables.documents(s, d))),
+    "curation_full" -> ((s, d) => CurationPipeline.curateFull(Tables.documents(s, d))),
     // §2 preference-(c) showcase: custom LogicalPlan+Strategy+Exec operator
     "topk_custom_operator" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, round}
@@ -1203,5 +1204,42 @@ object SparkEntry {
              row_number() OVER (PARTITION BY o_custkey
                ORDER BY round(o_totalprice,2) DESC, o_orderkey) AS rn
            FROM orders) WHERE rn <= 3""",
+    // curation_pipeline's SQL re-based onto the mixture-sampled +
+    // repetition-kept document set (the two predicate stages fused ahead).
+    "curation_full" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+           WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0
+               < ((CAST(substr(source, 4) AS INT) % 5) + 1) / 5.0),
+         tok0 AS (SELECT doc_id, text,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM base),
+         tok AS (SELECT doc_id, text, t FROM tok0
+           WHERE (CASE WHEN len(t) >= 2
+             THEN round(1.0 - len(list_distinct([t[i]||' '||t[i+1]
+                 FOR i IN generate_series(1, len(t)-1)])) / (len(t)-1)::DOUBLE, 6)
+             ELSE 0.0 END) <= 0.5),
+         q AS (SELECT doc_id, len(t) AS n_tokens,
+             round(least(1.0, len(t)/50.0)*0.4
+               + round(len(list_filter(t, x->list_contains(['the','a','of','and','to','in','is','it'], x)))
+                   / (CASE WHEN len(t)>0 THEN len(t) ELSE 1 END)::DOUBLE, 6)*0.4
+               + (1.0 - round((length(text) - length(regexp_replace(text,'[.,!?;:]','','g')))
+                   / (CASE WHEN length(text)>0 THEN length(text) ELSE 1 END)::DOUBLE, 6))*0.2, 6) AS quality
+           FROM tok),
+         canon AS (SELECT min(doc_id) AS doc_id FROM tok GROUP BY md5(text)),
+         surv AS (SELECT doc_id FROM q WHERE quality >= 0.5
+                    AND doc_id IN (SELECT doc_id FROM canon)),
+         sh AS (SELECT doc_id, CASE WHEN len(t)>=3
+             THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+                                 FOR i IN generate_series(1, len(t)-2)])
+             ELSE [] END AS s FROM tok
+           WHERE doc_id IN (SELECT doc_id FROM surv)),
+         ex AS (SELECT doc_id, unnest(s) AS sg, len(s) AS nsh FROM sh WHERE len(s)>0),
+         pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
+             any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+           FROM ex a JOIN ex b ON a.sg=b.sg AND a.doc_id<b.doc_id GROUP BY 1,2),
+         losers AS (SELECT b_id FROM pairs WHERE round(inter/(na+nb-inter),6) >= 0.8)
+         SELECT doc_id, n_tokens, quality FROM q
+         WHERE quality >= 0.5
+           AND doc_id IN (SELECT doc_id FROM canon)
+           AND doc_id NOT IN (SELECT b_id FROM losers)""",
   )
 }

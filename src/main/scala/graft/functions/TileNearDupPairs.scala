@@ -246,10 +246,17 @@ case class TileNearDupPairs(left: Expression, right: Expression, tau: Double)
 }
 
 object TileNearDupPairs {
+  private val probedLanes: Int =
+    try SimdDot.lanes()
+    catch { case _: Throwable => 0 }
+
+  /** Test hook: force the scalar path even when SIMD is available, so the
+    * fallback (the path a cluster executor without --add-modules takes)
+    * stays covered by the equality specs. */
+  @volatile private[graft] var simdDisabled = false
+
   /** SIMD lane width, or 0 when jdk.incubator.vector is absent at runtime
     * (e.g. an executor JVM launched without --add-modules) — the kernel
     * then takes the scalar path, output unchanged. */
-  val simdLanes: Int =
-    try SimdDot.lanes()
-    catch { case _: Throwable => 0 }
+  def simdLanes: Int = if (simdDisabled) 0 else probedLanes
 }

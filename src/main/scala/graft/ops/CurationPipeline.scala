@@ -40,6 +40,22 @@ object CurationPipeline {
     preNearDup.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** The full curation composition a training-mixture build runs:
+    *
+    *   mixture sample → repetition filter → quality filter →
+    *   exact dedup → near-dup removal
+    *
+    * The two new stages are pure predicate Columns, so they FUSE into the
+    * same scan as the quality metrics (one pass over text, zero extra
+    * shuffles — the plan is curate()'s plan with two more conjuncts in the
+    * scan-side filter). Survivor-set semantics are curate()'s: near-dup
+    * pairs are computed over post-filter canonical survivors only, so no
+    * content is orphaned by a dropped lower-id copy. */
+  def curateFull(docs: DataFrame, minQuality: Double = 0.5,
+                 nearDupTau: Double = 0.8, maxDupBigram: Double = 0.5): DataFrame =
+    curate(docs.filter(TextAnalysis.mixtureKeep && TextAnalysis.repetitionOk(maxDupBigram)),
+      minQuality, nearDupTau)
+
   /** curate() with end-to-end counters riding the job (the MR Counters
     * contract — reference Counters.java:1 — via Dataset.observe): one
     * action yields the survivors AND (input_rows) + (survivor_rows,

@@ -168,12 +168,28 @@ object TextAnalysis {
     * in for a mixture-weights table; a real pipeline would broadcast-join
     * one. Pure map-side filter: at 100 TB this runs at scan speed with
     * column pruning, no shuffle, and composes with any downstream op. */
-  def mixtureSample(docs: DataFrame): DataFrame = {
+  /** The mixture coin as a reusable predicate (pure function of doc_id +
+    * source — composes into any scan as a fused map-side filter). */
+  def mixtureKeep: Column = {
     val idx = substring(col("source"), 4, 9).cast("int")
     val frac = ((idx % 5) + 1).cast("double") / 5.0
     val u = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).cast("double") / 4294967296.0
-    docs.filter(u < frac)
+    u < frac
+  }
+
+  def mixtureSample(docs: DataFrame): DataFrame =
+    docs.filter(mixtureKeep)
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+
+  /** The repetition rule as a reusable predicate: keep iff the rounded
+    * duplicate-bigram ratio does not exceed the threshold (same arithmetic
+    * as [[repetitionScore]]'s flag, so the two stay oracle-consistent). */
+  def repetitionOk(flagAbove: Double = 0.5): Column = {
+    val t = TextOps.tokens(col("text"))
+    val nb = greatest(size(t) - 1, lit(0)).cast("long")
+    val ndb = size(DedupOps.shinglesFromTokens(t, 2)).cast("long")
+    val ratio = when(nb > 0, round(lit(1.0) - ndb / nb, 6)).otherwise(lit(0.0))
+    ratio <= flagAbove
   }
 
   /** Intra-document repetition scoring (the Gopher-style "repetitive doc"

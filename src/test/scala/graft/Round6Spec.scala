@@ -146,6 +146,46 @@ class Round6Spec extends SparkSpecBase {
     assert(exact.nonEmpty)
   }
 
+  test("TileNearDupPairs: SIMD path == forced-scalar path exactly (incl. zero norms)") {
+    import graft.functions.TileNearDupPairs
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    assert(TileNearDupPairs.simdLanes > 0,
+      "this environment must have jdk.incubator.vector so both kernel paths are exercised")
+    val rnd = new scala.util.Random(66)
+    val dim = 32
+    def vec() = Array.fill(dim)(rnd.nextFloat() - 0.5f)
+    def nrm(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(s)
+    }
+    // ids interleaved across blocks (the suffix search must split mid-block),
+    // plus zero-norm rows on both sides
+    def block(n: Int, idStep: Int, idOff: Int): GenericArrayData =
+      new GenericArrayData((0 until n).map { i =>
+        val v = if (i % 37 == 5) Array.fill(dim)(0f) else vec()
+        InternalRow((i * idStep + idOff).toLong,
+          new GenericArrayData(v.map(Float.box)), nrm(v))
+      }.toArray[Any])
+    // 200×300×32 = 1.9M > the 64k bT threshold → SIMD path engages
+    val a = block(200, 3, 0)
+    val b = block(300, 2, 1)
+    val expr = TileNearDupPairs(null, null, 0.1)
+    def pairs(r: Any): Set[(Long, Long, Double)] = {
+      val arr = r.asInstanceOf[ArrayData]
+      (0 until arr.numElements()).map { i =>
+        val s = arr.getStruct(i, 3); (s.getLong(0), s.getLong(1), s.getDouble(2))
+      }.toSet
+    }
+    val simd = pairs(expr.nullSafeEval(a, b))
+    TileNearDupPairs.simdDisabled = true
+    val scalar = try pairs(expr.nullSafeEval(a, b))
+    finally TileNearDupPairs.simdDisabled = false
+    assert(simd == scalar, s"SIMD ${simd.size} pairs vs scalar ${scalar.size}")
+    assert(simd.nonEmpty, "tau=0.1 on random 32-dim vectors must emit some pairs")
+  }
+
   test("mixtureSample: deterministic coin, per-source rates track target fractions") {
     val docs = graft.Tables.documents(spark, sfDir)
     val s1 = graft.ops.TextAnalysis.mixtureSample(docs)
@@ -164,6 +204,24 @@ class Round6Spec extends SparkSpecBase {
     // fraction-5 sources (idx%5==4 → frac 1.0) are kept in full
     val full = all.filter { case (_, s) => s.drop(3).toInt % 5 == 4 }
     assert(full.nonEmpty && full.forall(kept.contains))
+  }
+
+  test("curateFull == curate over the mixture+repetition-filtered corpus, stages compose") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val staged = docs.filter(
+      graft.ops.TextAnalysis.mixtureKeep && graft.ops.TextAnalysis.repetitionOk())
+    val viaCurate = graft.ops.CurationPipeline.curate(staged)
+      .collect().map(_.getLong(0)).toSet
+    val full = graft.ops.CurationPipeline.curateFull(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(full == viaCurate && full.nonEmpty)
+    // every survivor individually passes both predicate stages
+    val kept = docs.filter(org.apache.spark.sql.functions.col("doc_id").isin(full.toSeq: _*))
+    assert(kept.filter(!graft.ops.TextAnalysis.mixtureKeep).count() == 0)
+    assert(kept.filter(!graft.ops.TextAnalysis.repetitionOk()).count() == 0)
+    // NOT a subset of plain curate: survivor-set semantics mean a doc whose
+    // near-dup partner was mixture-dropped legitimately survives here —
+    // so assert only the stage arithmetic above, not containment.
   }
 
   test("repetitionScore: ratios from first principles on crafted docs") {
