@@ -20,8 +20,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * and the per-pair path pays join-row machinery PLUS a fresh 128-long peq
   * bitmask allocation inside every bounded_levenshtein call. Here the
   * pattern bitmask is built once per A-row and reused across the whole
-  * B-block (BoundedLevenshtein.core), the blocks are unpacked to primitive
-  * arrays once per tile, and only surviving pairs materialize as rows.
+  * B-block (BoundedLevenshtein.core), blocks are id-sorted at unpack so
+  * each A-row's admissible partners are one contiguous B-suffix (binary
+  * search, no per-pair id branch), B-side bytes/ascii-eligibility are
+  * precomputed once per tile, and only surviving pairs materialize as
+  * rows. (A 4-way interleaved Myers variant was measured SLOWER than this
+  * form — the per-lane guards cost more than the chain overlap buys; see
+  * NOTES_PERF round 6b.)
   * Parity: Levenshtein is symmetric, so fixing the pattern role emits the
   * same integers as distance(); non-ASCII or >64-byte prefixes take the
   * same builtin fallback per pair. */
@@ -40,6 +45,10 @@ case class TileLevenshteinPairs(left: Expression, right: Expression, maxDist: In
     StructField("dist", LongType, nullable = false))), containsNull = false)
   override def prettyName: String = "tile_levenshtein_pairs"
 
+  /** Blocks are SORTED BY ID at unpack (output is a set — exploded
+    * downstream), so each A-row's admissible partners (id-order guard) are
+    * one contiguous B-suffix found by binary search; B-side bytes and
+    * ascii-eligibility are precomputed once per tile. */
   private def unpack(block: ArrayData): (Array[Long], Array[UTF8String]) = {
     val n = block.numElements()
     val ids = new Array[Long](n)
@@ -51,39 +60,71 @@ case class TileLevenshteinPairs(left: Expression, right: Expression, maxDist: In
       pfx(i) = row.getUTF8String(1)
       i += 1
     }
-    (ids, pfx)
+    val perm = Array.range(0, n).sortBy(ids(_))
+    (perm.map(ids), perm.map(pfx))
+  }
+
+  private def upperBound(ids: Array[Long], key: Long): Int = {
+    var lo = 0
+    var hi = ids.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ids(mid) <= key) lo = mid + 1 else hi = mid
+    }
+    lo
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val (aIds, aPfx) = unpack(a.asInstanceOf[ArrayData])
     val (bIds, bPfx) = unpack(b.asInstanceOf[ArrayData])
     val k = maxDist
+    val nb = bIds.length
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     val peq = new Array[Long](128) // one table per TILE, refilled per A-row
+    // B-side bytes + ascii flags once per tile, not once per pair
+    val bBytes = new Array[Array[Byte]](nb)
+    val bLen = new Array[Int](nb)
+    val bAscii = new Array[Boolean](nb)
+    var j = 0
+    while (j < nb) {
+      val tb = bPfx(j)
+      bLen(j) = tb.numBytes
+      bAscii(j) = tb.numChars == bLen(j)
+      if (bAscii(j)) bBytes(j) = tb.getBytes
+      j += 1
+    }
     var i = 0
     while (i < aIds.length) {
       val pa = aPfx(i)
+      val ai = aIds(i)
       val m = pa.numBytes
       val asciiA = m <= 64 && pa.numChars == m
+      val lo = upperBound(bIds, ai)
       if (asciiA) {
         java.util.Arrays.fill(peq, 0L)
         val pb = pa.getBytes
         var t = 0
         while (t < m) { peq(pb(t) & 0x7f) |= 1L << t; t += 1 }
-      }
-      var j = 0
-      while (j < bIds.length) {
-        if (aIds(i) < bIds(j)) {
-          val tb = bPfx(j)
-          val n = tb.numBytes
-          val d =
-            if (asciiA && tb.numChars == n) {
-              if (math.abs(n - m) > k) -1
-              else BoundedLevenshtein.core(peq, m, tb.getBytes, n, k)
-            } else pa.levenshteinDistance(tb, k) // builtin fallback, same as distance()
-          if (d >= 0) out += InternalRow(aIds(i), bIds(j), d.toLong)
+        var jj = lo
+        while (jj < nb) {
+          if (bAscii(jj)) {
+            if (math.abs(bLen(jj) - m) <= k) {
+              val d = BoundedLevenshtein.core(peq, m, bBytes(jj), bLen(jj), k)
+              if (d >= 0) out += InternalRow(ai, bIds(jj), d.toLong)
+            }
+          } else {
+            val d = pa.levenshteinDistance(bPfx(jj), k)
+            if (d >= 0) out += InternalRow(ai, bIds(jj), d.toLong)
+          }
+          jj += 1
         }
-        j += 1
+      } else {
+        var jj = lo
+        while (jj < nb) {
+          val d = pa.levenshteinDistance(bPfx(jj), k) // builtin fallback, same as distance()
+          if (d >= 0) out += InternalRow(ai, bIds(jj), d.toLong)
+          jj += 1
+        }
       }
       i += 1
     }

@@ -233,4 +233,34 @@ class StreamingSpec extends SparkSpecBase {
         s.session_start == ts(0) && s.session_end == ts(10)))
     } finally q.stop()
   }
+
+  test("curation predicates compose on a stream: mixtureKeep + repetitionOk are stateless filters") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, source: String, text: String)
+    val input = MemoryStream[(Long, String, String)]
+    val docs = input.toDF().toDF("doc_id", "source", "text")
+    // the exact batch predicates, unchanged, on an unbounded source —
+    // stateless map-side filters need no watermark and no state store
+    val q = docs.filter(
+        graft.ops.TextAnalysis.mixtureKeep && graft.ops.TextAnalysis.repetitionOk())
+      .writeStream.format("memory").queryName("curated_stream_t")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val rows = Seq(
+        (0L, "src4", "unique words only here"),       // src4: frac 1.0 — kept, non-repetitive
+        (1L, "src4", "a b a b a b a b a b a b"),      // repetitive — dropped
+        (2L, "src0", "fine text")                     // src0 frac .2: coin decides
+      )
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("curated_stream_t").collect().map(_.getLong(0)).toSet
+      // reference: the batch op on the same rows
+      val batch = rows.toDF("doc_id", "source", "text").filter(
+        graft.ops.TextAnalysis.mixtureKeep && graft.ops.TextAnalysis.repetitionOk())
+        .collect().map(_.getLong(0)).toSet
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got.contains(0L) && !got.contains(1L))
+    } finally q.stop()
+  }
 }
