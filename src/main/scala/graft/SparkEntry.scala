@@ -30,6 +30,7 @@ object SparkEntry {
   val LshProbeDumpDir = "/tmp/graft_lsh_probes"
   val RollingHashDumpDir = "/tmp/graft_rolling_hashes"
   val HllRegDumpDir = "/tmp/graft_hll_registers"
+  val ApproxRegDumpDir = "/tmp/graft_approx_registers"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -110,7 +111,20 @@ object SparkEntry {
     "range_join" -> ((s, d) => JoinOps.rangeJoinValueBuckets(Tables.events(s, d))),
     "range_join_bigbig" -> ((s, d) => JoinOps.rangeJoinBigBigRevenue(Tables.events(s, d))),
     "correlated_subquery" -> ((s, d) => AggOps.correlatedMinPerType(s, Tables.part(s, d))),
-    "approx_sketch" -> ((s, d) => AggOps.approxSketch(Tables.lineitem(s, d))),
+    // Transparent sketch (register-relation HLL + deterministic-sample
+    // order-statistic quantiles): under Verify the registers are dumped and
+    // the result recomputed FROM the dump, so distinct estimates AND
+    // quantiles are oracle-checked end to end. The Spark-native
+    // approx_count_distinct/approx_percentile variant stays as the
+    // production API (AggOps.approxSketch, accuracy-spec'd in SketchSpec).
+    "approx_sketch" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      if (sys.props.contains("graft.fp.dump")) {
+        AggOps.approxSketchRegisters(li).coalesce(1)
+          .write.mode("overwrite").parquet(ApproxRegDumpDir)
+        AggOps.approxSketchFromRegisters(li, s.read.parquet(ApproxRegDumpDir))
+      } else AggOps.approxSketchTransparent(li)
+    }),
     "sessionize" -> ((s, d) => AggOps.sessionize(Tables.events(s, d))),
     "sessionize_native" -> ((s, d) => AggOps.sessionizeNative(Tables.events(s, d))),
     "events_sliding" -> ((s, d) => AggOps.eventsSliding(Tables.events(s, d))),
@@ -772,6 +786,40 @@ object SparkEntry {
     // correction) — the union algebra and the estimate are cross-engine-
     // checked; the xxhash64/rho register build stays Spark-side (it IS the
     // dumped relation, spec-covered — same pattern as dedup_simhash).
+    // Recomputes BOTH halves: the HLL estimates from the dumped register
+    // relation (identical Flajolet arithmetic, same pattern as
+    // hll_reaggregate) and the quantiles from scratch — the md5 1/16
+    // Bernoulli sample and the ceil(q*n) order statistic are
+    // engine-independent (md5 is md5; rank selection has no interpolation
+    // arithmetic to diverge).
+    "approx_sketch" ->
+      s"""WITH regs AS (SELECT which, bucket, r
+             FROM read_parquet('$ApproxRegDumpDir/*.parquet')),
+         u AS (SELECT which, bucket, max(r) AS r FROM regs GROUP BY 1, 2),
+         agg AS (SELECT which, sum(power(2.0, -r)) AS sp, count(*) AS np
+             FROM u GROUP BY 1),
+         est AS (SELECT which,
+             CASE WHEN raw <= 2.5 * 4096 AND zeros > 0
+               THEN 4096 * ln(4096 / zeros::DOUBLE) ELSE raw END AS est
+           FROM (SELECT which,
+               0.7213 / (1 + 1.079 / 4096.0) * 4096 * 4096
+                 / (sp + (4096 - np)) AS raw,
+               4096 - np AS zeros FROM agg)),
+         hll AS (SELECT
+             round(max(CASE WHEN which = 'parts' THEN est END), 2) AS approx_parts,
+             round(max(CASE WHEN which = 'orders' THEN est END), 2) AS approx_orders
+           FROM est),
+         s AS (SELECT l_extendedprice AS v FROM lineitem
+           WHERE substr(md5(l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR),
+                        1, 1) = '0'),
+         nn AS (SELECT count(*) AS n FROM s),
+         ranked AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s),
+         qs AS (SELECT
+             max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END) AS q50,
+             max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN v END) AS q95,
+             max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN v END) AS q99
+           FROM ranked CROSS JOIN nn)
+         SELECT * FROM hll CROSS JOIN qs""",
     "hll_reaggregate" ->
       s"""WITH regs AS (SELECT day, event_type, bucket, r
              FROM read_parquet('$HllRegDumpDir/*.parquet')),

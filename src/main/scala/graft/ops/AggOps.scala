@@ -577,6 +577,52 @@ object AggOps {
         round(col("price_quantiles")(1), 2).as("q95"),
         round(col("price_quantiles")(2), 2).as("q99"))
 
+  /** Transparent twin of [[approxSketch]] — same shape (2 approx distinct
+    * counts + 3 price quantiles), every stage re-runnable by any engine:
+    *   - distincts: the p=12 register-relation HLL (see [[hllDailyRegisters]])
+    *     over l_partkey / l_orderkey — registers dump as rows, the estimate
+    *     is the published Flajolet harmonic-mean formula;
+    *   - quantiles: a DETERMINISTIC md5 sample (first hex nibble of
+    *     md5(orderkey-linenumber) = '0', an exact 1/16 Bernoulli sample both
+    *     engines compute identically) + the k = ceil(q·n) order statistic
+    *     over the sample — integer rank selection, so no interpolation
+    *     arithmetic can diverge across engines.
+    * Scale: the register relation is ≤ 2·4096 rows regardless of input; the
+    * sample's single-task rank window is bounded by the sample size — at
+    * 100 TB widen the md5 prefix (2 chars = 1/256, 3 = 1/4096) to keep the
+    * sample machine-sized; error ~ 1/√sample stays ample for quantiles. */
+  def approxSketchRegisters(lineitem: DataFrame): DataFrame = {
+    def side(c: String, which: String) = {
+      val (bucket, rho) = hllBucketRho(xxhash64(col(c)))
+      lineitem.select(lit(which).as("which"), bucket.as("bucket"), rho.as("rho"))
+    }
+    side("l_partkey", "parts").union(side("l_orderkey", "orders"))
+      .groupBy(col("which"), col("bucket")).agg(max(col("rho")).as("r"))
+  }
+
+  def approxSketchFromRegisters(lineitem: DataFrame, regs: DataFrame): DataFrame = {
+    val ests = hllEstimateByKey(regs, "which").agg(
+      round(max(when(col("which") === "parts", col("est"))), 2).as("approx_parts"),
+      round(max(when(col("which") === "orders", col("est"))), 2).as("approx_orders"))
+    val sample = lineitem.filter(
+      substring(md5(concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string"))), 1, 1) === "0")
+      .select(col("l_extendedprice").as("v"))
+    val n = sample.agg(count(lit(1)).as("n"))
+    val ranked = sample.select(col("v"),
+      row_number().over(Window.orderBy(col("v"))).as("rn"))
+    // k-th order statistic is tie-order-independent; ceil(q·n) is one IEEE
+    // multiply + ceil in both engines → identical k.
+    val qs = ranked.crossJoin(n).agg(
+      max(when(col("rn") === ceil(lit(0.5) * col("n")), col("v"))).as("q50"),
+      max(when(col("rn") === ceil(lit(0.95) * col("n")), col("v"))).as("q95"),
+      max(when(col("rn") === ceil(lit(0.99) * col("n")), col("v"))).as("q99"))
+    ests.crossJoin(qs)
+  }
+
+  def approxSketchTransparent(lineitem: DataFrame): DataFrame =
+    approxSketchFromRegisters(lineitem, approxSketchRegisters(lineitem))
+
   /** Tumbling-window event counts — the batch twin of the streaming agg in
     * graft.streaming (same grouping, watermark added on the stream side). */
   /** Ordered funnel conversion (view → click → purchase): per stage, the
@@ -648,8 +694,11 @@ object AggOps {
   private val HllP = 12
   private val HllM = 1 << HllP
 
-  def hllDailyRegisters(events: DataFrame): DataFrame = {
-    val h = xxhash64(col("user_id"))
+  /** (bucket, rho) columns for one hashed value — the per-row HLL update.
+    * rho needs no custom expression: leftmost-1-bit position via the
+    * codegen'd smear/popcount identity bit_count(smear(w)) = 64 − clz(w). */
+  private def hllBucketRho(h: org.apache.spark.sql.Column)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     def smear(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
       val s1 = c.bitwiseOR(shiftrightunsigned(c, 1))
       val s2 = s1.bitwiseOR(shiftrightunsigned(s1, 2))
@@ -661,19 +710,17 @@ object AggOps {
     val w = shiftleft(h, HllP)
     val rho = when(w === 0, lit(64 - HllP + 1))
       .otherwise(lit(65) - bit_count(smear(w)).cast("int"))
-    events.select(to_date(col("ts")).as("day"), col("event_type"),
-        shiftrightunsigned(h, 64 - HllP).as("bucket"), rho.as("rho"))
-      .groupBy(col("day"), col("event_type"), col("bucket"))
-      .agg(max(col("rho")).as("r"))
+    (shiftrightunsigned(h, 64 - HllP), rho)
   }
 
-  /** Register-max union across days + harmonic-mean estimate; reads ONLY
-    * the register relation, never raw events — the rollup contract. */
-  def hllReaggregateFromRegisters(regs: DataFrame): DataFrame = {
+  /** Register-max union + harmonic-mean estimate, grouped by `key`; reads
+    * ONLY a register relation. Shared by the events rollup and the
+    * approx_sketch distinct counts — identical published arithmetic. */
+  private def hllEstimateByKey(regs: DataFrame, key: String): DataFrame = {
     val m = HllM.toDouble
     val alpha = 0.7213 / (1 + 1.079 / m)
-    val est = regs.groupBy(col("event_type"), col("bucket")).agg(max(col("r")).as("r"))
-      .groupBy(col("event_type"))
+    regs.groupBy(col(key), col("bucket")).agg(max(col("r")).as("r"))
+      .groupBy(col(key))
       .agg(sum(pow(lit(2.0), -col("r"))).as("sp"), count(lit(1)).as("np"))
       // absent buckets carry register 0 → 2⁰ = 1 each; zeros = #absent
       .withColumn("sumPow", col("sp") + (lit(m) - col("np")))
@@ -681,6 +728,20 @@ object AggOps {
       .withColumn("raw", lit(alpha * m * m) / col("sumPow"))
       .withColumn("est", when(col("raw") <= 2.5 * m && col("zeros") > 0,
         lit(m) * log(lit(m) / col("zeros"))).otherwise(col("raw")))
+  }
+
+  def hllDailyRegisters(events: DataFrame): DataFrame = {
+    val (bucket, rho) = hllBucketRho(xxhash64(col("user_id")))
+    events.select(to_date(col("ts")).as("day"), col("event_type"),
+        bucket.as("bucket"), rho.as("rho"))
+      .groupBy(col("day"), col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+  }
+
+  /** Register-max union across days + harmonic-mean estimate; reads ONLY
+    * the register relation, never raw events — the rollup contract. */
+  def hllReaggregateFromRegisters(regs: DataFrame): DataFrame = {
+    val est = hllEstimateByKey(regs, "event_type")
     est.join(
         regs.select(col("event_type"), col("day")).distinct()
           .groupBy(col("event_type")).agg(count(lit(1)).as("n_days")),

@@ -11,9 +11,11 @@ class ContractSpec extends SparkSpecBase {
     * materialized-relation pattern (bucket/probe + window-hash dumps). */
   /** Since r6 hll_reaggregate is oracle-checked too: the transparent
     * register-relation HLL dumps its daily registers and DuckDB re-runs
-    * the max-union + harmonic-mean estimate over them. */
-  private val rowsOnly = Set(
-    "approx_sketch")     // accuracy-vs-exact spec (SketchSpec)
+    * the max-union + harmonic-mean estimate over them. approx_sketch — the
+    * last rows-only holdout — joined it late in r6 via the same register
+    * dump plus md5-sample order-statistic quantiles, so the list is empty:
+    * EVERY query is oracle-checked. */
+  private val rowsOnly = Set.empty[String]
 
   test("every query has an oracle or is on the documented rows-only list") {
     val qs = SparkEntry.queries.keySet

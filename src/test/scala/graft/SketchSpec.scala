@@ -142,6 +142,33 @@ class SketchSpec extends SparkSpecBase {
     assert(viaDaily.view.mapValues(_._2).toMap == days)
   }
 
+  test("transparent approx_sketch tracks exact distincts and quantile ranks") {
+    val li = Tables.lineitem(spark, sfDir)
+    val row = graft.ops.AggOps.approxSketchTransparent(li).head
+    val exactParts = li.select(col("l_partkey")).distinct().count()
+    val exactOrders = li.select(col("l_orderkey")).distinct().count()
+    // m=4096 registers → standard error 1.04/sqrt(m) ≈ 1.6%; allow 5%
+    assert(math.abs(row.getDouble(0) - exactParts) / exactParts <= 0.05,
+      s"approx_parts ${row.getDouble(0)} vs $exactParts")
+    assert(math.abs(row.getDouble(1) - exactOrders) / exactOrders <= 0.05,
+      s"approx_orders ${row.getDouble(1)} vs $exactOrders")
+    // rank error of a sample quantile ~ Binomial: sqrt(p(1-p)/sampleN);
+    // allow 4σ (sf0.001's 361-row sample sits at 2.7σ for p95 — the same
+    // value DuckDB computes, so the check is noise-bounded, not drift)
+    val n = li.count().toDouble
+    val sampleN = n / 16.0
+    Seq((row.getDouble(2), 0.5), (row.getDouble(3), 0.95), (row.getDouble(4), 0.99))
+      .foreach { case (v, p) =>
+        val rank = li.filter(col("l_extendedprice") <= v).count() / n
+        val tol = 4.0 * math.sqrt(p * (1 - p) / sampleN)
+        assert(math.abs(rank - p) <= tol, f"p$p sample quantile $v rank $rank%.4f tol $tol%.4f")
+      }
+    // dump round trip: recomputing FROM the register relation is identical
+    val regs = graft.ops.AggOps.approxSketchRegisters(li)
+    val viaRegs = graft.ops.AggOps.approxSketchFromRegisters(li, regs).head
+    assert(viaRegs == row, s"register-relation recompute diverged: $viaRegs vs $row")
+  }
+
   test("sketch works from SQL text and per group") {
     GraftFunctions.register(spark)
     docs.select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
