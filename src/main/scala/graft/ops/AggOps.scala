@@ -588,9 +588,10 @@ object AggOps {
     *     over the sample — integer rank selection, so no interpolation
     *     arithmetic can diverge across engines.
     * Scale: the register relation is ≤ 2·4096 rows regardless of input; the
-    * sample's single-task rank window is bounded by the sample size — at
+    * sample's global rank is the two-phase range-partitioned shape (see
+    * [[approxSketchFromRegisters]]) so no stage serializes it — and at
     * 100 TB widen the md5 prefix (2 chars = 1/256, 3 = 1/4096) to keep the
-    * sample machine-sized; error ~ 1/√sample stays ample for quantiles. */
+    * shuffled sample small; error ~ 1/√sample stays ample for quantiles. */
   def approxSketchRegisters(lineitem: DataFrame): DataFrame = {
     def side(c: String, which: String) = {
       val (bucket, rho) = hllBucketRho(xxhash64(col(c)))
@@ -604,16 +605,32 @@ object AggOps {
     val ests = hllEstimateByKey(regs, "which").agg(
       round(max(when(col("which") === "parts", col("est"))), 2).as("approx_parts"),
       round(max(when(col("which") === "orders", col("est"))), 2).as("approx_orders"))
+    // Global rank via the TeraSort two-phase shape (same as packSequences):
+    // range-partition by v, per-partition row_number, plus a broadcast of
+    // per-partition counts — no single-partition global sort, so the rank
+    // stage scales with the sample instead of serializing it. Equal v land
+    // in one range partition, so offset + intra is a total order consistent
+    // with v; the rank-k VALUE is tie-order-independent either way.
     val sample = lineitem.filter(
       substring(md5(concat(col("l_orderkey").cast("string"), lit("-"),
         col("l_linenumber").cast("string"))), 1, 1) === "0")
       .select(col("l_extendedprice").as("v"))
-    val n = sample.agg(count(lit(1)).as("n"))
-    val ranked = sample.select(col("v"),
-      row_number().over(Window.orderBy(col("v"))).as("rn"))
+      .repartitionByRange(col("v"))
+      .withColumn("pid", spark_partition_id())
+    val offsets = sample.groupBy(col("pid")).agg(count(lit(1)).as("pcnt"))
+      .withColumn("offset", coalesce(sum(col("pcnt")).over(
+        // ≤ shuffle-partitions rows — the tiny phase-2 window
+        Window.partitionBy(lit(0)).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val n = offsets.agg(sum(col("pcnt")).as("n"))
+    val ranked = sample
+      .withColumn("intra", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("v"))).cast("long"))
+      .join(broadcast(offsets.select(col("pid"), col("offset"))), "pid")
+      .select(col("v"), (col("offset") + col("intra")).as("rn"))
     // k-th order statistic is tie-order-independent; ceil(q·n) is one IEEE
     // multiply + ceil in both engines → identical k.
-    val qs = ranked.crossJoin(n).agg(
+    val qs = ranked.crossJoin(broadcast(n)).agg(
       max(when(col("rn") === ceil(lit(0.5) * col("n")), col("v"))).as("q50"),
       max(when(col("rn") === ceil(lit(0.95) * col("n")), col("v"))).as("q95"),
       max(when(col("rn") === ceil(lit(0.99) * col("n")), col("v"))).as("q99"))
