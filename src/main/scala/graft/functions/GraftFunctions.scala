@@ -84,7 +84,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("hyperplane_lsh",
       exprs => HyperplaneLsh(exprs(0), evalCentroids(exprs(1)),
         exprs(2).eval().asInstanceOf[Number].intValue(),
-        exprs(3).eval().asInstanceOf[Number].intValue()), "built-in")
+        exprs(3).eval().asInstanceOf[Number].intValue(),
+        // optional 5th arg: multi-probe flips per table (default 0)
+        if (exprs.length > 4) exprs(4).eval().asInstanceOf[Number].intValue()
+        else 0), "built-in")
   }
 
   /** Fold a foldable array<array<float|double>> argument into the model
@@ -216,13 +219,16 @@ object GraftFunctions {
       org.apache.spark.sql.functions.typedlit(boundaries.toSeq))
 
   /** Multi-table sign-LSH bucket ids (array<int>, namespaced per table) —
-    * map-side bucketing for the LSH-ANN path. */
+    * map-side bucketing for the LSH-ANN path. `probes` > 0 additionally
+    * emits the lowest-margin single-bit-flip buckets per table (multi-probe
+    * querying — use on the query side only; see HyperplaneLsh). */
   def hyperplaneLsh(vec: Column, planes: Array[Array[Float]],
-                    tables: Int, bits: Int): Column =
+                    tables: Int, bits: Int, probes: Int = 0): Column =
     call_function("hyperplane_lsh", vec,
       org.apache.spark.sql.functions.typedlit(planes.map(_.toSeq).toSeq),
       org.apache.spark.sql.functions.lit(tables),
-      org.apache.spark.sql.functions.lit(bits))
+      org.apache.spark.sql.functions.lit(bits),
+      org.apache.spark.sql.functions.lit(probes))
 
   /** 64-bit SimHash fingerprint of an array<string> token column. */
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)

@@ -18,13 +18,27 @@ import org.apache.spark.sql.types._
   * vectors at angle θ is 1 − θ/π, so a table of b bits catches a pair with
   * probability (1 − θ/π)^b and L tables give recall 1 − (1 − p)^L — tune
   * (tables, bits) to the corpus similarity profile.
+  *
+  * `probes` > 0 turns on MULTI-PROBE emission (Lv et al., VLDB 2007,
+  * adapted from E2LSH to sign-LSH): per table, also emit the buckets
+  * reached by flipping each of the `probes` sign bits with the smallest
+  * margin |dot| — the bits a true near neighbour is most likely to differ
+  * on, since P[flip] per bit decays with the margin. Output grows to
+  * tables·(1+probes) ids. Intended asymmetry: the INDEX side stays
+  * probes=0 (one bucket per table for N vectors), only the QUERY side
+  * multi-probes — recall rises like extra tables, but the index build,
+  * its shuffle, and its storage don't grow. At 100 TB that asymmetry is
+  * the whole point: tables is the expensive knob (×N index rows),
+  * probes is the cheap one (×nQueries probe rows).
   */
 case class HyperplaneLsh(child: Expression, planes: Array[Array[Float]],
-                         tables: Int, bits: Int)
+                         tables: Int, bits: Int, probes: Int = 0)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(tables >= 1 && bits >= 1 && bits <= 24,
     s"hyperplane_lsh: tables=$tables bits=$bits out of range")
+  require(probes >= 0 && probes <= bits,
+    s"hyperplane_lsh: probes=$probes out of range [0, bits=$bits]")
   require(tables <= (1 << (31 - bits)),
     s"hyperplane_lsh: tables=$tables overflows the int bucket namespace at bits=$bits " +
       s"(max ${1 << (31 - bits)}) — distinct tables would alias to the same buckets")
@@ -35,7 +49,8 @@ case class HyperplaneLsh(child: Expression, planes: Array[Array[Float]],
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "hyperplane_lsh"
 
-  @transient private lazy val model = new HyperplaneLsh.Model(planes, tables, bits)
+  @transient private lazy val model =
+    new HyperplaneLsh.Model(planes, tables, bits, probes)
 
   override def nullSafeEval(v: Any): Any =
     HyperplaneLsh.compute(v.asInstanceOf[ArrayData], model)
@@ -54,8 +69,8 @@ case class HyperplaneLsh(child: Expression, planes: Array[Array[Float]],
 object HyperplaneLsh {
 
   /** Flattened hyperplane matrix (once per task). */
-  final class Model(ps: Array[Array[Float]], val tables: Int, val bits: Int)
-      extends Serializable {
+  final class Model(ps: Array[Array[Float]], val tables: Int, val bits: Int,
+                    val probes: Int) extends Serializable {
     val dim: Int = ps.head.length
     val flat: Array[Float] = {
       val f = new Array[Float](ps.length * dim)
@@ -70,7 +85,9 @@ object HyperplaneLsh {
 
   def compute(vec: ArrayData, m: Model): GenericArrayData = {
     val d = math.min(vec.numElements(), m.dim)
-    val out = new Array[Int](m.tables)
+    val out = new Array[Int](m.tables * (1 + m.probes))
+    val margin = if (m.probes > 0) new Array[Double](m.bits) else null
+    var o = 0
     var t = 0
     while (t < m.tables) {
       var bucket = t << m.bits
@@ -81,9 +98,27 @@ object HyperplaneLsh {
         var i = 0
         while (i < d) { dot += vec.getFloat(i).toDouble * m.flat(off + i); i += 1 }
         if (dot >= 0.0) bucket |= 1 << j
+        if (margin != null) margin(j) = math.abs(dot)
         j += 1
       }
-      out(t) = bucket
+      out(o) = bucket; o += 1
+      // multi-probe: flip the `probes` lowest-|margin| bits, one at a time
+      // (first-order probe sequence). Selection is deterministic — ties
+      // break to the lowest bit index — so the probe relation dump and the
+      // operator replan identically.
+      var p = 0
+      while (p < m.probes) {
+        var bestJ = -1
+        var bestM = Double.MaxValue
+        var k = 0
+        while (k < m.bits) {
+          if (margin(k) < bestM) { bestM = margin(k); bestJ = k }
+          k += 1
+        }
+        margin(bestJ) = Double.MaxValue // consumed
+        out(o) = bucket ^ (1 << bestJ); o += 1
+        p += 1
+      }
       t += 1
     }
     new GenericArrayData(out)

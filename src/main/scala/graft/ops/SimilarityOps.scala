@@ -297,10 +297,12 @@ object SimilarityOps {
      emb.select(col("vec_id").as("q_id"), lit(0).cast("int").as("bucket")).limit(0))
 
   /** (n_id, bucket) + (q_id, bucket) relations of the multi-table LSH index
-    * (bucket ids are table-namespaced) — Verify-mode dump counterpart. */
+    * (bucket ids are table-namespaced) — Verify-mode dump counterpart.
+    * The probe side multi-probes (`flips` lowest-margin bit flips per
+    * table); the index side never does — same asymmetry as annLshTopK. */
   def lshBucketRelations(spark: SparkSession, emb: DataFrame, nQueries: Int = 10,
                          tables: Int = 8, bits: Int = 4,
-                         seed: Long = 42L): (DataFrame, DataFrame) = {
+                         seed: Long = 42L, flips: Int = 2): (DataFrame, DataFrame) = {
     GraftFunctions.register(spark)
     val dimRow = emb.select(size(col("embedding"))).limit(1).collect()
     // same degenerate-input guard as ivfBucketRelations / annLshTopK
@@ -310,7 +312,8 @@ object SimilarityOps {
        explode(GraftFunctions.hyperplaneLsh(col("embedding"), planes, tables, bits)).as("bucket")),
      emb.filter(col("vec_id") < nQueries)
        .select(col("vec_id").as("q_id"),
-         explode(GraftFunctions.hyperplaneLsh(col("embedding"), planes, tables, bits)).as("bucket")))
+         explode(GraftFunctions.hyperplaneLsh(col("embedding"), planes, tables, bits,
+           math.min(flips, bits))).as("bucket")))
   }
 
   /** Sign-LSH ANN (the "or LSH-bucketed" half of the scale path, next to
@@ -323,9 +326,15 @@ object SimilarityOps {
     * near-random corpus needs few bits — the planted-cluster recall spec
     * is the meaningful check). Unlike IVF the same pair can collide in
     * several tables, hence the dropDuplicates before scoring (keys only —
-    * the embedding columns rejoin after). */
+    * the embedding columns rejoin after).
+    *
+    * The QUERY side multi-probes (`flips` lowest-margin bit flips per
+    * table — Lv et al. 2007): candidate volume grows only with
+    * nQueries·flips while the N-row index stays one bucket per table, so
+    * recall rises like extra tables at none of the index-build cost. */
   def annLshTopK(spark: SparkSession, emb: DataFrame, nQueries: Int = 10, k: Int = 5,
-                 tables: Int = 8, bits: Int = 4, seed: Long = 42L): DataFrame = {
+                 tables: Int = 8, bits: Int = 4, seed: Long = 42L,
+                 flips: Int = 2): DataFrame = {
     GraftFunctions.register(spark)
     val dimRow = emb.select(size(col("embedding"))).limit(1).collect()
     if (dimRow.isEmpty) return emptyTopK(emb)
@@ -336,8 +345,8 @@ object SimilarityOps {
           .as("bucket"))
     val probeBuckets = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"),
-        explode(GraftFunctions.hyperplaneLsh(col("embedding"), planes, tables, bits))
-          .as("bucket"))
+        explode(GraftFunctions.hyperplaneLsh(col("embedding"), planes, tables, bits,
+          math.min(flips, bits))).as("bucket"))
     val candKeys = bucketed.join(broadcast(probeBuckets), Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"))

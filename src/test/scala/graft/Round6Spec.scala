@@ -244,4 +244,50 @@ class Round6Spec extends SparkSpecBase {
       out(3L).getDouble(6) == 0.0 && out(3L).getInt(7) == 0)
     assert(out(4L).getLong(1) == 0 && out(4L).getDouble(5) == 0.0 && out(4L).getInt(7) == 0)
   }
+
+  test("multi-probe LSH: probe set supersets probes=0, flips lowest-margin bits, lifts recall") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val dim = 32
+    val planes = graft.functions.HyperplaneLsh.genPlanes(4 * 8, dim, 42L)
+    // structural: first tables ids identical; flipped ids differ by exactly
+    // one bit inside the table namespace; all flips distinct
+    val rnd = new scala.util.Random(3)
+    val vecs = Seq.fill(50)(Array.fill(dim)(rnd.nextGaussian().toFloat)).toDF("v")
+    val both = vecs.select(
+      graft.functions.GraftFunctions.hyperplaneLsh(col("v"), planes, 4, 8).as("base"),
+      graft.functions.GraftFunctions.hyperplaneLsh(col("v"), planes, 4, 8, 3).as("mp"))
+      .collect()
+    both.foreach { r =>
+      val base = r.getSeq[Int](0)
+      val mp = r.getSeq[Int](1)
+      assert(mp.length == 4 * 4 && mp.distinct.length == mp.length)
+      (0 until 4).foreach { t =>
+        val group = mp.slice(t * 4, t * 4 + 4)
+        assert(group.head == base(t), "first id per table must be the base bucket")
+        group.tail.foreach { f =>
+          assert(java.lang.Integer.bitCount(f ^ base(t)) == 1 &&
+            (f >> 8) == t, "each probe flips exactly one sign bit, same table")
+        }
+      }
+    }
+    // behavioral: on a hard config (1 table is too few for this noise
+    // level) multi-probe must strictly beat single-probe recall, and the
+    // candidate set must superset it (flips only ADD probe buckets)
+    val rows = (0 until 200).flatMap { i =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val partner = base.map(v => v + (rnd.nextGaussian() * 0.35f).toFloat)
+      Seq((i.toLong, base), (i + 1000L, partner))
+    }
+    val planted = rows.toDF("vec_id", "embedding")
+    def hits(flips: Int): Int =
+      graft.ops.SimilarityOps.annLshTopK(spark, planted, nQueries = 200, k = 1,
+          tables = 1, bits = 8, flips = flips)
+        .select("q_id", "n_id").collect()
+        .count(r => r.getLong(1) == r.getLong(0) + 1000L)
+    val h0 = hits(0); val h3 = hits(3)
+    assert(h3 > h0, s"multi-probe recall must improve: flips=0 -> $h0, flips=3 -> $h3")
+    assert(h3 >= 120, s"flips=3 should recover most planted partners, got $h3/200")
+  }
 }
