@@ -330,6 +330,14 @@ object SparkEntry {
         docs.filter(col("doc_id") % 100 =!= 0),
         docs.filter(col("doc_id") % 100 === 0))
     }),
+    // Same split + same output as decontaminate, via the bloom-prefilter
+    // scale path (no broadcast; the blob replaces the gram-set broadcast).
+    "decontaminate_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      CurationPipeline.decontaminateBloom(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0))
+    }),
     "pack_sequences" -> ((s, d) => CurationPipeline.packSequences(Tables.documents(s, d))),
     "curation_pipeline" -> ((s, d) => CurationPipeline.curate(Tables.documents(s, d))),
     "curation_full" -> ((s, d) => CurationPipeline.curateFull(Tables.documents(s, d))),
@@ -1089,6 +1097,24 @@ object SparkEntry {
              AS n_redactions
          FROM staged2""",
     "decontaminate" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(t)>=3
+             THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+                                 FOR i IN generate_series(1, len(t)-2)])
+             ELSE [] END AS s FROM tok),
+         bench AS (SELECT DISTINCT unnest(s) AS gram FROM sh WHERE doc_id % 100 = 0),
+         corp AS (SELECT doc_id, unnest(s) AS gram FROM sh WHERE doc_id % 100 <> 0),
+         contaminated AS (SELECT doc_id FROM corp JOIN bench USING (gram)
+           GROUP BY doc_id HAVING count(*) >= 5)
+         SELECT doc_id FROM documents
+         WHERE doc_id % 100 <> 0
+           AND doc_id NOT IN (SELECT doc_id FROM contaminated)""",
+    // The bloom path is output-identical to decontaminate by construction
+    // (the exact join kills bloom false positives), so the oracle is the
+    // same exact-set SQL — the approximation is an internal pre-filter,
+    // not a semantic.
+    "decontaminate_bloom" ->
       """WITH tok AS (SELECT doc_id,
              list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
          sh AS (SELECT doc_id, CASE WHEN len(t)>=3

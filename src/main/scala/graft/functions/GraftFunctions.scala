@@ -81,6 +81,12 @@ object GraftFunctions {
             s"rank_bucket expects array<double> boundaries, got $other")
         }
       }), "built-in")
+    reg.createOrReplaceTempFunction("bloom_build",
+      exprs => BloomBuildAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("bloom_might_contain",
+      exprs => BloomMightContain(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_lsh",
       exprs => HyperplaneLsh(exprs(0), evalCentroids(exprs(1)),
         exprs(2).eval().asInstanceOf[Number].intValue(),
@@ -232,6 +238,19 @@ object GraftFunctions {
 
   /** 64-bit SimHash fingerprint of an array<string> token column. */
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  /** Distributed bloom-filter build over a LONG hash column (one blob out;
+    * see BloomBuildAgg). Pair with [[bloomMightContain]]. */
+  def bloomBuild(hash: Column, numBits: Int, k: Int): Column =
+    call_function("bloom_build", hash,
+      org.apache.spark.sql.functions.lit(numBits),
+      org.apache.spark.sql.functions.lit(k))
+
+  /** Map-side membership test of a LONG hash column against a built blob
+    * (false positives possible — re-verify exactly; never false negatives). */
+  def bloomMightContain(hash: Column, blob: Array[Byte]): Column =
+    call_function("bloom_might_contain", hash,
+      org.apache.spark.sql.functions.lit(blob))
 
   /** Hamming distance between two 64-bit fingerprints (pure builtin combo —
     * bit_count is codegen'd). */

@@ -94,6 +94,51 @@ object CurationPipeline {
       .join(contaminated.select(col("doc_id")), Seq("doc_id"), "left_anti")
   }
 
+  /** [[decontaminate]]'s beyond-broadcast twin — IDENTICAL output, built for
+    * the scale where the benchmark n-gram union no longer broadcasts (at
+    * 100 TB an eval-suite union can run to 10^9 grams — GBs of strings).
+    * Shape: (1) one distributed pass builds a bloom filter over the bench
+    * grams (`BloomBuildAgg`, OR-merged bit arrays; driver holds one
+    * ~bitsPerGram/8·|grams| blob — bounded model state, not a data
+    * collect); (2) corpus grams are pre-filtered MAP-SIDE by the codegen'd
+    * `bloom_might_contain(xxhash64(gram))`, so the exact gram join that
+    * follows shuffles only true hits + ~fpr false positives instead of
+    * every corpus gram; (3) the exact string equi-join kills the false
+    * positives — bloom filters have no false negatives, so the survivor
+    * set is decontaminate's to the row. The bench-gram relation itself
+    * joins shuffle-side (no broadcast anywhere), completing the scale
+    * story. Defaults: 10 bits/gram, k=7 ≈ 1% FPR. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         n: Int = 3, minOverlap: Long = 5,
+                         bitsPerGram: Int = 10, numHashes: Int = 7): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(graft.functions.GraftFunctions.shingleArray(
+        TextOps.tokens(col("text")), n)).as("gram"))
+    val benchGrams = grams(benchmark).select(col("gram")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Size the filter from the measured distinct-gram count (cheap: the
+    // persisted relation this same plan re-reads for the exact join).
+    val nGrams = math.max(1L, benchGrams.count())
+    val numBits = math.min(1L << 30, math.max(1024L, nGrams * bitsPerGram)).toInt
+    val blob = benchGrams
+      .agg(graft.functions.GraftFunctions.bloomBuild(
+        xxhash64(col("gram")), numBits, numHashes).as("blob"))
+      .head().getAs[Array[Byte]](0)
+    val contaminated = grams(corpus)
+      .filter(graft.functions.GraftFunctions.bloomMightContain(
+        xxhash64(col("gram")), blob))
+      // exact verify: SHUFFLE join on survivors only. shuffle_hash hint, not
+      // Catalyst's choice: at toy SF it would pick broadcast, which is the
+      // regime this twin exists to escape — the plan must demonstrate the
+      // no-broadcast shape at every scale.
+      .join(benchGrams.hint("shuffle_hash"), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+    corpus.select(col("doc_id"))
+      .join(contaminated.select(col("doc_id")), Seq("doc_id"), "left_anti")
+  }
+
   /** Token-budget sequence packing (the training-batch assembly step):
     * concatenate docs in doc_id order into a token stream and assign each
     * doc the index of the `budget`-token sequence where it STARTS —

@@ -290,4 +290,59 @@ class Round6Spec extends SparkSpecBase {
     assert(h3 > h0, s"multi-probe recall must improve: flips=0 -> $h0, flips=3 -> $h3")
     assert(h3 >= 120, s"flips=3 should recover most planted partners, got $h3/200")
   }
+
+  test("bloom filter: distributed build has no false negatives, sane FPR, merge=OR") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val members = (0L until 5000L).map(i => s"gram-$i")
+    val blob = members.toDF("g").repartition(8) // force partial-buffer merges
+      .agg(graft.functions.GraftFunctions.bloomBuild(xxhash64(col("g")), 50000, 7))
+      .head().getAs[Array[Byte]](0)
+    // every inserted member must test positive (distributed == no losses)
+    val fn = members.toDF("g")
+      .filter(!graft.functions.GraftFunctions.bloomMightContain(xxhash64(col("g")), blob))
+      .count()
+    assert(fn == 0L, s"bloom false negatives: $fn")
+    // FPR on definitely-absent keys near the 10-bits/elem design point (~1%)
+    val absent = (0L until 20000L).map(i => s"absent-$i")
+    val fp = absent.toDF("g")
+      .filter(graft.functions.GraftFunctions.bloomMightContain(xxhash64(col("g")), blob))
+      .count()
+    assert(fp < 20000 * 0.03, s"bloom FPR too high: $fp/20000")
+  }
+
+  test("decontaminate_bloom emits exactly decontaminate's survivor set") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // planted contamination: every 7th corpus doc embeds a benchmark
+    // passage (≥5 shared trigrams), the rest are clean
+    val rnd = new scala.util.Random(11)
+    def sentence(seed: Int) =
+      Seq.fill(12)(s"w${seed}_${rnd.nextInt(500)}").mkString(" ")
+    val benchTexts = (0 until 40).map(i => (1000L + i, sentence(i)))
+    val corpusTexts = (0 until 280).map { i =>
+      val base = sentence(i + 100)
+      val text = if (i % 7 == 0) base + " " + benchTexts(i % 40)._2 else base
+      (i.toLong, text)
+    }
+    val corpus = corpusTexts.toDF("doc_id", "text")
+    val bench = benchTexts.toDF("doc_id", "text")
+    val exact = graft.ops.CurationPipeline.decontaminate(corpus, bench)
+      .collect().map(_.getLong(0)).sorted
+    val bloom = graft.ops.CurationPipeline.decontaminateBloom(corpus, bench)
+      .collect().map(_.getLong(0)).sorted
+    assert(exact.nonEmpty && exact.length < 280,
+      s"spec needs a non-trivial survivor set, got ${exact.length}/280")
+    assert(bloom.sameElements(exact),
+      s"bloom path diverged: ${bloom.length} vs ${exact.length} survivors")
+    // and the plan must NOT contain a broadcast of the gram relation —
+    // the whole point of the bloom twin (the anti-join on tiny doc_id
+    // keys may still broadcast; grams must not)
+    val planDf = graft.ops.CurationPipeline.decontaminateBloom(corpus, bench)
+    val plan = planDf.queryExecution.executedPlan.toString
+    val broadcastsGrams = plan.linesIterator
+      .exists(l => l.contains("BroadcastExchange") && l.contains("gram"))
+    assert(!broadcastsGrams, "gram relation must not broadcast in the bloom path")
+  }
 }
