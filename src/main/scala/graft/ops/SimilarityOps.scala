@@ -360,6 +360,62 @@ object SimilarityOps {
     rankTopK(scored, k)
   }
 
+  /** Auto-sized sign-LSH parameters — see [[autoTuneLsh]]. */
+  final case class LshParams(tables: Int, bits: Int, flips: Int)
+
+  /** Sizes (tables, bits, flips) for [[annLshTopK]] from the corpus itself,
+    * closing the fixed-defaults recall gap (8×4 measured 0.86 recall at
+    * 500 k rows vs the ≥0.95 bar):
+    *
+    *  - `bits` bounds per-table candidate volume: each random hyperplane
+    *    halves an angularly-spread corpus, so a bucket holds ~n/2^bits rows;
+    *    bits = log2(n/1000) keeps expected candidates-per-query-per-table
+    *    near 1 k at any corpus size.
+    *  - `flips` = 2 multi-probes (recall rises like extra tables at only
+    *    nQueries× probe cost — the cheap knob, always on).
+    *  - `tables` is the measured knob: recall@k is checked against a
+    *    brute-force ground truth on a bounded sample (strided corpus sample
+    *    ∪ query rows), walking up the table ladder until `target` holds.
+    *
+    * The sample measurement is CONSERVATIVE: per-pair bucket-collision
+    * probability depends only on the pair's angle (corpus-independent), and
+    * the sample's top-k neighbours sit farther out than the full corpus's
+    * (fewer close rows to draw from), so sampled recall underestimates
+    * full-corpus recall — a table count that passes here can only do better
+    * at scale. Cost is bounded regardless of corpus size: one count, one
+    * ≤`sampleTarget`-row sample, and a handful of sample-sized probe runs
+    * (driver-coordinated, executor-run — nothing quadratic in n). */
+  def autoTuneLsh(spark: SparkSession, emb: DataFrame, nQueries: Int = 10, k: Int = 5,
+                  target: Double = 0.95, seed: Long = 42L,
+                  sampleTarget: Long = 20000L, maxTables: Int = 32): LshParams = {
+    val n = emb.count()
+    val bits = math.max(4, math.min(16,
+      math.ceil(math.log(math.max(2.0, n / 1000.0)) / math.log(2.0)).toInt))
+    val flips = math.min(2, bits)
+    if (n == 0) return LshParams(8, bits, flips)
+    val stride = math.max(1L, n / sampleTarget)
+    val sample = emb.filter(col("vec_id") < nQueries or pmod(col("vec_id"), lit(stride)) === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val truth = bruteForceTopK(spark, sample, nQueries, k)
+        .select(col("q_id"), col("n_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      if (truth.isEmpty) return LshParams(8, bits, flips)
+      val ladder = Seq(4, 6, 8, 12, 16, 24, 32).filter(_ <= maxTables)
+      var chosen = ladder.last
+      val it = ladder.iterator
+      var done = false
+      while (it.hasNext && !done) {
+        val t = it.next()
+        val got = annLshTopK(spark, sample, nQueries, k, t, bits, seed, flips)
+          .select(col("q_id"), col("n_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        if ((got & truth).size.toDouble / truth.size >= target) { chosen = t; done = true }
+      }
+      LshParams(chosen, bits, flips)
+    } finally sample.unpersist()
+  }
+
   /** IVF-style ANN: deterministic "training" picks nlist strided vectors as
     * centroids; every vector is assigned MAP-SIDE to its nearest centroid
     * (NearestCentroids — one codegen'd column, no join/window in the

@@ -227,15 +227,25 @@ object ScaleDedup {
       SimilarityOps.ivfTopK(spark, emb, nlist = 512, nprobe = 16,
         centroidStride = math.max(1, (n / 1024L).toInt))
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // auto-sized LSH params (corpus-measured — closes the fixed-default
+    // recall gap), gated at the repo's ≥0.95 bar with candidate volume
+    // logged so recall is priced, not just claimed
+    val lp = SimilarityOps.autoTuneLsh(spark, emb)
     val lshTop = record("ann_lsh_topk") {
-      SimilarityOps.annLshTopK(spark, emb, tables = 12, bits = 6)
+      SimilarityOps.annLshTopK(spark, emb, tables = lp.tables, bits = lp.bits, flips = lp.flips)
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (lshIdx, lshProbes) = SimilarityOps.lshBucketRelations(spark, emb,
+      tables = lp.tables, bits = lp.bits, flips = lp.flips)
+    val lshCand = lshIdx.join(lshProbes, "bucket").filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id")).distinct().count()
     val bfKeys = bf.select(col("q_id"), col("n_id"))
     val ivfRecall = ivf.select(col("q_id"), col("n_id")).join(bfKeys, Seq("q_id", "n_id")).count() /
       math.max(1.0, bfKeys.count().toDouble)
     val lshRecall = lshTop.select(col("q_id"), col("n_id")).join(bfKeys, Seq("q_id", "n_id")).count() /
       math.max(1.0, bfKeys.count().toDouble)
-    checks("ann_recall") = f"ivf@16/512=${ivfRecall}%.2f lsh@12x6=${lshRecall}%.2f vs brute force"
+    checks("ann_recall") = (if (lshRecall >= 0.95) "PASS: " else "FAIL: ") +
+      f"ivf@16/512=${ivfRecall}%.2f " +
+      f"lsh@${lp.tables}x${lp.bits}+${lp.flips}p=${lshRecall}%.2f (candidates=$lshCand) vs brute force"
     }
 
     // ---- tile-sizing evidence: the measured worst blocks the adaptive
