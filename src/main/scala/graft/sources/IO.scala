@@ -63,6 +63,62 @@ object IO {
       .toDF("key", "value")
   }
 
+  /** Generic-Writable SequenceFile interop: (BytesWritable, BytesWritable)
+    * — the arbitrary-payload legacy container (reference SequenceFiles are
+    * `<K,V>`-generic, SequenceFileInputFormat.java:41; bytes is the lowest
+    * common denominator every Writable serializes through). Round-trip is
+    * bit-identical: no charset, no parsing. */
+  def writeSequenceFileBytes(df: DataFrame, keyCol: String, valueCol: String, path: String): Unit = {
+    import org.apache.hadoop.io.BytesWritable
+    df.select(col(keyCol).cast("binary"), col(valueCol).cast("binary"))
+      .rdd.flatMap(r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) None
+        else Some((new BytesWritable(r.getAs[Array[Byte]](0)),
+                   new BytesWritable(r.getAs[Array[Byte]](1)))))
+      .saveAsSequenceFile(path)
+  }
+
+  def readSequenceFileBytes(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.io.BytesWritable
+    import spark.implicits._
+    // copyBytes() INSIDE the iterator: Hadoop record readers reuse the
+    // Writable instance, so the bytes must be copied out before the next
+    // record overwrites them (and BytesWritable's backing array over-
+    // allocates — copyBytes trims to the logical length).
+    spark.sparkContext.sequenceFile[BytesWritable, BytesWritable](path)
+      .map { case (k, v) => (k.copyBytes(), v.copyBytes()) }
+      .toDF("key", "value")
+  }
+
+  /** JDBC source — the DBInputFormat analog (reference:
+    * hadoop-mapreduce-examples/src/main/java/org/apache/hadoop/examples/
+    * DBCountPageView.java:45-56 wires a pageview table through
+    * DBInputFormat/DBOutputFormat). Spark's JDBC relation replaces both
+    * sides; the single-connection form is for small dims and results. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, props)
+
+  /** Range-partitioned parallel JDBC read — the DBInputFormat SPLIT model:
+    * `numPartitions` executors each open a connection and scan one
+    * [lower, upper) slice of `partCol`. The single-connection form above
+    * funnels the whole table through one task — at 100 TB-adjacent DB
+    * sizes this is the difference between a parallel scan and a driver
+    * bottleneck. */
+  def readJdbcPartitioned(spark: SparkSession, url: String, table: String,
+                          partCol: String, lower: Long, upper: Long,
+                          numPartitions: Int,
+                          props: java.util.Properties = new java.util.Properties()): DataFrame =
+    spark.read.jdbc(url, table, partCol, lower, upper, numPartitions, props)
+
+  /** JDBC sink (DBOutputFormat analog): each partition batches inserts over
+    * its own connection. Overwrite recreates the table from the DataFrame
+    * schema — the DBOutputFormat setup-job step. */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                mode: SaveMode = SaveMode.Overwrite,
+                props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode(mode).jdbc(url, table, props)
+
   /** Bucketed table write: pre-shuffles rows into nBuckets hash buckets per
     * bucket column (with per-bucket sort), so later equi-joins/aggregations
     * on that column read co-located data and plan WITHOUT a shuffle
