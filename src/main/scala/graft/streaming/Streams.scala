@@ -42,12 +42,16 @@ object Streams {
                     joinWindowSec: Long = 3600L,
                     watermark: String = "2 hours",
                     joinType: String = "inner"): DataFrame = {
-    val v = views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
-        col("event_id").as("view_id"))
-      .withWatermark("v_ts", watermark)
-    val c = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
-        col("event_id").as("click_id"))
-      .withWatermark("c_ts", watermark)
+    // respect an upstream watermark (e.g. dedupStream → join composition):
+    // redefining one is an analysis error, and the upstream bound is the
+    // one already governing that side's state eviction
+    def ensureWm(df: DataFrame, tsCol: String): DataFrame =
+      if (df.schema(tsCol).metadata.contains("spark.watermarkDelayMs")) df
+      else df.withWatermark(tsCol, watermark)
+    val v = ensureWm(views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id")), "v_ts")
+    val c = ensureWm(clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id")), "c_ts")
     // left_outer: an unmatched view emits (view, null click) only once the
     // watermark passes its join window — i.e. when a match is provably
     // impossible — so null rows are final, never retracted

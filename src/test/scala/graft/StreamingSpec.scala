@@ -234,6 +234,112 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sessionize: out-of-order within-watermark event extends the open session, never forks it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.sessionize(input.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("ooo_sessions_t").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Ev(1, ts(0), 7, "view", 1.0), Ev(2, ts(10), 7, "view", 1.0))
+      q.processAllAvailable()
+      // t=5 arrives a batch LATE but above the watermark (2h delay) — it
+      // must merge into the open [0,10] session, not start a second one
+      input.addData(Ev(3, ts(5), 7, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(90, ts(600), 7, "view", 0.0)) // close via gap
+      q.processAllAvailable()
+      val sessions = spark.table("ooo_sessions_t").as[Streams.Session].collect()
+        .filter(s => s.user_id == 7 && s.session_start == ts(0))
+      assert(sessions.length == 1 && sessions.head.n_events == 3 &&
+        sessions.head.session_end == ts(10),
+        s"late in-watermark event must extend, got ${sessions.toList}")
+    } finally q.stop()
+  }
+
+  test("sessionize: below-watermark events are dropped — closed sessions stay closed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.sessionize(input.toDS(), gapSec = 1800, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late_sessions_t").outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Ev(1, ts(0), 7, "view", 1.0), Ev(2, ts(10), 7, "view", 1.0))
+      q.processAllAvailable()
+      // watermark → ts(590): user 7's session times out and emits
+      input.addData(Ev(90, ts(600), 9, "view", 0.0))
+      q.processAllAvailable()
+      val afterClose = spark.table("late_sessions_t").as[Streams.Session].collect()
+        .count(_.user_id == 7)
+      assert(afterClose == 1, "session should have closed via event-time timeout")
+      // a FAR-below-watermark replay of the same user must be discarded —
+      // no resurrected state, no second session, no mutation of the first
+      input.addData(Ev(3, ts(20), 7, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(91, ts(1200), 9, "view", 0.0)) // advance further, flush timeouts
+      q.processAllAvailable()
+      val sevens = spark.table("late_sessions_t").as[Streams.Session].collect()
+        .filter(_.user_id == 7)
+      assert(sevens.length == 1 && sevens.head.n_events == 2,
+        s"below-watermark event resurrected state: ${sevens.toList}")
+    } finally q.stop()
+  }
+
+  test("left-outer join: out-of-order within-watermark click still matches — no premature null, one row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = Streams.viewClickJoin(views.toDF(), clicks.toDF(),
+        joinWindowSec = 600L, watermark = "30 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("ooo_outer_t")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(Ev(1, ts(0), 1, "view", 0))
+      clicks.addData(Ev(20, ts(25), 9, "click", 0)) // stream time runs ahead…
+      q.processAllAvailable()
+      // …then user 1's click lands OUT OF ORDER (ts 5 < already-seen ts 25)
+      // but above the click watermark (25 − 30 < 5) — it must join
+      clicks.addData(Ev(10, ts(5), 1, "click", 0))
+      q.processAllAvailable()
+      // advance both sides far past every window to finalize outer state
+      Seq(120, 180).foreach { m =>
+        views.addData(Ev(90 + m, ts(m), 9, "view", 0))
+        clicks.addData(Ev(95 + m, ts(m), 9, "click", 0))
+        q.processAllAvailable()
+      }
+      val u1 = spark.table("ooo_outer_t").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .map(r => Option(r.getAs[java.lang.Long]("click_id")))
+      assert(u1.toList == List(Some(10L)),
+        s"want exactly one matched row, no null row: ${u1.toList}")
+    } finally q.stop()
+  }
+
+  test("duplicate storm: dedupStream upstream of the join restores exactly-once matches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    // at-least-once sources replay; the join itself faithfully multiplies
+    // matches, so the repair belongs UPSTREAM: dedupStream on the replayed side
+    val q = Streams.viewClickJoin(views.toDF(), Streams.dedupStream(clicks.toDF()),
+        joinWindowSec = 600L)
+      .writeStream.format("memory").queryName("storm_join_t")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(Ev(1, ts(0), 1, "view", 0))
+      clicks.addData(Ev(10, ts(5), 1, "click", 0), Ev(10, ts(5), 1, "click", 0))
+      q.processAllAvailable()
+      clicks.addData(Ev(10, ts(5), 1, "click", 0)) // replay in a later batch too
+      q.processAllAvailable()
+      val rows = spark.table("storm_join_t").collect()
+        .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("click_id"))).toList
+      assert(rows == List((1L, 10L)),
+        s"3× replayed click must join exactly once, got $rows")
+    } finally q.stop()
+  }
+
   test("curation predicates compose on a stream: mixtureKeep + repetitionOk are stateless filters") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
