@@ -14,23 +14,29 @@ import graft.ops._
   */
 object SparkEntry {
 
+  /** Base dir for all Verify-mode materialization dumps. Env-overridable
+    * (SPARK_GRAFT_DUMP_BASE) so two concurrent gate runs don't clobber each
+    * other's dumps; the oracle SQL interpolates the same vals, so queries
+    * and oracles always agree on the path within one process. */
+  private val DumpBase = sys.env.getOrElse("SPARK_GRAFT_DUMP_BASE", "/tmp")
+
   /** Where the Verify-mode dedup_simhash run materializes its fingerprints;
     * the oracle SQL brute-forces all-pairs hamming over this same dump (the
     * path is baked into the static SQL, so it must be stable across runs). */
-  val SimhashFpDumpDir = "/tmp/graft_simhash_fp"
+  val SimhashFpDumpDir = s"$DumpBase/graft_simhash_fp"
 
   /** Verify-mode bucket/probe relation dumps for the two bucketed ANN
     * variants — same materialize-and-reread pattern as the simhash dump:
     * the Spark result is recomputed FROM these relations and the oracle
     * recovers candidates/scores/ranks over the identical parquet, turning
     * the bucket-join + scoring + ranking stages oracle-checked. */
-  val IvfBucketDumpDir = "/tmp/graft_ivf_buckets"
-  val IvfProbeDumpDir = "/tmp/graft_ivf_probes"
-  val LshBucketDumpDir = "/tmp/graft_lsh_buckets"
-  val LshProbeDumpDir = "/tmp/graft_lsh_probes"
-  val RollingHashDumpDir = "/tmp/graft_rolling_hashes"
-  val HllRegDumpDir = "/tmp/graft_hll_registers"
-  val ApproxRegDumpDir = "/tmp/graft_approx_registers"
+  val IvfBucketDumpDir = s"$DumpBase/graft_ivf_buckets"
+  val IvfProbeDumpDir = s"$DumpBase/graft_ivf_probes"
+  val LshBucketDumpDir = s"$DumpBase/graft_lsh_buckets"
+  val LshProbeDumpDir = s"$DumpBase/graft_lsh_probes"
+  val RollingHashDumpDir = s"$DumpBase/graft_rolling_hashes"
+  val HllRegDumpDir = s"$DumpBase/graft_hll_registers"
+  val ApproxRegDumpDir = s"$DumpBase/graft_approx_registers"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -170,6 +176,25 @@ object SparkEntry {
     "pi_estimate" -> ((s, _) => DataGen.piEstimate(s)),
     "streaming_pipe" -> ((s, d) => PipeOps.pipeThrough(
       s, Tables.documents(s, d), "doc_id", "text", Seq("tr", "a-z", "A-Z"))),
+    // IO ops gate-checked for content preservation: the op materializes a
+    // new layout, the query returns the re-read rows, and the oracle is the
+    // SOURCE table itself — a copy that drops/duplicates/mangles any row
+    // hash-mismatches. Layout claims (file counts, partition dirs) live in
+    // the IO specs; the gate proves the data survived.
+    "distcp_relayout" -> ((s, d) => {
+      val out = s"$DumpBase/graft_relayout_dump"
+      graft.sources.IO.relayout(s, s"$d/lineitem.parquet", out, Some("l_returnflag"))
+      val cols = Tables.lineitem(s, d).columns
+      s.read.parquet(out).select(cols.head, cols.tail: _*)
+    }),
+    "compaction" -> ((s, d) => {
+      val frag = s"$DumpBase/graft_frag_dump"
+      val out = s"$DumpBase/graft_compacted_dump"
+      val ev = s.read.parquet(s"$d/events.parquet")
+      ev.repartition(64).write.mode("overwrite").parquet(frag) // many-small-files input
+      graft.sources.IO.compact(s, frag, out)
+      s.read.parquet(out).select(ev.columns.head, ev.columns.tail: _*)
+    }),
     // §2.3 LLM-data-pipeline operators
     "dedup_exact" -> ((s, d) => DedupOps.dedupExact(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(Tables.documents(s, d))),
@@ -928,6 +953,9 @@ object SparkEntry {
          FROM c""",
     "streaming_pipe" ->
       """SELECT doc_id, upper(text) AS out FROM documents""",
+    // content-preservation oracles: the source table IS the expected output
+    "distcp_relayout" -> """SELECT * FROM lineitem""",
+    "compaction" -> """SELECT * FROM events""",
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS canonical_id, count(*) AS n_copies
          FROM documents GROUP BY md5(text)""",
