@@ -40,4 +40,99 @@ object PipeOps {
     * fork): arbitrary iterator→iterator logic, lazily evaluated. */
   def mapPartitionsTyped[T, U: Encoder](ds: Dataset[T])(f: Iterator[T] => Iterator[U]): Dataset[U] =
     ds.mapPartitions(f)
+
+  /** The streaming REDUCER contract: hash-partition on `keyCol` into
+    * `numPartitions` (KeyFieldBasedPartitioner analog), sort each partition
+    * by (key, secondary…) (the comparator knob), THEN pipe — so the
+    * subprocess sees every record of a key contiguously and in order, and
+    * can aggregate with O(1) state exactly like an MR streaming reducer.
+    * Same line framing and tolerance as [[pipeThrough]]. */
+  def pipeThroughSorted(spark: SparkSession, df: DataFrame, keyCol: String,
+                        textCol: String, cmd: Seq[String], numPartitions: Int = 0,
+                        secondarySort: Seq[String] = Nil): DataFrame = {
+    import spark.implicits._
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sortCols = (keyCol +: secondarySort).map(col)
+    val lines = df.repartition(n, col(keyCol))
+      .sortWithinPartitions(sortCols: _*)
+      .select(concat_ws("\t", col(keyCol).cast("string"), col(textCol)))
+      .as[String].rdd
+    lines.pipe(cmd).flatMap { line =>
+      val i = line.indexOf('\t')
+      if (i < 0) None
+      else Some((line.substring(0, i), line.substring(i + 1)))
+    }.toDF(keyCol, "out")
+  }
+
+  /** Typed-bytes pipe — the binary hadoop-streaming wire (public format,
+    * reference hadoop-tools/hadoop-streaming/.../DumpTypedBytes.java and
+    * TypedBytesInput/Output: 1-byte type code, big-endian payload; long=4,
+    * int=3, string/bytes=7/0 with a 4-byte length). Tab/newline framing
+    * corrupts binary payloads; typed-bytes frames them losslessly. Records
+    * stream through one subprocess per partition (writer on its own thread
+    * — the subprocess interleaves reads and writes, single-threaded
+    * write-then-read deadlocks once a pipe buffer fills). The subprocess
+    * must speak typed-bytes back; `cat` is the identity reducer. */
+  def pipeTypedBytes(spark: SparkSession, df: DataFrame, keyCol: String,
+                     textCol: String, cmd: Seq[String]): DataFrame = {
+    import spark.implicits._
+    df.select(col(keyCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val pb = new ProcessBuilder(cmd: _*)
+          pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+          val p = pb.start()
+          val writer = new Thread(() => {
+            val out = new java.io.DataOutputStream(
+              new java.io.BufferedOutputStream(p.getOutputStream))
+            try {
+              it.foreach { case (k, v) =>
+                out.writeByte(4); out.writeLong(k)
+                val b = v.getBytes("UTF-8")
+                out.writeByte(7); out.writeInt(b.length); out.write(b)
+              }
+              out.close()
+            } catch { case _: java.io.IOException => () } // early subprocess exit
+          })
+          writer.setDaemon(true)
+          writer.start()
+          val in = new java.io.DataInputStream(
+            new java.io.BufferedInputStream(p.getInputStream))
+          new Iterator[(Long, String)] {
+            private var pending: (Long, String) = _
+            private var eof = false
+            private def advance(): Unit = {
+              val tk = in.read()
+              if (tk < 0) { eof = true; p.waitFor(); return }
+              val k = tk match {
+                case 4 => in.readLong()
+                case 3 => in.readInt().toLong
+                case t => throw new java.io.IOException(s"typed-bytes: key type $t, want int/long")
+              }
+              val tv = in.read()
+              val v = tv match {
+                case 7 | 0 =>
+                  val len = in.readInt()
+                  val b = new Array[Byte](len)
+                  in.readFully(b)
+                  new String(b, "UTF-8")
+                case t => throw new java.io.IOException(s"typed-bytes: value type $t, want string/bytes")
+              }
+              pending = (k, v)
+            }
+            def hasNext: Boolean = {
+              if (pending == null && !eof) advance()
+              pending != null
+            }
+            def next(): (Long, String) = {
+              if (!hasNext) throw new NoSuchElementException
+              val r = pending; pending = null; r
+            }
+          }
+        }
+      }.toDF(keyCol, "out")
+  }
 }

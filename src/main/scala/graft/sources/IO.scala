@@ -90,6 +90,70 @@ object IO {
       .toDF("key", "value")
   }
 
+  /** Minimal ustar/v7 tar walk: 512-byte headers, octal size field, data
+    * padded to block boundary, two zero blocks at the end. Regular files
+    * only (typeflag '0'/NUL); other entry kinds are skipped by size. Public
+    * format (POSIX.1-1988); no external tooling involved. */
+  private[sources] def parseTar(bytes: Array[Byte],
+                                maxEntryBytes: Long = 1L << 30): Seq[(String, Array[Byte])] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    def octal(off: Int, len: Int): Long = {
+      val s = new String(bytes, off, len, "US-ASCII").trim
+        .takeWhile(c => c >= '0' && c <= '7')
+      if (s.isEmpty) 0L else java.lang.Long.parseLong(s, 8)
+    }
+    var p = 0
+    var end = false
+    while (!end && p + 512 <= bytes.length) {
+      if (bytes(p) == 0) end = true // zero block terminates the archive
+      else {
+        val name = new String(bytes, p, 100, "US-ASCII").takeWhile(_ != 0)
+        val size = octal(p + 124, 12)
+        val typeflag = bytes(p + 156)
+        val dataStart = p + 512
+        if (size > maxEntryBytes)
+          throw new java.io.IOException(s"tar entry $name is $size bytes, over $maxEntryBytes")
+        if ((typeflag == '0' || typeflag == 0) && dataStart + size <= bytes.length)
+          out += ((name, java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + size.toInt)))
+        p = dataStart + (((size + 511) / 512) * 512).toInt
+      }
+    }
+    out.toSeq
+  }
+
+  /** HAR-analog archive readers: many small files packed into one archive,
+    * READ IN PLACE as (archive, entry, bytes) rows — no unpack step, no
+    * file-per-record namespace pressure (the problem HadoopArchives.java:1 /
+    * HarFileSystem.java:50 solve for HDFS). Each archive is one binaryFile
+    * row (bounded by spark.sql.sources.binaryFile.maxLength), entries
+    * fan out map-side; a directory of archives parallelizes per archive.
+    * `IO.compact` remains the WRITE-side analog (rewrite into bounded
+    * files); these cover reading foreign archives without rewriting. */
+  def readTarEntries(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (p, b) => parseTar(b).map { case (n, d) => (p, n, d) } }
+      .toDF("archive", "entry", "bytes")
+  }
+
+  def readZipEntries(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content")).as[(String, Array[Byte])]
+      .flatMap { case (p, b) =>
+        val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(b))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Array[Byte])]
+        var e = zin.getNextEntry
+        while (e != null) {
+          if (!e.isDirectory) out += ((p, e.getName, zin.readAllBytes()))
+          e = zin.getNextEntry
+        }
+        out.toSeq
+      }
+      .toDF("archive", "entry", "bytes")
+  }
+
   /** JDBC source — the DBInputFormat analog (reference:
     * hadoop-mapreduce-examples/src/main/java/org/apache/hadoop/examples/
     * DBCountPageView.java:45-56 wires a pageview table through
