@@ -401,18 +401,25 @@ object SimilarityOps {
         .select(col("q_id"), col("n_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       if (truth.isEmpty) return LshParams(8, bits, flips)
-      val ladder = Seq(4, 6, 8, 12, 16, 24, 32).filter(_ <= maxTables)
-      var chosen = ladder.last
-      val it = ladder.iterator
-      var done = false
-      while (it.hasNext && !done) {
-        val t = it.next()
-        val got = annLshTopK(spark, sample, nQueries, k, t, bits, seed, flips)
+      def recallAt(t: Int, b: Int): Double = {
+        val got = annLshTopK(spark, sample, nQueries, k, t, b, seed, flips)
           .select(col("q_id"), col("n_id")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        if ((got & truth).size.toDouble / truth.size >= target) { chosen = t; done = true }
+        (got & truth).size.toDouble / truth.size
       }
-      LshParams(chosen, bits, flips)
+      // Joint walk, bits DESCENDING: at each bits level first probe the max
+      // table count — if even that misses target (measured at 5 M: 32×13
+      // gave full-corpus recall 0.78), more tables can't save this bits
+      // level, so drop a bit (doubling per-table candidates ~ squaring the
+      // per-table collision probability) and retry. Once the max passes,
+      // walk the ladder up to the CHEAPEST passing table count. Bounded:
+      // ≤ (bitsInit−4) + ladder.size sample-sized probes.
+      val ladder = Seq(4, 6, 8, 12, 16, 24, 32).filter(_ <= maxTables)
+      var b = bits
+      while (b > 4 && recallAt(ladder.last, b) < target) b -= 1
+      val t = ladder.find(t => t == ladder.last || recallAt(t, b) >= target)
+        .getOrElse(ladder.last)
+      LshParams(t, b, flips)
     } finally sample.unpersist()
   }
 
