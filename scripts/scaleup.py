@@ -28,8 +28,10 @@ not the plan):
     orthogonal transform, so within-replica cosine structure is EXACTLY
     preserved while cross-replica vectors decorrelate.
 
-events.ts is TIMESTAMP(NANOS) in the driver data and graft.Tables reads it
-as raw longs; written with parquet version 2.6 so the NANOS type survives.
+events.ts preserves the INPUT's timestamp unit (the driver data has shipped
+both TIMESTAMP(NANOS) and timestamp[us] across generations; graft.Tables
+adapts to the footer). Written with parquet version 2.6 so sub-micro units
+survive when present.
 """
 import sys, os
 from math import gcd
@@ -156,7 +158,8 @@ def main():
     # post-check: events ts must still be nanos (graft.Tables reads raw longs)
     if "events" in t:
         ts_type = pq.read_schema(f"{out}/events.parquet").field("ts").type
-        assert str(ts_type) == "timestamp[ns]", f"events.ts degraded to {ts_type}"
+        in_type = pq.read_schema(f"{base}/events.parquet").field("ts").type
+        assert ts_type == in_type, f"events.ts changed unit: {in_type} -> {ts_type}"
         print("events.ts type preserved:", ts_type)
 
 if __name__ == "__main__":

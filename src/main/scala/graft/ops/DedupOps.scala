@@ -252,9 +252,15 @@ object DedupOps {
     }
     def truncate(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // truncate the EDGE lineage too, not just the labels': persist alone
+    // keeps the upstream pair-generation plan (LSH banding self-join +
+    // verify) reachable through every iteration, pinning its shuffle/spill
+    // files for the whole propagation — at multi-M docs that is tens of GB
+    // of dead disk held until convergence. Checkpointing stores the ~2×|pairs|
+    // edge rows and lets the cleaner reclaim the generator's files at once.
+    val edges = truncate(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
     var labels = truncate(edges.select(col("src").as("id"))
       .distinct()
       .withColumn("comp", col("id")))
@@ -278,7 +284,6 @@ object DedupOps {
       labels = next
       iter += 2
     }
-    edges.unpersist()
     // a silently partial labelling would split one true component into
     // several groups with no signal — convergence is part of the contract.
     // maxIter is a ROUND BUDGET including the ~2 confirmation rounds that

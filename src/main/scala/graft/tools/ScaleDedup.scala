@@ -56,7 +56,12 @@ object ScaleDedup {
     val opsFilter: Set[String] = sys.env.get("SPARK_GRAFT_SCALE_OPS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     def enabled(name: String): Boolean = opsFilter.isEmpty || opsFilter.contains(name)
-    val spark = graft.GraftSessions.local(cpus)
+    // aggressive periodic GC: multi-hundred-GB-spill ops leave orphaned
+    // shuffle files that the ContextCleaner only reclaims after a driver GC;
+    // at 5 M docs on one box those orphans are the difference between
+    // finishing and ENOSPC mid-check
+    val spark = graft.GraftSessions.local(cpus,
+      Map("spark.cleaner.periodicGC.interval" -> "60s"))
     GraftFunctions.register(spark)
     import spark.implicits._
 
@@ -82,6 +87,38 @@ object ScaleDedup {
       times(name) = sec
       System.err.println(f"[scale] $name%-24s ${sec}%8.2f s")
       df
+    }
+    // For ops whose CHECKS would otherwise execute over the op's live
+    // lineage: materialize the (small) output to parquet and re-read it.
+    // This severs the lineage, so the op's multi-GB shuffle/spill files
+    // become unreachable and the periodic GC reclaims the disk BEFORE the
+    // check joins need it — at 5 M docs the minhash op's ~60 GB of spill
+    // plus live check shuffles exceeds this box. The timed body includes
+    // the dump write (1-2 s for ~1.5 M pair rows — the honest cost of
+    // materializing the result).
+    def recordAndDump(name: String)(build: => DataFrame): DataFrame = {
+      val path = s"$dir/_check_$name.parquet"
+      // SPARK_GRAFT_SCALE_CHECK_ONLY=1: reuse an existing dump and run ONLY
+      // the ground-truth checks, in a fresh JVM with a clean disk. At 5 M
+      // docs the op's spill high-water mark plus the check joins exceed one
+      // box even with lineage severed — two JVMs each fit comfortably. The
+      // op's wall time comes from the run that wrote the dump; this run
+      // records -1 (excluded from totals).
+      if (sys.env.get("SPARK_GRAFT_SCALE_CHECK_ONLY").contains("1") &&
+          new java.io.File(s"$path/_SUCCESS").exists()) {
+        times(name) = -1.0
+        return spark.read.parquet(path)
+      }
+      val out = record(name) {
+        val d = build
+        d.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      }
+      // prompt reference processing so the ContextCleaner frees the op's
+      // now-unreachable shuffles before the first check action, not at the
+      // next periodic tick
+      System.gc()
+      out
     }
 
     // ---- dedup_exact: planted arithmetic is the full ground truth ----
@@ -112,8 +149,7 @@ object ScaleDedup {
 
     // ---- minhash LSH @ tau=0.8: recall vs planted, soundness vs direct J ----
     if (enabled("dedup_minhash_lsh")) {
-      val lsh = record("dedup_minhash_lsh") { DedupOps.minhashLshPairs(docs, tau = 0.8) }
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val lsh = recordAndDump("dedup_minhash_lsh") { DedupOps.minhashLshPairs(docs, tau = 0.8) }
       jStats = plantedJ.groupBy(col("kind")).agg(min("jacc"), avg("jacc")).collect()
         .map(r => f"${r.getString(0)}: minJ=${r.getDouble(1)}%.4f avgJ=${r.getDouble(2)}%.4f")
       val plantedQualify = plantedJ.filter(col("jacc") >= 0.8)
@@ -133,8 +169,7 @@ object ScaleDedup {
 
     // ---- ppjoin @ tau=0.5 (same claim, prefix+positional+sketch path) ----
     if (enabled("dedup_jaccard_ppjoin")) {
-      val pp = record("dedup_jaccard_ppjoin") { DedupOps.ngramJaccardPairsPrefix(docs, tau = 0.5) }
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pp = recordAndDump("dedup_jaccard_ppjoin") { DedupOps.ngramJaccardPairsPrefix(docs, tau = 0.5) }
       val ppMissed = plantedJ.filter(col("jacc") >= 0.5)
         .join(pp, Seq("a_id", "b_id"), "left_anti").count()
       val ppUnsound = pp
@@ -193,8 +228,26 @@ object ScaleDedup {
     }
 
     // ---- dedup groups end-to-end (pairs → connected components) ----
-    if (enabled("dedup_groups"))
-      record("dedup_groups") { DedupOps.dedupGroups(docs, tau = 0.8) }
+    if (enabled("dedup_groups")) {
+      val pairsPath = s"$dir/_check_dedup_minhash_lsh.parquet"
+      // SPARK_GRAFT_SCALE_GROUPS_FROM_DUMP=1: resolve components over the
+      // already-materialized minhash pairs instead of regenerating them
+      // in-plan. At 5 M docs the composed form needs pair-generation's
+      // spill high-water AND the CC iterations on one box's disk at once;
+      // the staged form is what a cluster pipeline does anyway (pairs are
+      // a materialized intermediate). Timed as dedup_groups_cc to keep the
+      // metric honestly scoped to the CC + assignment stages.
+      if (sys.env.get("SPARK_GRAFT_SCALE_GROUPS_FROM_DUMP").contains("1") &&
+          new java.io.File(s"$pairsPath/_SUCCESS").exists())
+        record("dedup_groups_cc") {
+          val pairs = spark.read.parquet(pairsPath).select(col("a_id"), col("b_id"))
+          val comp = DedupOps.connectedComponents(pairs)
+          docs.select(col("doc_id"))
+            .join(comp.select(col("id").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+            .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("group_id"))
+        }
+      else record("dedup_groups") { DedupOps.dedupGroups(docs, tau = 0.8) }
+    }
 
     // ---- embedding near-dup @ tau=0.8 ----
     if (enabled("embedding_neardup")) {
@@ -269,7 +322,7 @@ object ScaleDedup {
         s"lev worst block=$levBlock (nsub=${math.max(1L, (levBlock + 511) / 512)})"
     }
 
-    val total = times.values.sum
+    val total = times.values.filter(_ >= 0).sum
     val json = new StringBuilder
     json.append("{\"metric\":\"scale_dedup\",\"value\":")
       .append(f"$total%.3f")
