@@ -174,6 +174,14 @@ object SparkEntry {
     "secondary_sort" -> ((s, d) => SortOps.secondarySort(Tables.events(s, d))),
     "datagen" -> ((s, _) => DataGen.generate(s)),
     "pi_estimate" -> ((s, _) => DataGen.piEstimate(s)),
+    // distributed-compute examples (BBP digits, dancing-links search): input-
+    // free like datagen/pi_estimate; oracles are closed-form literal ground
+    // truth (pi's hex expansion; published pentomino tiling counts), so the
+    // gate proves the distributed computation lands exactly on it
+    "bbp_pi_digits" -> ((s, _) => ComputeOps.piDigits(s, nDigits = 128)),
+    "pentomino" -> ((s, _) => PuzzleOps.pentominoCounts(s)),
+    "sudoku" -> ((s, _) =>
+      PuzzleOps.sudokuSolveAll(PuzzleOps.sudokuPuzzles(s, 200, blanks = 40))),
     "streaming_pipe" -> ((s, d) => PipeOps.pipeThrough(
       s, Tables.documents(s, d), "doc_id", "text", Seq("tr", "a-z", "A-Z"))),
     // IO ops gate-checked for content preservation: the op materializes a
@@ -953,6 +961,21 @@ object SparkEntry {
          FROM c""",
     "streaming_pipe" ->
       """SELECT doc_id, upper(text) AS out FROM documents""",
+    // closed-form literal oracles: pi's fractional hex expansion (any bignum
+    // Machin evaluation reproduces it) and the published pentomino tiling
+    // counts (incl. symmetric duplicates). sudoku is rows-only (solution
+    // validity is spec-proven; no SQL twin for a backtracking search).
+    "bbp_pi_digits" ->
+      """SELECT CAST(pos AS BIGINT) AS pos, hex4 FROM (VALUES
+         (0,'243F'),(4,'6A88'),(8,'85A3'),(12,'08D3'),(16,'1319'),(20,'8A2E'),
+         (24,'0370'),(28,'7344'),(32,'A409'),(36,'3822'),(40,'299F'),(44,'31D0'),
+         (48,'082E'),(52,'FA98'),(56,'EC4E'),(60,'6C89'),(64,'4528'),(68,'21E6'),
+         (72,'38D0'),(76,'1377'),(80,'BE54'),(84,'66CF'),(88,'34E9'),(92,'0C6C'),
+         (96,'C0AC'),(100,'29B7'),(104,'C97C'),(108,'50DD'),(112,'3F84'),
+         (116,'D5B5'),(120,'B547'),(124,'0917')) AS t(pos, hex4)""",
+    "pentomino" ->
+      """SELECT board, CAST(solutions AS BIGINT) AS solutions FROM (VALUES
+         ('3x20',8),('4x15',1472),('5x12',4040),('6x10',9356)) AS t(board, solutions)""",
     // content-preservation oracles: the source table IS the expected output
     "distcp_relayout" -> """SELECT * FROM lineitem""",
     "compaction" -> """SELECT * FROM events""",
