@@ -206,6 +206,8 @@ object SparkEntry {
     // §2.3 LLM-data-pipeline operators
     "dedup_exact" -> ((s, d) => DedupOps.dedupExact(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(Tables.documents(s, d))),
+    "dedup_substring" -> ((s, d) => DedupOps.substringDupSpans(Tables.documents(s, d))),
+    "substring_dup_stats" -> ((s, d) => DedupOps.substringDupStats(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => DedupOps.minhashLshPairs(Tables.documents(s, d))),
     "dedup_groups" -> ((s, d) => DedupOps.dedupGroups(Tables.documents(s, d))),
     "dedup_levenshtein" -> ((s, d) => DedupOps.levenshteinPairs(Tables.documents(s, d))),
@@ -995,6 +997,49 @@ object SparkEntry {
            FROM ex a JOIN ex b ON a.sg=b.sg AND a.doc_id<b.doc_id GROUP BY 1,2)
          SELECT a_id, b_id, round(inter/(na+nb-inter),6) AS jacc FROM pairs
          WHERE round(inter/(na+nb-inter),6) >= 0.5""",
+    "dedup_substring" ->
+      """WITH doc AS (SELECT doc_id, text FROM documents WHERE length(text) >= 40),
+         pos AS (SELECT unnest(generate_series(1, (SELECT max(length(text)) FROM doc) - 39)) AS pos),
+         w AS (SELECT doc_id, pos, substr(text, pos, 40) AS win
+               FROM doc, pos WHERE pos <= length(text) - 39),
+         d AS (SELECT win FROM w GROUP BY win HAVING count(*) > 1),
+         occ AS (SELECT doc_id, pos FROM w JOIN d USING (win)),
+         g AS (SELECT doc_id, pos,
+                 max(pos + 39) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+               FROM occ),
+         i AS (SELECT doc_id, pos,
+                 sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS span
+               FROM g)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                CAST(max(pos) + 39 AS BIGINT) AS span_end,
+                CAST(max(pos) + 39 - min(pos) + 1 AS BIGINT) AS span_len
+         FROM i GROUP BY doc_id, span""",
+    "substring_dup_stats" ->
+      """WITH doc AS (SELECT doc_id, text FROM documents WHERE length(text) >= 40),
+         pos AS (SELECT unnest(generate_series(1, (SELECT max(length(text)) FROM doc) - 39)) AS pos),
+         w AS (SELECT doc_id, pos, substr(text, pos, 40) AS win
+               FROM doc, pos WHERE pos <= length(text) - 39),
+         d AS (SELECT win FROM w GROUP BY win HAVING count(*) > 1),
+         occ AS (SELECT doc_id, pos FROM w JOIN d USING (win)),
+         g AS (SELECT doc_id, pos,
+                 max(pos + 39) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+               FROM occ),
+         i AS (SELECT doc_id, pos,
+                 sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS span
+               FROM g),
+         spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 39 AS span_end
+                   FROM i GROUP BY doc_id, span),
+         st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                       CAST(sum(span_end - span_start + 1) AS BIGINT) AS dup_chars
+                FROM spans GROUP BY doc_id)
+         SELECT st.doc_id, st.n_spans, st.dup_chars,
+                CAST(length(documents.text) AS BIGINT) AS n_chars,
+                round(st.dup_chars / length(documents.text), 6) AS dup_frac
+         FROM st JOIN documents ON st.doc_id = documents.doc_id""",
     "dedup_jaccard_ppjoin" ->
       """WITH tok AS (SELECT doc_id,
              list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),

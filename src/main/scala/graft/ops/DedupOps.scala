@@ -107,6 +107,90 @@ object DedupOps {
     docs.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact SUBSTRING-level dedup (suffix-window form): find every maximal
+    * character span whose length-`winLen` windows all occur ≥2 times in the
+    * corpus (cross- OR intra-doc), i.e. the spans Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better", §3) remove
+    * with a suffix array. The Spark-native equivalent of the suffix array is
+    * hash-group-then-verify — embarrassingly parallel, no global sort:
+    *
+    *   1. stride-1 windows: explode `sequence(1, len-winLen+1)` (native
+    *      generator, stays in codegen) + `substr` — one row per character,
+    *      O(total corpus bytes) rows.
+    *   2. duplicate-hash detection: groupBy xxhash64(win) carrying NO
+    *      strings — the full-corpus shuffle is (8 B key, count) with
+    *      map-side partial aggregation.
+    *   3. candidate selection: occurrences of duplicated hashes. A bloom
+    *      filter over the dup-hash set (10 bits/key, built with the
+    *      decontaminate_bloom machinery) prunes the window relation
+    *      MAP-SIDE before the exact shuffle join, so the only shuffle that
+    *      carries window STRINGS is ~the duplicated fraction (+ ~1% FPR),
+    *      not the corpus. Falls back to the plain shuffle join when the
+    *      dup-hash set outgrows a driver-size blob (2^30 bits) — that
+    *      regime shuffles the corpus once, the same volume the
+    *      suffix-array alternative must globally sort.
+    *   4. exact verify: candidates re-group by the window STRING,
+    *      eliminating 64-bit collisions.
+    *   5. per-doc interval merge (gaps-and-islands window) → maximal spans.
+    *
+    * A pathological corpus (one repeated char) makes every window
+    * duplicated — steps 3-4 then re-shuffle the full corpus; cap
+    * occurrences per hash upstream if that corpus shape is possible.
+    * Output spans, not cleaned text: removal policy (drop span / keep
+    * first occurrence) is a separate cheap map over spans. */
+  def substringDupSpans(docs: DataFrame, winLen: Int = 40,
+                        bloomPrefilter: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(docs.sparkSession)
+    val L = winLen
+    val wins = docs
+      .filter(length(col("text")) >= L)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - lit(L - 1))).as("pos"),
+        col("text").substr(col("pos"), lit(L)).as("win"))
+      .withColumn("h", xxhash64(col("win")))
+    val dupH = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sizing count is cheap: it materializes the persisted relation the
+    // exact join re-reads anyway (decontaminateBloom's sizing idiom)
+    val nDup = if (bloomPrefilter) math.max(1L, dupH.count()) else 0L
+    val preFiltered =
+      if (bloomPrefilter && nDup * 10 <= (1L << 30)) {
+        val numBits = math.max(1024L, nDup * 10).toInt
+        val blob = dupH.agg(GraftFunctions.bloomBuild(col("h"), numBits, 7).as("blob"))
+          .head().getAs[Array[Byte]](0)
+        wins.filter(GraftFunctions.bloomMightContain(col("h"), blob))
+      } else wins
+    val cand = preFiltered.join(dupH.hint("shuffle_hash"), "h").persist()
+    val dupWins = cand.groupBy(col("win")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("win"))
+    val occ = cand.join(dupWins, "win").select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    occ
+      .withColumn("prev_end", max(col("pos") + lit(L - 1))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_span",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1).otherwise(0))
+      .withColumn("span", sum(col("new_span"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+           (max(col("pos")) + lit(L - 1)).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
+  /** Per-doc rollup of [[substringDupSpans]]: how much of each affected doc
+    * is corpus-duplicated text — the number real curation pipelines report
+    * (and threshold on) before span removal. */
+  def substringDupStats(docs: DataFrame, winLen: Int = 40): DataFrame =
+    substringDupSpans(docs, winLen)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("dup_chars"))
+      .join(docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars")), "doc_id")
+      .withColumn("dup_frac", round(col("dup_chars") / col("n_chars"), 6))
+
   /** Exact n-gram Jaccard near-dup pairs via shingle inverted index.
     * maxDf caps posting lists at scale (off by default for oracle parity). */
   def ngramJaccardPairs(docs: DataFrame, tau: Double = 0.5,
@@ -186,6 +270,26 @@ object DedupOps {
     * graft.functions.MinHashSignature). */
   def minhashFromHashes(hashCol: Column, numPerms: Int = 128): Column =
     graft.functions.GraftFunctions.minhashSig(hashCol, numPerms)
+
+  /** (doc_id, band, band_sig) LSH banding as one narrow per-row projection
+    * chain — STREAMING-SAFE (no persist, no shuffle), shared by the
+    * streaming near-dup twin (graft.streaming.Streams.nearDupCandidates)
+    * and identical lane-for-lane to the banding inside [[minhashLshPairs]]
+    * (same tokenizer, shingle n, perm family, band hasher), so candidates
+    * found by one are candidates under the other. */
+  def bandedMinhashSigs(docs: DataFrame, numPerms: Int = 128, bands: Int = 32): DataFrame = {
+    require(numPerms % bands == 0,
+      s"bandedMinhashSigs: bands=$bands must divide numPerms=$numPerms")
+    GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("doc_id"), shinglesFromTokens(col("t"), 3).as("s"))
+      .filter(size(col("s")) > 0)
+      .select(col("doc_id"),
+        transform(col("s"), x => pmod(xxhash64(x), lit(P))).as("hs"))
+      .select(col("doc_id"), minhashFromHashes(col("hs"), numPerms).as("sig"))
+      .select(col("doc_id"),
+        posexplode(GraftFunctions.bandHashes(col("sig"), bands)).as(Seq("band", "band_sig")))
+  }
 
   /** MinHash + LSH near-dup pairs, verified with exact Jaccard ≥ tau.
     * bands × rowsPerBand must equal numPerms. Returns (a_id, b_id, jacc) —

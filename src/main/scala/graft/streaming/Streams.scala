@@ -120,6 +120,58 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Streaming MinHash-LSH near-dup CANDIDATES over a document stream —
+    * the ingest-time twin of DedupOps.minhashLshPairs. Each arriving doc is
+    * banded map-side (DedupOps.bandedMinhashSigs: same tokenizer/perms/
+    * bands as batch, so candidate sets agree), then flatMapGroupsWithState
+    * keyed by (band, band_sig) pairs it against every doc previously seen
+    * in that bucket. Cross-band duplicate pairs are dropped by a stateful
+    * dropDuplicates downstream.
+    *
+    * Emits CANDIDATES (band-collision pairs), not verified pairs: exact
+    * Jaccard verification needs the two shingle sets, which belong in a doc
+    * store, not in per-bucket state ×32 bands — the production shape is
+    * `foreachBatch { cands => DedupOps-style verify join against the
+    * corpus table }` (spec-proven equivalent to the batch op's output).
+    *
+    * State: one Long per doc per band (the bucket membership list) —
+    * O(32 × docs) total, uniform across executors because bucket keys are
+    * hashes. `maxBucket` caps a hot bucket (a band_sig shared by thousands
+    * of near-identical docs): beyond the cap the bucket stops ACCUMULATING
+    * but new arrivals still pair against the stored members — the same
+    * role as the batch op's maxDf posting cap; duplicates of a saturated
+    * bucket are by construction already paired with its members. */
+  def nearDupCandidates(docs: DataFrame, numPerms: Int = 128, bands: Int = 32,
+                        maxBucket: Int = 4096): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val banded = graft.ops.DedupOps.bandedMinhashSigs(docs, numPerms, bands)
+      .select(col("doc_id"), col("band"), col("band_sig"))
+      .as[(Long, Int, Long)]
+    banded
+      .groupByKey { case (_, band, sig) => (band, sig) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
+         state: GroupState[List[Long]]) =>
+          val stored = state.getOption.getOrElse(Nil)
+          // distinct+sorted: a doc re-sent in the same batch pairs once
+          val fresh = rows.map(_._1).toSeq.distinct.sorted.filterNot(stored.contains)
+          val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+          var members = stored
+          fresh.foreach { id =>
+            members.foreach { m =>
+              out += (if (m < id) (m, id) else (id, m))
+            }
+            // saturated buckets stop growing but keep pairing (see doc)
+            if (members.size < maxBucket) members ::= id
+          }
+          if (members ne stored) state.update(members)
+          out.iterator
+      }
+      .toDF("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+  }
+
   /** Custom-state sessionization: flatMapGroupsWithState with event-time
     * timeout. A session closes when the gap exceeds gapSec (decided against
     * the watermark clock), emitting (user, start, end, n). */

@@ -15,7 +15,13 @@ class ContractSpec extends SparkSpecBase {
     * last rows-only holdout — joined it late in r6 via the same register
     * dump plus md5-sample order-statistic quantiles, so the list is empty:
     * EVERY query is oracle-checked. */
-  private val rowsOnly = Set.empty[String]
+  /** r8 adds one genuine rows-only entry: `sudoku` — solving needs search
+    * (exact-cover), which DuckDB SQL cannot express; correctness is pinned
+    * by ComputePuzzleSpec instead (constraint validity, clue preservation,
+    * unsatisfiable → None, uniqueness-bounded recovery of the source
+    * grid). bbp_pi_digits and pentomino stay oracle-checked via
+    * literal-VALUES ground truth. */
+  private val rowsOnly = Set("sudoku")
 
   test("every query has an oracle or is on the documented rows-only list") {
     val qs = SparkEntry.queries.keySet

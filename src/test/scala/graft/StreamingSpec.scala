@@ -369,4 +369,39 @@ class StreamingSpec extends SparkSpecBase {
       assert(got.contains(0L) && !got.contains(1L))
     } finally q.stop()
   }
+
+  test("streaming near-dup candidates == batch LSH banding; batch verified pairs are a subset") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val rows = docs.as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.nearDupCandidates(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup_cand_t")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two micro-batches: pairs must form both within a batch and across
+      // batches (new arrivals against bucket state from batch 1)
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("neardup_cand_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // exactly-once per pair: the stateful dropDuplicates means collect()
+      // count equals distinct count
+      assert(spark.table("neardup_cand_t").count() == streamed.size)
+      val banded = graft.ops.DedupOps.bandedMinhashSigs(docs)
+      val batchCand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batchCand,
+        s"stream ${streamed.size} pairs vs batch ${batchCand.size}")
+      val verified = graft.ops.DedupOps.minhashLshPairs(docs)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(verified.nonEmpty && verified.subsetOf(streamed))
+    } finally q.stop()
+  }
 }
