@@ -43,6 +43,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("rolling_window_hashes",
       exprs => RollingWindowHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("poly_hash64",
+      exprs => PolyHash64(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("synthetic_doc_text",
@@ -167,6 +169,11 @@ object GraftFunctions {
     * rolling_min_hash so the min reduction can be oracle-checked. */
   def rollingWindowHashes(text: Column, k: Int): Column =
     call_function("rolling_window_hashes", text, org.apache.spark.sql.functions.lit(k))
+
+  /** Whole-string polynomial hash in rolling_window_hashes' space (see
+    * PolyHash64 — the substring-dedup non-ASCII fallback hasher). */
+  def polyHash64(text: Column): Column =
+    call_function("poly_hash64", text)
 
   /** Distinct word n-gram shingles of a token array (native expr). */
   def shingleArray(tokens: Column, n: Int): Column =

@@ -56,7 +56,42 @@ case class RollingWindowHashes(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Whole-string polynomial hash in RollingWindowHashes' hash space: for a
+  * string of exactly k bytes, poly_hash64(s) == the single k-byte window
+  * hash rolling_window_hashes(s, k)(0). Lets a char-window enumerated via
+  * substr (the non-ASCII fallback path of substring dedup) land in the SAME
+  * dup-detection hash space as byte-rolled windows from ASCII docs — equal
+  * strings always collide, whichever path enumerated them. */
+case class PolyHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash64"
+
+  override def nullSafeEval(v: Any): Any =
+    RollingMinHash.polyWhole(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = graft.functions.RollingMinHash$$.MODULE$$.polyWhole($str);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object RollingMinHash {
+
+  /** h = Σ byte·B^i over ALL bytes — identical arithmetic to one
+    * computeAll window when the string is exactly k bytes long. */
+  def polyWhole(v: UTF8String): Long = {
+    val bytes = v.getBytes
+    val B = 257L
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) { h = h * B + (bytes(i) & 0xffL); i += 1 }
+    h
+  }
   /** Every window hash, in position order (the relation the oracle reduces).
     * Must stay in lockstep with compute(): same base, same wraparound, same
     * short-text fallback. */

@@ -114,58 +114,85 @@ object DedupOps {
     * with a suffix array. The Spark-native equivalent of the suffix array is
     * hash-group-then-verify — embarrassingly parallel, no global sort:
     *
-    *   1. stride-1 windows: explode `sequence(1, len-winLen+1)` (native
-    *      generator, stays in codegen) + `substr` — one row per character,
-    *      O(total corpus bytes) rows.
-    *   2. duplicate-hash detection: groupBy xxhash64(win) carrying NO
-    *      strings — the full-corpus shuffle is (8 B key, count) with
-    *      map-side partial aggregation.
-    *   3. candidate selection: occurrences of duplicated hashes. A bloom
-    *      filter over the dup-hash set (10 bits/key, built with the
-    *      decontaminate_bloom machinery) prunes the window relation
-    *      MAP-SIDE before the exact shuffle join, so the only shuffle that
-    *      carries window STRINGS is ~the duplicated fraction (+ ~1% FPR),
-    *      not the corpus. Falls back to the plain shuffle join when the
-    *      dup-hash set outgrows a driver-size blob (2^30 bits) — that
-    *      regime shuffles the corpus once, the same volume the
-    *      suffix-array alternative must globally sort.
-    *   4. exact verify: candidates re-group by the window STRING,
-    *      eliminating 64-bit collisions.
+    *   1. stride-1 window HASHES: for ASCII docs (byte==char positions) a
+    *      single native `rolling_window_hashes` pass emits every window's
+    *      polynomial hash in O(bytes) per doc — no per-window substring
+    *      allocation (which costs 4× the whole downstream pipeline: 52 s
+    *      vs 12 s for the detection pass at 82 M windows, SubstringProfile).
+    *      Docs with multibyte chars (char windows ≠ byte windows) fall back
+    *      to substr enumeration hashed by `poly_hash64` — the SAME hash
+    *      space, so equal windows collide across the two paths and
+    *      cross-path duplicates are never missed.
+    *   2. duplicate-hash detection: groupBy the hash carrying NO strings —
+    *      the full-corpus shuffle is (8 B key, count) rows.
+    *   3. bloom prune: a bloom filter over the dup-hash set (10 bits/key,
+    *      the decontaminate_bloom machinery) drops non-duplicate windows
+    *      MAP-SIDE, so the only shuffle that carries window STRINGS is
+    *      ~the duplicated fraction (+ ~1% FPR), not the corpus. The bloom
+    *      needs NO exact-join backstop for its false positives — step 4
+    *      eliminates them. When the dup-hash set outgrows a driver-size
+    *      blob (2^30 bits ≈ 10^8 dup hashes), the prune is skipped and
+    *      step 4 windows over the full corpus — the volume a suffix array
+    *      must globally sort anyway.
+    *   4. exact verify + occurrence marking in ONE pass: a window count
+    *      partitioned by the window STRING keeps occurrences whose string
+    *      truly repeats. This is exact against every failure mode of the
+    *      prune: a bloom false positive or a 64-bit collision pairs
+    *      DIFFERENT strings, each with string-count 1 → dropped; true
+    *      duplicates all reach this stage because blooms have no false
+    *      negatives.
     *   5. per-doc interval merge (gaps-and-islands window) → maximal spans.
     *
     * A pathological corpus (one repeated char) makes every window
-    * duplicated — steps 3-4 then re-shuffle the full corpus; cap
-    * occurrences per hash upstream if that corpus shape is possible.
-    * Output spans, not cleaned text: removal policy (drop span / keep
-    * first occurrence) is a separate cheap map over spans. */
+    * duplicated — step 4 then shuffles the full corpus; cap occurrences
+    * per hash upstream if that corpus shape is possible. Output spans,
+    * not cleaned text: removal policy (drop span / keep first occurrence)
+    * is a separate cheap map over spans. */
   def substringDupSpans(docs: DataFrame, winLen: Int = 40,
                         bloomPrefilter: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     GraftFunctions.register(docs.sparkSession)
     val L = winLen
-    val wins = docs
-      .filter(length(col("text")) >= L)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("text")) - lit(L - 1))).as("pos"),
-        col("text").substr(col("pos"), lit(L)).as("win"))
-      .withColumn("h", xxhash64(col("win")))
-    val dupH = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select(col("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // sizing count is cheap: it materializes the persisted relation the
-    // exact join re-reads anyway (decontaminateBloom's sizing idiom)
-    val nDup = if (bloomPrefilter) math.max(1L, dupH.count()) else 0L
-    val preFiltered =
-      if (bloomPrefilter && nDup * 10 <= (1L << 30)) {
-        val numBits = math.max(1024L, nDup * 10).toInt
-        val blob = dupH.agg(GraftFunctions.bloomBuild(col("h"), numBits, 7).as("blob"))
-          .head().getAs[Array[Byte]](0)
-        wins.filter(GraftFunctions.bloomMightContain(col("h"), blob))
+    val longEnough = docs.filter(length(col("text")) >= L)
+    // (doc_id, pos, h, text): text rides along UNSHUFFLED (whole-stage
+    // codegen keeps it a per-input-row local) so the verify stage can slice
+    // the window string for candidates only, after the bloom filter.
+    val winsAscii = longEnough
+      .filter(octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id"), col("text"),
+        posexplode(GraftFunctions.rollingWindowHashes(col("text"), L)).as(Seq("pos0", "h")))
+      .select(col("doc_id"), col("text"), (col("pos0") + 1).as("pos"), col("h"))
+    val winsMb = longEnough
+      .filter(octet_length(col("text")) =!= length(col("text")))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - lit(L - 1))).as("pos"))
+      .withColumn("h", GraftFunctions.polyHash64(col("text").substr(col("pos"), lit(L))))
+      .select(col("doc_id"), col("text"), col("pos"), col("h"))
+    val wins = winsAscii.unionByName(winsMb)
+    val cand =
+      if (bloomPrefilter) {
+        val dupH = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).select(col("h"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // sizing count materializes the persisted relation the bloom build
+        // re-reads (decontaminateBloom's sizing idiom)
+        val nDup = math.max(1L, dupH.count())
+        val pre =
+          if (nDup * 10 <= (1L << 30)) {
+            val numBits = math.max(1024L, nDup * 10).toInt
+            val blob = dupH.agg(GraftFunctions.bloomBuild(col("h"), numBits, 7).as("blob"))
+              .head().getAs[Array[Byte]](0)
+            wins.filter(GraftFunctions.bloomMightContain(col("h"), blob))
+          } else wins
+        dupH.unpersist()
+        pre
       } else wins
-    val cand = preFiltered.join(dupH.hint("shuffle_hash"), "h").persist()
-    val dupWins = cand.groupBy(col("win")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select(col("win"))
-    val occ = cand.join(dupWins, "win").select(col("doc_id"), col("pos"))
+    val byWin = Window.partitionBy(col("win"))
+    val occ = cand
+      .withColumn("win", col("text").substr(col("pos"), lit(L)))
+      .select(col("doc_id"), col("pos"), col("win"))
+      .withColumn("c", count(lit(1)).over(byWin))
+      .filter(col("c") > 1).select(col("doc_id"), col("pos"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     occ
       .withColumn("prev_end", max(col("pos") + lit(L - 1))

@@ -227,6 +227,41 @@ object ScaleDedup {
       else s"FAIL: missed=$levMissed unsound=$levUnsound"
     }
 
+    // ---- substring-level dedup: planted exact copies must surface as
+    // FULL-DOC spans (every window of an exact copy occurs ≥2×, so the
+    // merged span is [1, n_chars] on both sides); near copies qualify
+    // when they DIRECTLY share a 40-char window with their partner
+    // (computed linearly per planted pair), and every qualifying doc must
+    // then carry at least one span ----
+    if (enabled("dedup_substring")) {
+      val spans = recordAndDump("dedup_substring") { DedupOps.substringDupSpans(docs) }
+      val lens = docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      val exactIds = planted.filter(col("kind") === "exact")
+        .select(explode(array(col("a_id"), col("b_id"))).as("doc_id")).distinct()
+      val fullSpan = spans.join(lens, "doc_id")
+        .filter(col("span_start") === 1 && col("span_end") === col("n_chars"))
+        .select(col("doc_id")).distinct()
+      val exactMissed = exactIds.join(fullSpan, Seq("doc_id"), "left_anti").count()
+      val w = docs
+        .select(col("doc_id"),
+          explode(sequence(lit(1), length(col("text")) - lit(39))).as("pos"),
+          col("text").substr(col("pos"), lit(40)).as("win"))
+        .select(col("doc_id"), col("win"))
+      val nearPairs = planted.filter(col("kind") === "near").select(col("a_id"), col("b_id"))
+      val qualDocs = nearPairs
+        .join(w.select(col("doc_id").as("a_id"), col("win")), "a_id")
+        .join(w.select(col("doc_id").as("b_id"), col("win")), Seq("b_id", "win"))
+        .select(explode(array(col("a_id"), col("b_id"))).as("doc_id")).distinct()
+      val spanned = spans.select(col("doc_id")).distinct()
+      val nearMissed = qualDocs.join(spanned, Seq("doc_id"), "left_anti").count()
+      val nQual = qualDocs.count(); val nEx = exactIds.count()
+      checks("dedup_substring") =
+        if (exactMissed == 0 && nearMissed == 0)
+          s"PASS: ${spans.count()} spans; all $nEx exact-planted docs have the full-doc span; " +
+            s"all $nQual near docs sharing a 40-char window carry a span"
+        else s"FAIL: exactMissed=$exactMissed nearMissed=$nearMissed"
+    }
+
     // ---- dedup groups end-to-end (pairs → connected components) ----
     if (enabled("dedup_groups")) {
       val pairsPath = s"$dir/_check_dedup_minhash_lsh.parquet"

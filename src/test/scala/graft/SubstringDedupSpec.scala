@@ -49,6 +49,31 @@ class SubstringDedupSpec extends SparkSpecBase {
       spans.map(x => x._3 - x._2 + 1).sum)
   }
 
+  test("multibyte docs dedup against ASCII docs (cross-path hash space agrees)") {
+    // doc 1 is pure ASCII (fast byte-rolling path); doc 2 contains a
+    // multibyte char in its tail (substr+poly_hash64 fallback path). The
+    // shared block must still surface — poly_hash64 of a 40-char ASCII
+    // window equals its rolling byte-window hash by construction.
+    val docs = Seq(
+      (1L, "A" * 10 + block + "!!!unique-ascii-tail......................"),
+      (2L, "B" * 25 + block + "tail-with-multibyte-é.....................")
+    ).toDF("doc_id", "text")
+    val spans = DedupOps.substringDupSpans(docs, winLen = L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 11L, 70L), (2L, 26L, 85L)))
+    // and a duplicated window CONTAINING a multibyte char (both docs on
+    // the fallback path) is found with char-accurate boundaries
+    val mbBlock = "début-" + block.take(34) // 40 chars, multibyte inside
+    assert(mbBlock.length == L)
+    val docs2 = Seq(
+      (3L, "x" * 7 + mbBlock + "1one unique ASCII tail here............."),
+      (4L, "y" * 13 + mbBlock + "2two other unique tail there............")
+    ).toDF("doc_id", "text")
+    val spans2 = DedupOps.substringDupSpans(docs2, winLen = L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans2 == Set((3L, 8L, 47L), (4L, 14L, 53L)))
+  }
+
   test("docs shorter than the window and unique docs emit no spans") {
     val docs = Seq(
       (1L, "short"),
