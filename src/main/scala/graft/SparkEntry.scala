@@ -376,6 +376,10 @@ object SparkEntry {
     "pack_sequences" -> ((s, d) => CurationPipeline.packSequences(Tables.documents(s, d))),
     "curation_pipeline" -> ((s, d) => CurationPipeline.curate(Tables.documents(s, d))),
     "curation_full" -> ((s, d) => CurationPipeline.curateFull(Tables.documents(s, d))),
+    "global_shuffle" -> ((s, d) => CurationPipeline.globalShuffle(Tables.documents(s, d))),
+    "quota_sample" -> ((s, d) => CurationPipeline.quotaSample(Tables.documents(s, d))),
+    "lm_perplexity" -> ((s, d) => TextAnalysis.lmPerplexity(Tables.documents(s, d))),
+    "dedup_semantic" -> ((s, d) => SimilarityOps.semanticDedup(s, Tables.embeddings(s, d))),
     // §2 preference-(c) showcase: custom LogicalPlan+Strategy+Exec operator
     "topk_custom_operator" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, round}
@@ -1232,6 +1236,52 @@ object SparkEntry {
              coalesce(sum(n_tokens) OVER (ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM tt)
          SELECT doc_id, n_tokens, CAST(floor(cb / 512) AS BIGINT) AS seq_id FROM c""",
+    "global_shuffle" ->
+      """SELECT doc_id, CAST(row_number() OVER (
+           ORDER BY md5('42-' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+         FROM documents""",
+    "quota_sample" ->
+      """WITH t AS (SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(text,'\s+'), x->x<>'')) AS BIGINT)
+               AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS pri FROM documents)
+         SELECT doc_id, source, n_tokens,
+           coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before,
+           coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 2000 AS keep
+         FROM t""",
+    "lm_perplexity" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         uni AS (SELECT doc_id, unnest(t) AS w FROM tok),
+         c1 AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+         v AS (SELECT count(DISTINCT w) AS v FROM uni),
+         bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                FROM tok, unnest(generate_series(1, len(t)-1)) AS g(i)
+                WHERE len(t) >= 2),
+         c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+         sc AS (SELECT b.doc_id, count(*) AS n_bigrams,
+                  avg(ln((c2.c + 1.0)/(c1.c + v.v))) AS a
+                FROM bg b JOIN c2 USING (w1, w2) JOIN c1 ON b.w1 = c1.w CROSS JOIN v
+                GROUP BY b.doc_id)
+         SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+           round(sc.a, 6) AS avg_ll, round(exp(-sc.a), 4) AS ppl
+         FROM documents d LEFT JOIN sc USING (doc_id)""",
+    "dedup_semantic" ->
+      """WITH RECURSIVE pairs AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+             b.embedding::DOUBLE[]),5) >= 0.4),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         r AS (SELECT vec_id AS id, vec_id AS comp FROM embeddings
+           UNION SELECT e.src, r.comp FROM edges e JOIN r ON e.dst = r.id),
+         lab AS (SELECT id, min(comp) AS comp FROM r GROUP BY id)
+         SELECT v.vec_id, coalesce(l.comp, v.vec_id) AS group_id,
+           v.vec_id = coalesce(l.comp, v.vec_id) AS keep
+         FROM embeddings v LEFT JOIN lab l ON v.vec_id = l.id""",
     "tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id,
              list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),

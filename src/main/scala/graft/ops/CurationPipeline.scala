@@ -172,4 +172,76 @@ object CurationPipeline {
       .select(col("doc_id"), col("n_tokens"),
         floor((col("intra") + col("offset")) / budget).as("seq_id"))
   }
+
+  /** Deterministic global corpus shuffle — the pre-training permutation step
+    * (training consumes documents in a random-but-reproducible order so every
+    * epoch, resume, and engine sees the same sequence). The permutation key
+    * is md5(seed "-" doc_id): engine-portable (both Spark and any SQL engine
+    * produce the identical hex string), uniform, and re-derivable row-by-row.
+    * Output: (doc_id, pos) with pos = the doc's 1-based position in
+    * (key, doc_id) order.
+    *
+    * The global rank is the TeraSort two-phase shape (same as
+    * [[packSequences]]): range partition on the key, per-partition
+    * row_number, plus a broadcast of per-partition counts — no
+    * single-partition sort, so the stage scales with partition count, never
+    * serializing the corpus. At 100 TB this is one range shuffle of
+    * (doc_id, 32-char key) rows — narrow regardless of document size. */
+  def globalShuffle(docs: DataFrame, seed: String = "42",
+                    partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.select(col("doc_id"),
+        md5(concat_ws("-", lit(seed), col("doc_id").cast("string"))).as("k"))
+      .repartitionByRange(partitions, col("k"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val offsets = keyed.groupBy(col("pid")).agg(count(lit(1)).as("pcnt"))
+      .withColumn("offset", coalesce(sum(col("pcnt")).over(
+        // ≤ `partitions` rows — the tiny phase-2 window (see packSequences)
+        Window.partitionBy(lit(0)).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    keyed.withColumn("intra", row_number().over(
+        Window.partitionBy(col("pid")).orderBy(col("k"), col("doc_id"))).cast("long"))
+      .join(broadcast(offsets.select(col("pid"), col("offset"))), "pid")
+      .select(col("doc_id"), (col("offset") + col("intra")).as("pos"))
+  }
+
+  /** Per-source token-budget capping (the "cap each domain's contribution"
+    * mixture rule — a crawl dump must not drown the curated sources): within
+    * each source, documents are ranked by a deterministic priority
+    * (md5(doc_id) — reproducible across engines/runs/retries, same property
+    * as [[TextAnalysis.mixtureKeep]]), and a document is kept iff it STARTS
+    * within the source's token budget (tokens_before < budget). Output is one
+    * row per doc with its audit columns: (doc_id, source, n_tokens,
+    * tokens_before, keep).
+    *
+    * The per-source running sum is the two-phase cumsum, not a naive
+    * per-source window: range partition on (source, priority, doc_id),
+    * per-(partition, source) window, plus a broadcast of per-(source,
+    * partition) totals. A naive Window.partitionBy(source) puts each source
+    * on ONE task — with a handful of sources at 100 TB that is a handful of
+    * tasks; here a hot source spreads across every range partition it spans,
+    * so per-task state stays bounded by the range chunk, not the source. */
+  def quotaSample(docs: DataFrame, budgetTokens: Long = 2000L,
+                  partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("pri"))
+      .repartitionByRange(partitions, col("source"), col("pri"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val offsets = t.groupBy(col("source"), col("pid")).agg(sum(col("n_tokens")).as("ptotal"))
+      .withColumn("offset", coalesce(sum(col("ptotal")).over(
+        // ≤ sources × partitions rows — the tiny phase-2 window
+        Window.partitionBy(col("source")).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("pid"), col("offset"))
+    val intraW = Window.partitionBy(col("pid"), col("source"))
+      .orderBy(col("pri"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("intra", coalesce(sum(col("n_tokens")).over(intraW), lit(0L)))
+      .join(broadcast(offsets), Seq("source", "pid"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("intra") + col("offset")).as("tokens_before"))
+      .withColumn("keep", col("tokens_before") < budgetTokens)
+  }
 }

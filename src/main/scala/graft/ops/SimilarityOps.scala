@@ -216,6 +216,30 @@ object SimilarityOps {
     * executor-friendly at any corpus size. */
   private val TileTarget = 512L
 
+  /** SemDedup-style semantic deduplication (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * embeddings whose cosine clears `tau` are semantic duplicates of each
+    * other; the pair graph is resolved into connected components and ONE
+    * representative — the minimum vec_id — survives per component. Output is
+    * one row per vector: (vec_id, group_id, keep), group_id = the component's
+    * canonical member, keep ⇔ this row IS the canonical member.
+    *
+    * Composition of two already-scale-proven stages: pair generation is the
+    * exact centroid-bucketed [[embeddingNearDup]] (the bucket pruning is
+    * precisely SemDedup's within-cluster-only comparison, made exact), and
+    * grouping is DedupOps.connectedComponents (O(diameter) shuffles,
+    * checkpoint-truncated lineage). At 100 TB on a corpus too dense for the
+    * exact pair stage, swap in the ANN candidates (ivfTopK neighbours at
+    * cos ≥ tau) — identical downstream shape, approximate recall. */
+  def semanticDedup(spark: SparkSession, emb: DataFrame, tau: Double = 0.4): DataFrame = {
+    val pairs = embeddingNearDup(spark, emb, tau).select(col("a_id"), col("b_id"))
+    val comp = DedupOps.connectedComponents(pairs)
+    emb.select(col("vec_id"))
+      .join(comp.select(col("id").as("vec_id"), col("comp")), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("group_id"))
+      .withColumn("keep", col("vec_id") === col("group_id"))
+  }
+
   /** The quadratic all-pairs baseline (spec reference only — the bucketed
     * form above is the operator; this one exists to prove it exact). */
   def embeddingNearDupAllPairs(spark: SparkSession, emb: DataFrame, tau: Double = 0.4): DataFrame = {

@@ -211,4 +211,50 @@ object TextAnalysis {
       .withColumn("flag_repetitive",
         when(col("dup_bigram_ratio") > flagAbove, 1).otherwise(0).cast("int"))
   }
+
+  /** CCNet-style n-gram LM quality signal (Wenzek et al. 2020 use a KenLM
+    * perplexity to split a crawl into quality tiers): train an add-one-
+    * smoothed bigram LM on the corpus itself and score every document by its
+    * average bigram log-likelihood — fluent/common text scores low perplexity,
+    * boilerplate-free noise scores high, and the score is the standard
+    * curation sort key for "keep the middle" filtering.
+    *
+    *   p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V),   V = |vocabulary|
+    *   avg_ll   = mean over the doc's consecutive bigrams of ln p
+    *   ppl      = exp(−avg_ll)
+    *
+    * Scale shape: the unigram/bigram count relations are vocabulary-bounded
+    * partial-agg'd groupBys (one shuffle each); scoring joins are plain
+    * equi-joins on the gram keys, planned by stats — broadcast at toy SF
+    * (audited), flipping to sort-merge once the bigram table outgrows the
+    * broadcast threshold (a web-scale bigram table runs to GBs; nothing here
+    * forces a broadcast). The vocabulary size joins as a 1-row scalar. The
+    * per-doc reduce is one more partial-agg'd shuffle on doc_id. Bigrams are
+    * extracted map-side with builtin slice+arrays_zip (codegen'd; no
+    * interpreted lambda and no per-doc window). Docs with < 2 tokens carry
+    * NULL score columns. */
+  def lmPerplexity(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+    val c1 = uni.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = c1.agg(count(lit(1)).cast("double").as("v"))
+    val bg = toks.filter(size(col("t")) >= 2)
+      .withColumn("w1s", slice(col("t"), lit(1), size(col("t")) - 1))
+      .withColumn("w2s", slice(col("t"), lit(2), size(col("t")) - 1))
+      .select(col("doc_id"), explode(arrays_zip(col("w1s"), col("w2s"))).as("p"))
+      .select(col("doc_id"), col("p.w1s").as("w1"), col("p.w2s").as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val scored = bg
+      .join(c2, Seq("w1", "w2"))
+      .join(c1.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab)) // 1-row scalar, not a data broadcast
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log((col("c2") + lit(1.0)) / (col("c1") + col("v")))).as("a"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("a"), 6).as("avg_ll"),
+        round(exp(-col("a")), 4).as("ppl"))
+  }
 }
