@@ -37,6 +37,7 @@ object SparkEntry {
   val RollingHashDumpDir = s"$DumpBase/graft_rolling_hashes"
   val HllRegDumpDir = s"$DumpBase/graft_hll_registers"
   val ApproxRegDumpDir = s"$DumpBase/graft_approx_registers"
+  val BpeWordDumpDir = s"$DumpBase/graft_bpe_words"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -379,6 +380,31 @@ object SparkEntry {
     "global_shuffle" -> ((s, d) => CurationPipeline.globalShuffle(Tables.documents(s, d))),
     "quota_sample" -> ((s, d) => CurationPipeline.quotaSample(Tables.documents(s, d))),
     "lm_perplexity" -> ((s, d) => TextAnalysis.lmPerplexity(Tables.documents(s, d))),
+    // Under Verify the per-distinct-word BPE encodings are materialized and
+    // the per-doc counts recomputed FROM the dump, so the DuckDB oracle
+    // re-runs the tokenize-join-aggregate over the identical relation (the
+    // materialized-relation pattern of dedup_simhash/rolling_fingerprint;
+    // the BPE loop itself stays spec-covered — it IS the dumped relation).
+    "bpe_token_count" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = TextAnalysis.trainBpe(docs)
+      if (sys.props.contains("graft.fp.dump")) {
+        import org.apache.spark.sql.functions.{coalesce, count, explode, lit, size, sum}
+        graft.functions.GraftFunctions.register(s)
+        docs.select(explode(TextOps.tokens(col("text"))).as("word")).distinct()
+          .select(col("word"),
+            size(graft.functions.GraftFunctions.bpeEncode(col("word"), merges))
+              .cast("long").as("n_sub"))
+          .coalesce(1).write.mode("overwrite").parquet(BpeWordDumpDir)
+        val agg = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+          .join(s.read.parquet(BpeWordDumpDir), "word")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("n_sub")).as("n_bpe_tokens"))
+        docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+      } else TextAnalysis.bpeTokenCount(docs, merges)
+    }),
     "dedup_semantic" -> ((s, d) => SimilarityOps.semanticDedup(s, Tables.embeddings(s, d))),
     // §2 preference-(c) showcase: custom LogicalPlan+Strategy+Exec operator
     "topk_custom_operator" -> ((s, d) => {
@@ -1268,6 +1294,17 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
            round(sc.a, 6) AS avg_ll, round(exp(-sc.a), 4) AS ppl
          FROM documents d LEFT JOIN sc USING (doc_id)""",
+    "bpe_token_count" ->
+      ("""WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         w AS (SELECT doc_id, unnest(t) AS word FROM tok),
+         enc AS (SELECT * FROM read_parquet('""" + BpeWordDumpDir + """/*.parquet')),
+         agg AS (SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(n_sub) AS BIGINT) AS n_bpe
+                 FROM w JOIN enc USING (word) GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens,
+           coalesce(agg.n_bpe, 0) AS n_bpe_tokens
+         FROM documents d LEFT JOIN agg USING (doc_id)"""),
     "dedup_semantic" ->
       """WITH RECURSIVE pairs AS (
            SELECT a.vec_id AS a_id, b.vec_id AS b_id

@@ -89,6 +89,8 @@ object GraftFunctions {
         exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("bloom_might_contain",
       exprs => BloomMightContain(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("bpe_encode",
+      exprs => BpeEncode(exprs(0), evalMerges(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_lsh",
       exprs => HyperplaneLsh(exprs(0), evalCentroids(exprs(1)),
         exprs(2).eval().asInstanceOf[Number].intValue(),
@@ -96,6 +98,18 @@ object GraftFunctions {
         // optional 5th arg: multi-probe flips per table (default 0)
         if (exprs.length > 4) exprs(4).eval().asInstanceOf[Number].intValue()
         else 0), "built-in")
+  }
+
+  /** Fold a foldable array<array<string>> merge-table argument into the
+    * (left, right) merge pairs for [[BpeEncode]]. */
+  private[graft] def evalMerges(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[(String, String)] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val outer = e.eval().asInstanceOf[ArrayData]
+    (0 until outer.numElements()).map { j =>
+      val p = outer.getArray(j)
+      require(p.numElements() == 2, "bpe_encode: each merge must be [left, right]")
+      (p.getUTF8String(0).toString, p.getUTF8String(1).toString)
+    }
   }
 
   /** Fold a foldable array<array<float|double>> argument into the model
@@ -212,6 +226,12 @@ object GraftFunctions {
   def tileHammingPairs(blkA: Column, blkB: Column, maxHamming: Int): Column =
     call_function("tile_hamming_pairs", blkA, blkB,
       org.apache.spark.sql.functions.lit(maxHamming))
+
+  /** BPE subword tokens of a text column under a trained merge table
+    * (graft.functions.BpeEncode — map-side, model shipped with the plan). */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    call_function("bpe_encode", text,
+      org.apache.spark.sql.functions.typedlit(merges.map(m => Seq(m._1, m._2))))
 
   /** Indexes of the k nearest centroids by cosine (map-side argmax over the
     * bounded model matrix — no join, no window). */

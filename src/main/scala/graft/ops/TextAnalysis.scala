@@ -212,6 +212,39 @@ object TextAnalysis {
         when(col("dup_bigram_ratio") > flagAbove, 1).otherwise(0).cast("int"))
   }
 
+  /** Distributed BPE training (Sennrich et al. 2016): ONE vocabulary-bounded
+    * word-count shuffle builds the (word, freq) dictionary — the only
+    * corpus-sized stage — then merge learning runs driver-side over the
+    * dictionary (graft.functions.BpeTrainer; cost independent of corpus
+    * size, the same bounded-model-state pattern as IVF centroid training).
+    * Returns the ranked merge table for [[bpeEncode]]/[[bpeTokenCount]]. */
+  def trainBpe(docs: DataFrame, numMerges: Int = 200,
+               minPairFreq: Long = 2L): Seq[(String, String)] = {
+    val vocab = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    graft.functions.BpeTrainer.learn(vocab, numMerges, minPairFreq)
+  }
+
+  /** Per-doc BPE subword tokenization under a trained merge table — pure
+    * map-side projection (the merge model ships inside the native
+    * expression), scan-speed at any corpus size. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.bpeEncode(col("text"), merges).as("bpe_tokens"))
+  }
+
+  /** The token-accounting view every training-budget calculation needs:
+    * whitespace tokens vs BPE subword tokens per document. */
+  def bpeTokenCount(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+      size(graft.functions.GraftFunctions.bpeEncode(col("text"), merges))
+        .cast("long").as("n_bpe_tokens"))
+  }
+
   /** CCNet-style n-gram LM quality signal (Wenzek et al. 2020 use a KenLM
     * perplexity to split a crawl into quality tiers): train an add-one-
     * smoothed bigram LM on the corpus itself and score every document by its
