@@ -307,6 +307,34 @@ object ScaleDedup {
       else s"FAIL: missed=$ndMissed unsound=$ndUnsound"
     }
 
+    // ---- SemDedup end-to-end (near-dup pairs → components → canonical):
+    // structural arithmetic is fully checkable at any scale — keep ⇔ id is
+    // the group minimum, survivors == distinct groups, and every planted
+    // pair whose recomputed cosine clears tau must land in ONE group ----
+    if (enabled("dedup_semantic")) {
+      val sd = recordAndDump("dedup_semantic") {
+        SimilarityOps.semanticDedup(spark, emb, tau = 0.8)
+      }
+      val malformed = sd.filter(col("group_id") > col("vec_id") ||
+        col("keep") =!= (col("vec_id") === col("group_id"))).count()
+      val plantedCosQ2 = planted
+        .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("ea")), "a_id")
+        .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")), "b_id")
+        .filter(round(GraftFunctions.cosineSim(col("ea"), col("eb")), 5) >= 0.8)
+        .select(col("a_id"), col("b_id"))
+      val split = plantedCosQ2
+        .join(sd.select(col("vec_id").as("a_id"), col("group_id").as("ga")), "a_id")
+        .join(sd.select(col("vec_id").as("b_id"), col("group_id").as("gb")), "b_id")
+        .filter(col("ga") =!= col("gb")).count()
+      val keeps = sd.filter(col("keep")).count()
+      val groups = sd.select(col("group_id")).distinct().count()
+      val pq = plantedCosQ2.count()
+      checks("dedup_semantic") =
+        if (malformed == 0 && split == 0 && keeps == groups)
+          s"PASS: $keeps survivors of $n, all $pq qualifying planted pairs grouped, canonical arithmetic holds"
+        else s"FAIL: malformed=$malformed splitPairs=$split keeps=$keeps groups=$groups"
+    }
+
     // ---- ANN: brute force is ground truth for ivf/lsh recall at scale ----
     if (enabled("ann")) {
     val bf = record("ann_bruteforce_topk") { SimilarityOps.bruteForceTopK(spark, emb) }
