@@ -38,6 +38,10 @@ object SparkEntry {
   val HllRegDumpDir = s"$DumpBase/graft_hll_registers"
   val ApproxRegDumpDir = s"$DumpBase/graft_approx_registers"
   val BpeWordDumpDir = s"$DumpBase/graft_bpe_words"
+  val ClfWeightsDumpDir = s"$DumpBase/graft_clf_weights"
+  val ClfFeatsDumpDir = s"$DumpBase/graft_clf_feats"
+  val CmsMatrixDumpDir = s"$DumpBase/graft_cms_matrix"
+  val CmsCandDumpDir = s"$DumpBase/graft_cms_cand"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -406,6 +410,35 @@ object SparkEntry {
       } else TextAnalysis.bpeTokenCount(docs, merges)
     }),
     "dedup_semantic" -> ((s, d) => SimilarityOps.semanticDedup(s, Tables.embeddings(s, d))),
+    // fastText-style hashed-feature logistic classifier (lang=en as the
+    // reference class). Under Verify the trained weight vector and the
+    // hashed feature relation are materialized and scoring runs the
+    // declarative join over the dump, so the DuckDB oracle replays the
+    // identical margin arithmetic; training itself is spec-covered (it IS
+    // the dumped weight relation). Prod path scores via the map-side
+    // native expression — one Scan+Project.
+    "quality_classifier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dump = if (sys.props.contains("graft.fp.dump"))
+        Some((ClfWeightsDumpDir, ClfFeatsDumpDir)) else None
+      Classifier.qualityClassifier(s, docs, dumpDirs = dump)
+    }),
+    // Count-Min Sketch point queries over the true top-20 words. Under
+    // Verify the counter matrix and candidate cell map are materialized;
+    // the oracle recomputes true counts from raw text and replays the
+    // min-over-rows lookup from the dumps.
+    "cms_heavyhitters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      if (sys.props.contains("graft.fp.dump")) {
+        TextAnalysis.cmsMatrix(docs).coalesce(1)
+          .write.mode("overwrite").parquet(CmsMatrixDumpDir)
+        TextAnalysis.cmsCandidateMap(
+            ops.TextOps.topKWords(docs).select(col("word")), 4, 2048)
+          .coalesce(1).write.mode("overwrite").parquet(CmsCandDumpDir)
+        TextAnalysis.cmsHeavyHitters(docs,
+          matrixIn = Some(s.read.parquet(CmsMatrixDumpDir)))
+      } else TextAnalysis.cmsHeavyHitters(docs)
+    }),
     // §2 preference-(c) showcase: custom LogicalPlan+Strategy+Exec operator
     "topk_custom_operator" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, round}
@@ -1319,6 +1352,40 @@ object SparkEntry {
          SELECT v.vec_id, coalesce(l.comp, v.vec_id) AS group_id,
            v.vec_id = coalesce(l.comp, v.vec_id) AS keep
          FROM embeddings v LEFT JOIN lab l ON v.vec_id = l.id""",
+    // Scoring arithmetic replayed over the dumped weight + feature
+    // relations (training is spec-covered — it produced the dump);
+    // labels recomputed from the raw lang column.
+    "quality_classifier" ->
+      ("""WITH w AS (SELECT idx, w FROM read_parquet('""" + ClfWeightsDumpDir + """/*.parquet')),
+         b AS (SELECT w FROM w WHERE idx = -1),
+         f AS (SELECT * FROM read_parquet('""" + ClfFeatsDumpDir + """/*.parquet')),
+         s AS (SELECT f.doc_id, sum(f.v * w.w) AS dot
+               FROM f JOIN w ON f.idx = w.idx GROUP BY f.doc_id),
+         lab AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+           FROM documents)
+         SELECT d.doc_id,
+           CASE WHEN len(list_filter(lab.t, x -> list_contains(
+                  ['the','a','of','and','to','in','is','it'], x)))::DOUBLE
+                  >= 0.06 * len(lab.t)::DOUBLE AND len(lab.t) > 0
+                THEN 1 ELSE 0 END AS y,
+           round(coalesce(s.dot, 0) + (SELECT w FROM b), 5) AS margin,
+           CASE WHEN coalesce(s.dot, 0) + (SELECT w FROM b) > 0
+                THEN 1 ELSE 0 END AS pred
+         FROM documents d
+         LEFT JOIN s ON d.doc_id = s.doc_id
+         JOIN lab ON d.doc_id = lab.doc_id"""),
+    // True counts from raw text; estimates replayed as the min-over-rows
+    // lookup from the dumped counter matrix + candidate cell map.
+    "cms_heavyhitters" ->
+      ("""WITH m AS (SELECT * FROM read_parquet('""" + CmsMatrixDumpDir + """/*.parquet')),
+         cand AS (SELECT * FROM read_parquet('""" + CmsCandDumpDir + """/*.parquet')),
+         topk AS (SELECT word, count(*) AS n_true FROM (
+             SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+           WHERE word <> '' GROUP BY word ORDER BY n_true DESC, word LIMIT 20),
+         est AS (SELECT c.word, min(m.c) AS n_est FROM cand c
+             JOIN m ON c.d = m.d AND c.idx = m.idx GROUP BY c.word)
+         SELECT t.word, t.n_true, e.n_est FROM topk t JOIN est e ON t.word = e.word"""),
     "tfidf_top_terms" ->
       """WITH tok AS (SELECT doc_id,
              list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),

@@ -91,6 +91,8 @@ object GraftFunctions {
       exprs => BloomMightContain(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("bpe_encode",
       exprs => BpeEncode(exprs(0), evalMerges(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("hashed_linear_margin",
+      exprs => HashedLinearMargin(exprs(0), evalDoubles(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_lsh",
       exprs => HyperplaneLsh(exprs(0), evalCentroids(exprs(1)),
         exprs(2).eval().asInstanceOf[Number].intValue(),
@@ -110,6 +112,13 @@ object GraftFunctions {
       require(p.numElements() == 2, "bpe_encode: each merge must be [left, right]")
       (p.getUTF8String(0).toString, p.getUTF8String(1).toString)
     }
+  }
+
+  /** Fold a foldable array<double> argument (e.g. a trained weight vector)
+    * into a primitive double array for [[HashedLinearMargin]]. */
+  private[graft] def evalDoubles(e: org.apache.spark.sql.catalyst.expressions.Expression): Array[Double] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    e.eval().asInstanceOf[ArrayData].toDoubleArray()
   }
 
   /** Fold a foldable array<array<float|double>> argument into the model
@@ -232,6 +241,14 @@ object GraftFunctions {
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
     call_function("bpe_encode", text,
       org.apache.spark.sql.functions.typedlit(merges.map(m => Seq(m._1, m._2))))
+
+  /** Linear-model margin over hashed bag-of-words features of a text column
+    * (weights = D feature slots + trailing bias; see HashedLinearMargin).
+    * The weight literal is folded into the expression's model state at
+    * resolution — it never rides the plan as a literal child. */
+  def hashedLinearMargin(text: Column, weights: Array[Double]): Column =
+    call_function("hashed_linear_margin", text,
+      org.apache.spark.sql.functions.typedlit(weights.toSeq))
 
   /** Indexes of the k nearest centroids by cosine (map-side argmax over the
     * bounded model matrix — no join, no window). */

@@ -290,4 +290,46 @@ object TextAnalysis {
         round(col("a"), 6).as("avg_ll"),
         round(exp(-col("a")), 4).as("ppl"))
   }
+
+  /** Count-Min Sketch counter matrix (Cormode & Muthukrishnan 2005) over the
+    * corpus token stream: depth rows of width counters, cell (d, idx) counts
+    * tokens with pmod(hash(word, d), width) == idx. The sketch is the
+    * FIXED-size twin of the word-count shuffle: partial aggregation bounds
+    * each task's shuffle output at depth×width cells regardless of
+    * vocabulary — at 100 TB the wordcount shuffle is vocabulary-bounded,
+    * this one is CONSTANT-bounded (the point of the sketch family, same
+    * story as [[graft.functions.SpaceSavingTopK]] for heavy hitters and the
+    * HLL registers for distincts). */
+  def cmsMatrix(docs: DataFrame, depth: Int = 4, width: Int = 2048): DataFrame =
+    docs.select(explode(TextOps.tokens(col("text"))).as("word"))
+      .select(col("word"), explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .select(col("d"), pmod(hash(col("word"), col("d")), lit(width)).as("idx"))
+      .groupBy(col("d"), col("idx")).agg(count(lit(1)).as("c"))
+
+  /** The (word, d, idx) cell addresses a candidate word reads — dumped under
+    * Verify so the DuckDB oracle can replay the min-over-rows lookup without
+    * reimplementing murmur3. */
+  def cmsCandidateMap(words: DataFrame, depth: Int, width: Int): DataFrame =
+    words.select(col("word"), explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .select(col("word"), col("d"),
+        pmod(hash(col("word"), col("d")), lit(width)).as("idx"))
+
+  /** CMS point-query check over the true top-k words: estimate = min over
+    * the depth rows of the addressed cells. CMS guarantees n_est ≥ n_true
+    * always, with overestimate ≤ εN at probability 1−δ (ε = e/width,
+    * δ = e^−depth) — the spec pins the one-sided bound, the oracle replays
+    * the exact lookup arithmetic from the dumped matrix + candidate map. */
+  def cmsHeavyHitters(docs: DataFrame, depth: Int = 4, width: Int = 2048,
+                      k: Int = 20, matrixIn: Option[DataFrame] = None): DataFrame = {
+    val matrix = matrixIn.getOrElse(cmsMatrix(docs, depth, width))
+    // k rows, consumed by two DAG branches (candidate map + output join) —
+    // persisted so the vocab-bounded wordcount shuffle behind it runs once
+    val topk = TextOps.topKWords(docs, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val est = cmsCandidateMap(topk.select(col("word")), depth, width)
+      .join(matrix, Seq("d", "idx"))
+      .groupBy(col("word")).agg(min(col("c")).as("n_est"))
+    topk.join(est, Seq("word"))
+      .select(col("word"), col("n").as("n_true"), col("n_est"))
+  }
 }

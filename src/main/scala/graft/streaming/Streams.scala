@@ -172,6 +172,58 @@ object Streams {
       .dropDuplicates("a_id", "b_id")
   }
 
+  /** Ingest-time quality scoring: the trained classifier's map-side margin
+    * expression applied to a document STREAM — stateless, so the streaming
+    * plan is the same one Scan+Project as batch scoring (weights ship with
+    * the plan; no state, no watermark, no shuffle). This is the production
+    * shape of "score every crawl document as it lands": train offline on a
+    * sample (Classifier.trainLogReg), deploy the weight vector into the
+    * ingest stream, route by margin. Emits only rows with margin ≥
+    * minMargin when `filter` is set; pass minMargin = −∞ to score-and-keep
+    * everything. Spec-pinned equal to batch scoreMapSide row-for-row. */
+  def scoreStream(docs: DataFrame, weights: Array[Double],
+                  minMargin: Double = 0.0,
+                  keepOnly: Boolean = true): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val margin = graft.functions.GraftFunctions.hashedLinearMargin(col("text"), weights)
+    val scored = docs.withColumn("margin", round(margin, 5))
+    if (keepOnly) scored.filter(col("margin") >= minMargin) else scored
+  }
+
+  /** Incremental Count-Min sketch maintenance (the streaming twin of
+    * TextAnalysis.cmsMatrix): each micro-batch writes ITS OWN depth×width
+    * counter matrix as a batchId-keyed partial (same idempotent-overwrite
+    * contract as [[incrementalRollup]]); [[readCms]] merges partials with
+    * one groupBy-sum. Correct because CMS is a LINEAR sketch — the matrix
+    * of a union is the cell-wise sum of the matrices — so the merged
+    * estimate equals the batch sketch over everything ever streamed
+    * (spec-pinned). At 100 TB/day each partial is ≤ depth×width cells
+    * regardless of batch size: the sketch family's constant-bounded
+    * shuffle story, now also its constant-bounded STATE story. */
+  def cmsStream(docs: DataFrame, outDir: String, checkpointDir: String,
+                depth: Int = 4, width: Int = 2048) =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.TextAnalysis.cmsMatrix(batch, depth, width)
+          .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+      }
+      .start()
+
+  /** Merge-on-read for the incremental CMS: cell-wise partial sums. An
+    * empty rollup dir reads as an empty matrix, matching readRollup. */
+  def readCms(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBatch = fs.exists(root) &&
+      fs.listStatus(root).exists(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
+    val partials =
+      if (hasBatch) spark.read.parquet(s"$outDir/batch_*")
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("d INT, idx INT, c BIGINT"))
+    partials.groupBy(col("d"), col("idx")).agg(sum(col("c")).as("c"))
+  }
+
   /** Custom-state sessionization: flatMapGroupsWithState with event-time
     * timeout. A session closes when the gap exceeds gapSec (decided against
     * the watermark clock), emitting (user, start, end, n). */

@@ -174,6 +174,63 @@ class StreamingSpec extends SparkSpecBase {
       s"merge-on-read must equal batch recompute; diff=${(merged -- batch) ++ (batch -- merged)}")
   }
 
+  test("scoreStream: streaming margins equal batch map-side scoring, filter honored") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = 64
+    // deterministic synthetic weights — stream/batch identity is the claim
+    val w = Array.tabulate(d + 1)(j => ((j % 7) - 3) * 0.1)
+    val rows = Seq((1L, "alpha beta gamma"), (2L, "delta delta"), (3L, ""),
+      (4L, "epsilon zeta eta theta"), (5L, "beta"))
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.scoreStream(input.toDF().toDF("doc_id", "text"), w,
+        minMargin = Double.NegativeInfinity, keepOnly = false)
+      .writeStream.format("memory").queryName("score_t")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("score_t").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("margin")).toMap
+      val batch = graft.ops.Classifier.scoreMapSide(
+          rows.toDF("doc_id", "text"), org.apache.spark.sql.functions.lit(0), w)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(streamed == batch && streamed.size == rows.size,
+        s"stream $streamed vs batch $batch")
+      // threshold routing: keepOnly drops sub-threshold rows
+      val input2 = MemoryStream[(Long, String)]
+      val thr = streamed.values.toSeq.sorted.apply(2) // keep top 3 of 5
+      val q2 = Streams.scoreStream(input2.toDF().toDF("doc_id", "text"), w, thr)
+        .writeStream.format("memory").queryName("score_keep_t")
+        .outputMode(OutputMode.Append).start()
+      try {
+        input2.addData(rows: _*)
+        q2.processAllAvailable()
+        val kept = spark.table("score_keep_t").collect().map(_.getAs[Long]("doc_id")).toSet
+        assert(kept == streamed.filter(_._2 >= thr).keySet)
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
+  test("cmsStream: merged micro-batch sketches equal the batch sketch (linearity)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cms_stream").toString
+    val docs = Tables.documents(spark, sfDir)
+    docs.limit(120).select(org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text")).write.parquet(s"$tmp/in")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, text STRING"))
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in")
+    val q = Streams.cmsStream(stream, s"$tmp/cms", s"$tmp/ckpt", depth = 3, width = 256)
+    try q.processAllAvailable() finally q.stop()
+    val merged = Streams.readCms(spark, s"$tmp/cms")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val batch = graft.ops.TextAnalysis.cmsMatrix(spark.read.parquet(s"$tmp/in"), 3, 256)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(merged == batch && batch.nonEmpty,
+      s"cell-wise merge must equal batch sketch; diffs=${
+        (merged.toSet -- batch.toSet).take(3)} ${(batch.toSet -- merged.toSet).take(3)}")
+  }
+
   test("dedupStream: replayed events within the watermark horizon are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
