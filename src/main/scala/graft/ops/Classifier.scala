@@ -48,9 +48,11 @@ object Classifier {
     * count (and the doc is non-empty). Kept in MULTIPLY form (cnt ≥ r·n, not
     * cnt/n ≥ r) so the DuckDB oracle's double arithmetic is bit-identical —
     * a division would round differently at the threshold boundary. */
-  def stopDensityLabel(minRatio: Double = 0.06): org.apache.spark.sql.Column = {
+  def stopDensityLabel(minRatio: Double = 0.06,
+                       words: Seq[String] = Seq("the", "a", "of", "and",
+                         "to", "in", "is", "it")): org.apache.spark.sql.Column = {
     val t = TextOps.tokens(col("text"))
-    val sw = typedlit(Seq("the", "a", "of", "and", "to", "in", "is", "it"))
+    val sw = typedlit(words)
     (size(filter(t, x => array_contains(sw, x))).cast("double") >=
       lit(minRatio) * size(t).cast("double") && size(t) > 0).cast("int")
   }
@@ -264,8 +266,9 @@ object Classifier {
     * expression. */
   def qualityClassifier(spark: SparkSession, docs: DataFrame,
                         d: Int = 1 << 15, iters: Int = 30,
-                        dumpDirs: Option[(String, String)] = None): DataFrame = {
-    val label = stopDensityLabel()
+                        dumpDirs: Option[(String, String)] = None,
+                        labelOverride: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val label = labelOverride.getOrElse(stopDensityLabel())
     val feats = hashedFeatures(docs, label, d)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val w = trainLogReg(feats, d, iters)

@@ -322,10 +322,16 @@ object TextAnalysis {
   def cmsHeavyHitters(docs: DataFrame, depth: Int = 4, width: Int = 2048,
                       k: Int = 20, matrixIn: Option[DataFrame] = None): DataFrame = {
     val matrix = matrixIn.getOrElse(cmsMatrix(docs, depth, width))
-    // k rows, consumed by two DAG branches (candidate map + output join) —
-    // persisted so the vocab-bounded wordcount shuffle behind it runs once
-    val topk = TextOps.topKWords(docs, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // k rows, consumed by two DAG branches (candidate map + output join):
+    // collected to the driver once (bounded model state, like IVF
+    // centroids) — a lingering .persist here would swap InMemoryRelations
+    // into every later documents-reading plan in the session (the
+    // NOTES_PERF cache-state hash-flip effect), and without either, the
+    // vocab-bounded wordcount shuffle runs twice
+    val session = docs.sparkSession
+    import session.implicits._
+    val topk = TextOps.topKWords(docs, k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.toDF("word", "n")
     val est = cmsCandidateMap(topk.select(col("word")), depth, width)
       .join(matrix, Seq("d", "idx"))
       .groupBy(col("word")).agg(min(col("c")).as("n_est"))

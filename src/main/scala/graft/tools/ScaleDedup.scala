@@ -335,6 +335,50 @@ object ScaleDedup {
         else s"FAIL: malformed=$malformed splitPairs=$split keeps=$keeps groups=$groups"
     }
 
+    // ---- quality classifier: distributed training at scale against a
+    // corpus-derived planted rule. The synthetic corpus has per-doc hashed
+    // topics (no shared stopword head — 98% of docs contain NONE of the
+    // global top words, measured), so the rule is density of a HASH-DEFINED
+    // half of the vocabulary (murmur3(word) even) vs the corpus median
+    // density: exactly linearly representable (margin = Σ_marker tf − θ),
+    // ~50/50 by the median choice, and every vocabulary word recurs often
+    // enough to earn its own weight. Checks: the trained model recovers the
+    // rule (accuracy ≥ 0.95), predictions are margin-consistent, and
+    // neither class is degenerate ----
+    if (enabled("quality_classifier")) {
+      val t = TextOps.tokens(col("text"))
+      val markerCnt = size(filter(t, x => pmod(hash(x), lit(2)) === 0))
+      val ratioDf = docs.select((markerCnt.cast("double") /
+        greatest(size(t), lit(1)).cast("double")).as("r"))
+      val thr = ratioDf.stat.approxQuantile("r", Array(0.5), 0.001).head
+      val label = (markerCnt.cast("double") >= lit(thr) * size(t).cast("double") &&
+        size(t) > 0).cast("int")
+      val clf = record("quality_classifier") {
+        // D = 2^17: the synthetic vocabulary (50 k words) outgrows the gate
+        // default 2^15 — at 1.5 words/slot the hash collisions blur the rule
+        Classifier.qualityClassifier(spark, docs, d = 1 << 17,
+          labelOverride = Some(label))
+      }
+      val rows = clf.agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).as("pos"),
+        sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("correct"),
+        // margin column is rounded to 5 decimals, pred derives from the
+        // raw margin — tolerance keeps exact-boundary docs out of the check
+        sum(when((col("margin") > 1e-4 && col("pred") === 0) ||
+                 (col("margin") < -1e-4 && col("pred") === 1), 1L).otherwise(0L))
+          .as("inconsistent")).collect().head
+      val (nAll, pos, correct, incons) =
+        (rows.getLong(0), rows.getLong(1), rows.getLong(2), rows.getLong(3))
+      val acc = correct.toDouble / math.max(1L, nAll)
+      val posFrac = pos.toDouble / math.max(1L, nAll)
+      checks("quality_classifier") =
+        if (nAll == n && acc >= 0.95 && incons == 0 &&
+            posFrac >= 0.1 && posFrac <= 0.9)
+          f"PASS: acc=$acc%.4f posFrac=$posFrac%.3f thr=$thr%.5f over $nAll docs"
+        else f"FAIL: n=$nAll acc=$acc%.4f posFrac=$posFrac%.3f inconsistent=$incons"
+    }
+
     // ---- ANN: brute force is ground truth for ivf/lsh recall at scale ----
     if (enabled("ann")) {
     val bf = record("ann_bruteforce_topk") { SimilarityOps.bruteForceTopK(spark, emb) }
