@@ -96,6 +96,29 @@ class ClassifierCmsSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), "map-side scoring must not shuffle")
   }
 
+  test("classifier edge cases: empty corpus trains a zero model; UTF-8 hash identity") {
+    import spark.implicits._
+    val d = 256
+    // empty training set: no stats, no gradient — zero weights, no crash
+    val empty = Seq.empty[(Long, Int, Int, Double)].toDF("doc_id", "y", "idx", "v")
+    val w0 = Classifier.trainLogReg(empty, d, iters = 3)
+    assert(w0.forall(_ == 0.0))
+    // multi-byte tokens: the native expression's byte-walk tokenizer +
+    // murmur3 must address the same slots as split()+hash() — UTF-8
+    // continuation bytes are ≥ 0x80, so byte-level \s splitting is exact
+    val docs = Seq((1L, "héllo wörld héllo"), (2L, "日本語 テスト"),
+      (3L, "mixé ascii méls"), (4L, "héllo 日本語"))
+      .toDF("doc_id", "text")
+    val w = Array.tabulate(d + 1)(j => ((j % 11) - 5) * 0.07)
+    val feats = Classifier.hashedFeatures(docs, lit(1), d)
+    val joined = Classifier.scoreJoined(
+      docs.select(col("doc_id"), lit(1).as("y")), feats, d, w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val mapSide = Classifier.scoreMapSide(docs, lit(1), w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(joined == mapSide, s"UTF-8 margin mismatch: $joined vs $mapSide")
+  }
+
   test("cms: overestimate guarantee and exactness without collisions") {
     // gate-shaped call: est >= true for every heavy hitter
     val out = TextAnalysis.cmsHeavyHitters(docs).collect()
