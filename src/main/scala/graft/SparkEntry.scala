@@ -42,6 +42,7 @@ object SparkEntry {
   val ClfFeatsDumpDir = s"$DumpBase/graft_clf_feats"
   val CmsMatrixDumpDir = s"$DumpBase/graft_cms_matrix"
   val CmsCandDumpDir = s"$DumpBase/graft_cms_cand"
+  val UnigramWordDumpDir = s"$DumpBase/graft_unigram_words"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -410,8 +411,33 @@ object SparkEntry {
       } else TextAnalysis.bpeTokenCount(docs, merges)
     }),
     "dedup_semantic" -> ((s, d) => SimilarityOps.semanticDedup(s, Tables.embeddings(s, d))),
-    // fastText-style hashed-feature logistic classifier (lang=en as the
-    // reference class). Under Verify the trained weight vector and the
+    // Unigram-LM (SentencePiece) twin of bpe_token_count — identical
+    // dump-relation oracle pattern: the per-distinct-word Viterbi
+    // segmentations are materialized and the per-doc counts recomputed
+    // FROM the dump, so DuckDB re-runs tokenize-join-aggregate over the
+    // identical relation; the Viterbi/EM loop itself is spec-covered.
+    "unigram_token_count" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val model = TextAnalysis.trainUnigram(docs)
+      if (sys.props.contains("graft.fp.dump")) {
+        import org.apache.spark.sql.functions.{coalesce, count, explode, lit, size, sum}
+        graft.functions.GraftFunctions.register(s)
+        docs.select(explode(TextOps.tokens(col("text"))).as("word")).distinct()
+          .select(col("word"),
+            size(graft.functions.GraftFunctions.unigramEncode(col("word"), model))
+              .cast("long").as("n_sub"))
+          .coalesce(1).write.mode("overwrite").parquet(UnigramWordDumpDir)
+        val agg = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+          .join(s.read.parquet(UnigramWordDumpDir), "word")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("n_sub")).as("n_unigram_tokens"))
+        docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("n_unigram_tokens"), lit(0L)).as("n_unigram_tokens"))
+      } else TextAnalysis.unigramTokenCount(docs, model)
+    }),
+    // fastText-style hashed-feature logistic classifier (label = the
+    // stopword-density quality rule). Under Verify the trained weight vector and the
     // hashed feature relation are materialized and scoring runs the
     // declarative join over the dump, so the DuckDB oracle replays the
     // identical margin arithmetic; training itself is spec-covered (it IS
@@ -1352,6 +1378,17 @@ object SparkEntry {
          SELECT v.vec_id, coalesce(l.comp, v.vec_id) AS group_id,
            v.vec_id = coalesce(l.comp, v.vec_id) AS keep
          FROM embeddings v LEFT JOIN lab l ON v.vec_id = l.id""",
+    "unigram_token_count" ->
+      ("""WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         w AS (SELECT doc_id, unnest(t) AS word FROM tok),
+         enc AS (SELECT * FROM read_parquet('""" + UnigramWordDumpDir + """/*.parquet')),
+         agg AS (SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(n_sub) AS BIGINT) AS n_uni
+                 FROM w JOIN enc USING (word) GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(agg.n_tokens, 0) AS n_tokens,
+           coalesce(agg.n_uni, 0) AS n_unigram_tokens
+         FROM documents d LEFT JOIN agg USING (doc_id)"""),
     // Scoring arithmetic replayed over the dumped weight + feature
     // relations (training is spec-covered — it produced the dump);
     // labels recomputed from the raw lang column.

@@ -93,6 +93,9 @@ object GraftFunctions {
       exprs => BpeEncode(exprs(0), evalMerges(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("hashed_linear_margin",
       exprs => HashedLinearMargin(exprs(0), evalDoubles(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("unigram_encode",
+      exprs => UnigramEncode(exprs(0), evalStrings(exprs(1)),
+        evalDoubles(exprs(2)).toSeq), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_lsh",
       exprs => HyperplaneLsh(exprs(0), evalCentroids(exprs(1)),
         exprs(2).eval().asInstanceOf[Number].intValue(),
@@ -119,6 +122,13 @@ object GraftFunctions {
   private[graft] def evalDoubles(e: org.apache.spark.sql.catalyst.expressions.Expression): Array[Double] = {
     import org.apache.spark.sql.catalyst.util.ArrayData
     e.eval().asInstanceOf[ArrayData].toDoubleArray()
+  }
+
+  /** Fold a foldable array<string> argument into a Seq[String]. */
+  private[graft] def evalStrings(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[String] = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val a = e.eval().asInstanceOf[ArrayData]
+    (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
   }
 
   /** Fold a foldable array<array<float|double>> argument into the model
@@ -241,6 +251,14 @@ object GraftFunctions {
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
     call_function("bpe_encode", text,
       org.apache.spark.sql.functions.typedlit(merges.map(m => Seq(m._1, m._2))))
+
+  /** Unigram-LM subword tokenization of a text column under a trained
+    * (piece, log-prob) vocabulary — the SentencePiece-unigram twin of
+    * [[bpeEncode]]; model folds into the expression at resolution. */
+  def unigramEncode(text: Column, model: Seq[(String, Double)]): Column =
+    call_function("unigram_encode", text,
+      org.apache.spark.sql.functions.typedlit(model.map(_._1)),
+      org.apache.spark.sql.functions.typedlit(model.map(_._2)))
 
   /** Linear-model margin over hashed bag-of-words features of a text column
     * (weights = D feature slots + trailing bias; see HashedLinearMargin).

@@ -245,6 +245,39 @@ object TextAnalysis {
         .cast("long").as("n_bpe_tokens"))
   }
 
+  /** Distributed unigram-LM tokenizer training (Kudo 2018, the
+    * SentencePiece unigram algorithm) — the same work split as
+    * [[trainBpe]]: ONE vocabulary-bounded word-count shuffle builds the
+    * (word, freq) dictionary, then seed/EM/prune runs driver-side over
+    * DISTINCT words (graft.functions.UnigramTrainer; cost independent of
+    * corpus size). Returns the (piece, log-prob) model for
+    * [[unigramEncode]]/[[unigramTokenCount]]. */
+  def trainUnigram(docs: DataFrame, vocabSize: Int = 512,
+                   maxPieceLen: Int = 6): Seq[(String, Double)] = {
+    val vocab = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    graft.functions.UnigramTrainer.learn(vocab, vocabSize, maxPieceLen)
+  }
+
+  /** Per-doc unigram subword tokenization — map-side Viterbi under the
+    * trained piece model (ships inside the native expression). */
+  def unigramEncode(docs: DataFrame, model: Seq[(String, Double)]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.unigramEncode(col("text"), model).as("unigram_tokens"))
+  }
+
+  /** Token accounting under the unigram tokenizer — the [[bpeTokenCount]]
+    * twin, so budget calculations can compare both subword families. */
+  def unigramTokenCount(docs: DataFrame, model: Seq[(String, Double)]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+      size(graft.functions.GraftFunctions.unigramEncode(col("text"), model))
+        .cast("long").as("n_unigram_tokens"))
+  }
+
   /** CCNet-style n-gram LM quality signal (Wenzek et al. 2020 use a KenLM
     * perplexity to split a crawl into quality tiers): train an add-one-
     * smoothed bigram LM on the corpus itself and score every document by its
