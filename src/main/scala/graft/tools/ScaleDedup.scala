@@ -379,6 +379,33 @@ object ScaleDedup {
         else f"FAIL: n=$nAll acc=$acc%.4f posFrac=$posFrac%.3f inconsistent=$incons"
     }
 
+    // ---- unigram tokenizer: the tokenizer-family scale shape — training
+    // cost is dictionary-bounded (driver EM over DISTINCT words; the one
+    // corpus-sized stage is the word-count shuffle), encoding map-side.
+    // Checks at full corpus: losslessness (piece concat rebuilds every
+    // doc's squashed text) and per-doc piece-count bounds ----
+    if (enabled("unigram_token_count")) {
+      var model: Seq[(String, Double)] = Nil
+      val uni = record("unigram_token_count") {
+        model = TextAnalysis.trainUnigram(docs)
+        TextAnalysis.unigramTokenCount(docs, model)
+      }
+      val enc = TextAnalysis.unigramEncode(docs, model)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      val lossy = enc.filter(concat_ws("", col("unigram_tokens")) =!=
+        regexp_replace(col("text"), "\\s+", "")).count()
+      val badBounds = uni
+        .join(docs.select(col("doc_id"),
+          length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("nc")), "doc_id")
+        .filter(col("n_unigram_tokens") < col("n_tokens") ||
+          col("n_unigram_tokens") > col("nc")).count()
+      val nRows = uni.count()
+      checks("unigram_token_count") =
+        if (lossy == 0 && badBounds == 0 && nRows == n)
+          s"PASS: ${model.size}-piece model, all $nRows docs lossless, counts within [words, chars]"
+        else s"FAIL: lossy=$lossy badBounds=$badBounds rows=$nRows"
+    }
+
     // ---- ANN: brute force is ground truth for ivf/lsh recall at scale ----
     if (enabled("ann")) {
     val bf = record("ann_bruteforce_topk") { SimilarityOps.bruteForceTopK(spark, emb) }
