@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation: the composition every LLM data
@@ -139,22 +139,51 @@ object CurationPipeline {
       .join(contaminated.select(col("doc_id")), Seq("doc_id"), "left_anti")
   }
 
+  /** Deterministic bucket id for a uniform 32-hex-char key (md5 output):
+    * floor(prefix32bits · buckets / 2^32). A pure row function — every
+    * branch of a plan that evaluates it sees the SAME assignment, unlike
+    * `spark_partition_id()` after a range exchange, whose sample-derived
+    * boundaries are not guaranteed stable across re-executions of the
+    * exchange (the r8 `quota_sample` hash-red). Monotone in the key's
+    * lexicographic order (prefix map), uniform because md5 is uniform, and
+    * exact integer arithmetic throughout (v < 2^32, v·buckets < 2^63). */
+  private[graft] def hexBucket(key: Column, buckets: Int): Column =
+    shiftright(conv(substring(key, 1, 8), 16, 10).cast("long") * buckets, 32)
+
+  /** Deterministic bucket id for an arbitrary numeric key: bounds are
+    * computed ONCE here (driver-side approxQuantile, `buckets-1` doubles)
+    * and baked into the plan as a literal — the TotalOrderPartitioner
+    * idiom (reference terasort/TeraSort.java:1: boundaries written once
+    * and SHARED by every consumer, never re-sampled). bucket = #bounds ≤
+    * key, monotone in the key by construction; any bound set is correct,
+    * so approxQuantile's accuracy only affects balance, never results. */
+  private[graft] def quantileBucket(df: DataFrame, keyCol: String,
+                                    buckets: Int): Column = {
+    val bounds = if (buckets <= 1) Array.empty[Double]
+      else df.select(col(keyCol).cast("double").as("k"))
+        .stat.approxQuantile("k",
+          (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+    if (bounds.isEmpty) lit(0)
+    else size(filter(typedLit(bounds.toSeq), b => col(keyCol).cast("double") >= b))
+  }
+
   /** Token-budget sequence packing (the training-batch assembly step):
     * concatenate docs in doc_id order into a token stream and assign each
     * doc the index of the `budget`-token sequence where it STARTS —
     * seq_id = floor(tokens_before / budget). The global ordered cumsum is
-    * the TeraSort two-phase shape, not a single-partition window: range
-    * partition by doc_id, per-partition cumsum window, plus a broadcast of
-    * per-partition totals (one tiny row per partition). Deterministic
-    * regardless of sampled range boundaries — tokens_before is a global
-    * quantity. */
+    * the TeraSort two-phase shape, not a single-partition window: a
+    * deterministic bucket id (collected-once quantile bounds — see
+    * [[quantileBucket]]), per-bucket cumsum window, plus a broadcast of
+    * per-bucket totals (one tiny row per bucket). The bucket id is a pure
+    * row function, so the offsets branch and the window branch agree by
+    * construction — no dependence on exchange-boundary reuse. */
   def packSequences(docs: DataFrame, budget: Long = 512L,
                     partitions: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val bucket = quantileBucket(docs.select(col("doc_id")), "doc_id", partitions)
     val t = docs
       .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
-      .repartitionByRange(partitions, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+      .withColumn("pid", bucket)
     val offsets = t.groupBy(col("pid")).agg(sum(col("n_tokens")).as("ptotal"))
       .withColumn("offset",
         coalesce(sum(col("ptotal")).over(
@@ -182,18 +211,21 @@ object CurationPipeline {
     * (key, doc_id) order.
     *
     * The global rank is the TeraSort two-phase shape (same as
-    * [[packSequences]]): range partition on the key, per-partition
-    * row_number, plus a broadcast of per-partition counts — no
-    * single-partition sort, so the stage scales with partition count, never
-    * serializing the corpus. At 100 TB this is one range shuffle of
-    * (doc_id, 32-char key) rows — narrow regardless of document size. */
+    * [[packSequences]]): a deterministic key-prefix bucket id (see
+    * [[hexBucket]] — a pure row function, monotone in the key, so the
+    * counts branch and the rank branch agree by construction), per-bucket
+    * row_number, plus a broadcast of per-bucket counts — no
+    * single-partition sort, so the stage scales with bucket count, never
+    * serializing the corpus. At 100 TB this is one hash shuffle of
+    * (doc_id, 32-char key) rows — narrow regardless of document size —
+    * with no range-boundary sampling job at all (md5 is uniform, so the
+    * prefix buckets are balanced by construction). */
   def globalShuffle(docs: DataFrame, seed: String = "42",
                     partitions: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyed = docs.select(col("doc_id"),
         md5(concat_ws("-", lit(seed), col("doc_id").cast("string"))).as("k"))
-      .repartitionByRange(partitions, col("k"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+      .withColumn("pid", hexBucket(col("k"), partitions))
     val offsets = keyed.groupBy(col("pid")).agg(count(lit(1)).as("pcnt"))
       .withColumn("offset", coalesce(sum(col("pcnt")).over(
         // ≤ `partitions` rows — the tiny phase-2 window (see packSequences)
@@ -215,20 +247,23 @@ object CurationPipeline {
     * tokens_before, keep).
     *
     * The per-source running sum is the two-phase cumsum, not a naive
-    * per-source window: range partition on (source, priority, doc_id),
-    * per-(partition, source) window, plus a broadcast of per-(source,
-    * partition) totals. A naive Window.partitionBy(source) puts each source
-    * on ONE task — with a handful of sources at 100 TB that is a handful of
-    * tasks; here a hot source spreads across every range partition it spans,
-    * so per-task state stays bounded by the range chunk, not the source. */
+    * per-source window: a deterministic priority-prefix bucket id (see
+    * [[hexBucket]] — a pure row function of `pri`, monotone in priority
+    * order, so the totals branch and the window branch agree by
+    * construction; no `spark_partition_id()`, no exchange-boundary reuse),
+    * per-(bucket, source) window, plus a broadcast of per-(source, bucket)
+    * totals. A naive Window.partitionBy(source) puts each source on ONE
+    * task — with a handful of sources at 100 TB that is a handful of
+    * tasks; here a hot source spreads across every priority bucket (md5 is
+    * uniform), so per-task state stays bounded by the bucket chunk, not
+    * the source. */
   def quotaSample(docs: DataFrame, budgetTokens: Long = 2000L,
                   partitions: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = docs.select(col("doc_id"), col("source"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
         md5(col("doc_id").cast("string")).as("pri"))
-      .repartitionByRange(partitions, col("source"), col("pri"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+      .withColumn("pid", hexBucket(col("pri"), partitions))
     val offsets = t.groupBy(col("source"), col("pid")).agg(sum(col("n_tokens")).as("ptotal"))
       .withColumn("offset", coalesce(sum(col("ptotal")).over(
         // ≤ sources × partitions rows — the tiny phase-2 window

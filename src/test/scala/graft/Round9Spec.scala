@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops._
+
+/** Round-9 hardening specs for the two-phase cumsum family
+  * (quotaSample / globalShuffle / packSequences).
+  *
+  * The r8 driver gate flagged `quota_sample` hash-red: the old construction
+  * stamped `spark_partition_id()` after a range exchange and required the
+  * totals branch and the window branch to observe the SAME partition
+  * assignment — which holds only while the sample-derived range boundaries
+  * are planned once and reused. The rewrite derives the bucket id as a pure
+  * row function (md5-prefix bucket, or collected-once quantile bounds), so
+  * the two branches agree BY CONSTRUCTION. These specs pin that: two-phase
+  * == naive single-window at several bucket counts, and bit-identical
+  * results across repeated executions.
+  */
+class Round9Spec extends SparkSpecBase {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("hexBucket: monotone in key order, in range, balanced on md5 keys") {
+    import spark.implicits._
+    val keyed = (1L to 5000L).toDF("id")
+      .select(col("id"), md5(col("id").cast("string")).as("k"))
+      .withColumn("pid", CurationPipeline.hexBucket(col("k"), 32))
+    val rows = keyed.select("k", "pid").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.forall { case (_, p) => p >= 0 && p < 32 })
+    // monotone: sorting by key must leave pid non-decreasing
+    assert(rows.map(_._2).sliding(2).forall(w => w.head <= w.last))
+    // uniform keys → every bucket hit, none pathologically hot
+    val byBucket = rows.groupBy(_._2).map(_._2.length)
+    assert(byBucket.size == 32 && byBucket.max < 5000 / 32 * 3)
+  }
+
+  test("quotaSample: two-phase == naive per-source window at 1/3/32 buckets, " +
+    "and 5 consecutive runs are bit-identical") {
+    val naive = docs
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("pri"))
+      .withColumn("tb", coalesce(sum(col("n_tokens")).over(
+        Window.partitionBy(col("source")).orderBy(col("pri"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("doc_id", "tb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    Seq(1, 3, 32).foreach { p =>
+      val got = CurationPipeline.quotaSample(docs, partitions = p)
+        .select("doc_id", "tokens_before").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == naive, s"bucket count $p diverged from the naive window")
+    }
+    val runs = (1 to 5).map { _ =>
+      CurationPipeline.quotaSample(docs).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4))).sortBy(_._1).toSeq
+    }
+    assert(runs.distinct.size == 1, "quotaSample must be run-to-run deterministic")
+  }
+
+  test("globalShuffle: two-phase == naive global rank at 1/3/32 buckets") {
+    val naive = docs
+      .select(col("doc_id"),
+        md5(concat_ws("-", lit("42"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("k"), col("doc_id"))).cast("long"))
+      .select("doc_id", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    Seq(1, 3, 32).foreach { p =>
+      val got = CurationPipeline.globalShuffle(docs, partitions = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == naive, s"bucket count $p diverged from the naive rank")
+    }
+  }
+
+  test("packSequences: quantile-bound buckets reproduce the global cumsum " +
+    "on skewed doc_id distributions") {
+    import spark.implicits._
+    // heavily skewed ids (clustered + sparse tail) stress the bound search
+    val ids = ((1L to 150L) ++ Seq(100000L, 100001L, 5000000L, 900000000L)).sorted
+    val rnd = new scala.util.Random(9)
+    val counts = ids.map(i => (i, 1 + rnd.nextInt(40)))
+    val synth = counts.map { case (i, n) => (i, Seq.fill(n)("w").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val expected = {
+      var cum = 0L
+      counts.map { case (i, n) => val s = cum / 64L; cum += n; i -> s }.toMap
+    }
+    Seq(1, 3, 32).foreach { p =>
+      val got = CurationPipeline.packSequences(synth, 64L, p)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == expected, s"bucket count $p changed packing")
+    }
+  }
+}
