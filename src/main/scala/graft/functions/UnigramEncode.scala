@@ -21,8 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - text splits on whitespace (byte-walk identical to TextOps.tokens —
   *     see [[BpeEncode.compute]]);
   *   - each word is segmented by Viterbi over all vocabulary pieces up to
-  *     maxPieceLen chars (ties broken toward the LONGER last piece, then
-  *     lexicographically smallest — fully deterministic);
+  *     maxPieceLen chars (ties broken toward the LONGER last piece — fully
+  *     deterministic: a piece is determined by its (start, end) span, so
+  *     the start index is the only free tie dimension);
   *   - a character absent from the vocabulary falls back to a floor
   *     log-prob single-char piece, so segmentation is total and
   *     `concat(pieces) == word` always (losslessness is spec-pinned). */
@@ -73,8 +74,9 @@ object UnigramEncode {
 
   /** Viterbi segmentation of one word; pieces appended to `out`.
     * dp(j) = best score of s[0..j); back(j) = start of the last piece.
-    * Deterministic tie-break: prefer the longer last piece (smaller start),
-    * then the lexicographically smaller piece. */
+    * Deterministic tie-break: prefer the longer last piece (smaller start).
+    * No further dimension exists — the piece IS word[start, j), so equal
+    * starts mean equal pieces. */
   private def encodeWord(word: String, model: Model,
                          out: java.util.ArrayList[UTF8String]): Unit = {
     val n = word.length
@@ -99,9 +101,7 @@ object UnigramEncode {
               UnkLogProb else Double.NegativeInfinity
             if (q != Double.NegativeInfinity && dp(i) != Double.NegativeInfinity) {
               val cand = dp(i) + q
-              val better = cand > dp(j) ||
-                (cand == dp(j) && (i < back(j) ||
-                  (i == back(j) && piece < word.substring(back(j), j))))
+              val better = cand > dp(j) || (cand == dp(j) && i < back(j))
               if (better) { dp(j) = cand; back(j) = i }
             }
           }
@@ -125,7 +125,7 @@ object UnigramEncode {
   }
 
   private def isWs(ch: Char): Boolean =
-    ch == ' ' || ch == '\t' || ch == '\n' || ch == '' || ch == '\f' || ch == '\r'
+    ch == ' ' || ch == '\t' || ch == '\n' || ch == '\u000B' || ch == '\f' || ch == '\r'
 
   def compute(text: UTF8String, model: Model): GenericArrayData = {
     val s = text.toString

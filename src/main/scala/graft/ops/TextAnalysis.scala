@@ -217,14 +217,38 @@ object TextAnalysis {
     * corpus-sized stage — then merge learning runs driver-side over the
     * dictionary (graft.functions.BpeTrainer; cost independent of corpus
     * size, the same bounded-model-state pattern as IVF centroid training).
-    * Returns the ranked merge table for [[bpeEncode]]/[[bpeTokenCount]]. */
+    *
+    * The dictionary the driver collects is CAPPED at `maxVocab` entries
+    * (top-M by frequency, word-ascending tie-break — a deterministic
+    * TakeOrderedAndProject: per-partition top-M, driver merge; never a
+    * full-vocabulary collect). A 100 TB web crawl has 10^8–10^9 distinct
+    * whitespace tokens — unbounded, that collect is tens of driver GB; the
+    * top-M prune is standard BPE practice (subword-nmt / HuggingFace
+    * trainers cap or frequency-floor the word dictionary) and keeps
+    * essentially all pair mass: dropped words are the frequency tail, and
+    * any merge they alone support sits below `minPairFreq` in real
+    * corpora. Exact-equality caveat: tail words CAN sum into a pair's
+    * count, so a cap is an approximation by construction — capped ==
+    * uncapped is spec-pinned on the gate corpus where the cap exceeds the
+    * vocabulary. Returns the ranked merge table for
+    * [[bpeEncode]]/[[bpeTokenCount]]. */
   def trainBpe(docs: DataFrame, numMerges: Int = 200,
-               minPairFreq: Long = 2L): Seq[(String, String)] = {
-    val vocab = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("f"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+               minPairFreq: Long = 2L,
+               maxVocab: Int = 1000000): Seq[(String, String)] = {
+    val vocab = wordDictTopM(docs, maxVocab)
     graft.functions.BpeTrainer.learn(vocab, numMerges, minPairFreq)
   }
+
+  /** The shared trainer dictionary: (word, freq) capped at the top
+    * `maxVocab` by (freq desc, word asc) — ordering fully deterministic,
+    * and the plan is a partial-agg'd count shuffle + TakeOrderedAndProject,
+    * so driver memory is bounded by the cap at any corpus size. */
+  private def wordDictTopM(docs: DataFrame, maxVocab: Int): Array[(String, Long)] =
+    docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w").asc)
+      .limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
 
   /** Per-doc BPE subword tokenization under a trained merge table — pure
     * map-side projection (the merge model ships inside the native
@@ -250,13 +274,14 @@ object TextAnalysis {
     * [[trainBpe]]: ONE vocabulary-bounded word-count shuffle builds the
     * (word, freq) dictionary, then seed/EM/prune runs driver-side over
     * DISTINCT words (graft.functions.UnigramTrainer; cost independent of
-    * corpus size). Returns the (piece, log-prob) model for
-    * [[unigramEncode]]/[[unigramTokenCount]]. */
+    * corpus size). The collected dictionary is capped at `maxVocab`
+    * (top-M by frequency — see [[trainBpe]]'s cap rationale; SentencePiece
+    * itself trains from a frequency-capped seed corpus). Returns the
+    * (piece, log-prob) model for [[unigramEncode]]/[[unigramTokenCount]]. */
   def trainUnigram(docs: DataFrame, vocabSize: Int = 512,
-                   maxPieceLen: Int = 6): Seq[(String, Double)] = {
-    val vocab = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("f"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+                   maxPieceLen: Int = 6,
+                   maxVocab: Int = 1000000): Seq[(String, Double)] = {
+    val vocab = wordDictTopM(docs, maxVocab)
     graft.functions.UnigramTrainer.learn(vocab, vocabSize, maxPieceLen)
   }
 

@@ -76,6 +76,28 @@ class Round9Spec extends SparkSpecBase {
     }
   }
 
+  test("trainer dictionary cap: capped == uncapped when the cap exceeds the " +
+    "vocabulary, and a tight cap still yields a working lossless encoder") {
+    // gate corpus vocabulary << default cap, so the driver-gate results are
+    // unchanged by construction; pin it explicitly at an explicit huge cap
+    val mergesDefault = TextAnalysis.trainBpe(docs, numMerges = 40)
+    val mergesHuge = TextAnalysis.trainBpe(docs, numMerges = 40, maxVocab = Int.MaxValue)
+    assert(mergesDefault == mergesHuge, "default cap must not alter gate-corpus training")
+    val uniDefault = TextAnalysis.trainUnigram(docs, vocabSize = 128)
+    val uniHuge = TextAnalysis.trainUnigram(docs, vocabSize = 128, maxVocab = Int.MaxValue)
+    assert(uniDefault == uniHuge)
+    // a cap far below the corpus vocabulary: training must stay functional
+    // and the encoder lossless (single chars always survive as fallbacks)
+    val mergesTight = TextAnalysis.trainBpe(docs, numMerges = 40, maxVocab = 50)
+    val enc = TextAnalysis.bpeEncode(docs, mergesTight)
+      .select(col("doc_id"), concat_ws("", col("bpe_tokens")).as("joined"))
+    val orig = docs.select(col("doc_id"),
+      concat_ws("", transform(TextOps.tokens(col("text")),
+        w => concat(w, lit("</w>")))).as("want"))
+    val bad = enc.join(orig, "doc_id").filter(col("joined") =!= col("want")).count()
+    assert(bad == 0, "tight-cap BPE must stay lossless")
+  }
+
   test("packSequences: quantile-bound buckets reproduce the global cumsum " +
     "on skewed doc_id distributions") {
     import spark.implicits._
