@@ -187,7 +187,7 @@ object SparkEntry {
     "bbp_pi_digits" -> ((s, _) => ComputeOps.piDigits(s, nDigits = 128)),
     "pentomino" -> ((s, _) => PuzzleOps.pentominoCounts(s)),
     "sudoku" -> ((s, _) =>
-      PuzzleOps.sudokuSolveAll(PuzzleOps.sudokuPuzzles(s, 200, blanks = 40))),
+      PuzzleOps.sudokuSolveAll(PuzzleOps.sudokuPuzzlesUnique(s, 200, blanks = 40))),
     "streaming_pipe" -> ((s, d) => PipeOps.pipeThrough(
       s, Tables.documents(s, d), "doc_id", "text", Seq("tr", "a-z", "A-Z"))),
     // IO ops gate-checked for content preservation: the op materializes a
@@ -1053,9 +1053,11 @@ object SparkEntry {
     "streaming_pipe" ->
       """SELECT doc_id, upper(text) AS out FROM documents""",
     // closed-form literal oracles: pi's fractional hex expansion (any bignum
-    // Machin evaluation reproduces it) and the published pentomino tiling
-    // counts (incl. symmetric duplicates). sudoku is rows-only (solution
-    // validity is spec-proven; no SQL twin for a backtracking search).
+    // Machin evaluation reproduces it), the published pentomino tiling
+    // counts (incl. symmetric duplicates), and sudoku's PLANTED solutions —
+    // the corpus is uniqueness-repaired, so the solver must recover exactly
+    // the grid each puzzle was blanked from, a pure function of the id that
+    // the driver bakes into a literal VALUES table (no SQL solver needed).
     "bbp_pi_digits" ->
       """SELECT CAST(pos AS BIGINT) AS pos, hex4 FROM (VALUES
          (0,'243F'),(4,'6A88'),(8,'85A3'),(12,'08D3'),(16,'1319'),(20,'8A2E'),
@@ -1067,6 +1069,14 @@ object SparkEntry {
     "pentomino" ->
       """SELECT board, CAST(solutions AS BIGINT) AS solutions FROM (VALUES
          ('3x20',8),('4x15',1472),('5x12',4040),('6x10',9356)) AS t(board, solutions)""",
+    "sudoku" -> {
+      val rows = (0L until 200L).map { id =>
+        val sol = graft.ops.PuzzleOps.puzzleAndSolutionForId(id, 40)._2
+        s"($id,'$sol',true,true)"
+      }.mkString(",\n         ")
+      s"""SELECT CAST(puzzle_id AS BIGINT) AS puzzle_id, solution, valid, clues_kept
+         FROM (VALUES $rows) AS t(puzzle_id, solution, valid, clues_kept)"""
+    },
     // content-preservation oracles: the source table IS the expected output
     "distcp_relayout" -> """SELECT * FROM lineitem""",
     "compaction" -> """SELECT * FROM events""",

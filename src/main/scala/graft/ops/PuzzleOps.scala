@@ -184,11 +184,58 @@ object PuzzleOps {
       .toDF("puzzle_id", "puzzle")
   }
 
-  private[graft] def puzzleForId(id: Long, blanks: Int): String = {
+  /** Uniqueness-bounded corpus: same deterministic generation as
+    * [[sudokuPuzzles]], then clues are restored (most-recently-blanked
+    * first — a deterministic repair order) until the puzzle has exactly ONE
+    * solution. Because the planted source grid is A solution and the
+    * repaired puzzle admits only one, the solver MUST recover the planted
+    * grid — which makes the expected output a pure function of (id),
+    * computable without any solver: the literal-VALUES oracle the driver
+    * gate hash-compares (closing the one rows-only gate entry). */
+  def sudokuPuzzlesUnique(spark: SparkSession, n: Int, blanks: Int = 40): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, math.min(32, math.max(1, n / 4)))
+      .as[Long]
+      .map { id => (id, puzzleAndSolutionForId(id, blanks)._1) }
+      .toDF("puzzle_id", "puzzle")
+  }
+
+  /** (puzzle, planted solution) for one id, uniqueness-repaired. Pure
+    * function of (id, blanks) — runs identically on executors (corpus
+    * generation) and on the driver (oracle construction). */
+  private[graft] def puzzleAndSolutionForId(id: Long, blanks: Int): (String, String) = {
     val s = 9
-    // valid base grid: the standard cyclic construction (3r + floor(r/3) + c) mod 9
+    val full = fullGridForId(id)
+    val grid = full.clone()
+    var st = blankSeedForId(id)
+    val order = scala.collection.mutable.ArrayBuffer[Int]()
+    var blanked = 0
+    while (blanked < math.min(blanks, s * s)) {
+      st = lcg(st)
+      val pos = (st % (s * s)).toInt
+      if (grid(pos) != 0) { grid(pos) = 0; order += pos; blanked += 1 }
+    }
+    // repair to uniqueness: restore most-recently-blanked clues until the
+    // exact-cover count (capped at 2) is 1. Terminates — zero blanks is
+    // trivially unique. Each check is one 9x9 matrix build + bounded search.
+    def solutionCount(): Long = {
+      val clues = for (i <- grid.indices if grid(i) != 0) yield i * s + (grid(i) - 1)
+      sudokuMatrix(3, 3).countCompletions(clues.toArray, limit = 2L)
+    }
+    var k = order.length - 1
+    while (solutionCount() > 1L && k >= 0) {
+      grid(order(k)) = full(order(k))
+      k -= 1
+    }
+    (grid.mkString(""), full.mkString(""))
+  }
+
+  /** The valid pre-blanking grid for an id: cyclic base construction with a
+    * seeded digit relabeling (shared by [[puzzleForId]] and the unique
+    * variant so both corpora plant the same solutions). */
+  private def fullGridForId(id: Long): Array[Int] = {
+    val s = 9
     val base = Array.tabulate(s * s)(i => ((i / s) * 3 + (i / s) / 3 + i % s) % s + 1)
-    // seeded digit relabeling (Fisher-Yates over 1..9)
     val perm = (1 to s).toArray
     var st = lcg(id + 7919)
     for (i <- s - 1 to 1 by -1) {
@@ -196,8 +243,22 @@ object PuzzleOps {
       val j = (st % (i + 1)).toInt
       val t = perm(i); perm(i) = perm(j); perm(j) = t
     }
-    val grid = base.map(d => perm(d - 1))
-    // seeded blank mask
+    base.map(d => perm(d - 1))
+  }
+
+  /** LCG state right after the digit-relabel shuffle — the blank mask must
+    * continue the same stream to reproduce [[puzzleForId]]'s corpus. */
+  private def blankSeedForId(id: Long): Long = {
+    var st = lcg(id + 7919)
+    for (_ <- 8 to 1 by -1) st = lcg(st)
+    st
+  }
+
+  private[graft] def puzzleForId(id: Long, blanks: Int): String = {
+    val s = 9
+    val grid = fullGridForId(id)
+    // seeded blank mask (continues the relabel LCG stream)
+    var st = blankSeedForId(id)
     var blanked = 0
     while (blanked < math.min(blanks, s * s)) {
       st = lcg(st)

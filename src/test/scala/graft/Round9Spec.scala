@@ -76,6 +76,32 @@ class Round9Spec extends SparkSpecBase {
     }
   }
 
+  test("sudoku planted-solution oracle: uniqueness-repaired puzzles solve to " +
+    "exactly the grid they were blanked from") {
+    import graft.ops.PuzzleOps
+    // driver-side ground truth (the same pure function the oracle bakes
+    // into its VALUES literal) vs the distributed solve
+    val expected = (0L until 60L).map { id =>
+      val (pz, sol) = PuzzleOps.puzzleAndSolutionForId(id, 40)
+      // puzzle is the planted grid with holes
+      assert(pz.length == 81 && sol.length == 81)
+      assert(pz.zip(sol).forall { case (p, s) => p == '0' || p == s })
+      id -> sol
+    }.toMap
+    val got = PuzzleOps.sudokuSolveAll(PuzzleOps.sudokuPuzzlesUnique(spark, 60, 40))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(got.length == 60)
+    got.foreach { case (id, sol, valid, kept) =>
+      assert(valid && kept)
+      assert(sol == expected(id), s"puzzle $id did not recover its planted grid")
+    }
+    // repair must leave at least one genuinely blanked puzzle (not all
+    // restored to the full grid — otherwise the test proves nothing)
+    val holes = PuzzleOps.sudokuPuzzlesUnique(spark, 60, 40)
+      .collect().map(_.getString(1).count(_ == '0'))
+    assert(holes.exists(_ >= 20), "repair degenerated: puzzles have almost no blanks")
+  }
+
   test("trainer dictionary cap: capped == uncapped when the cap exceeds the " +
     "vocabulary, and a tight cap still yields a working lossless encoder") {
     // gate corpus vocabulary << default cap, so the driver-gate results are
