@@ -593,11 +593,16 @@ object AggOps {
     * 100 TB widen the md5 prefix (2 chars = 1/256, 3 = 1/4096) to keep the
     * shuffled sample small; error ~ 1/√sample stays ample for quantiles. */
   def approxSketchRegisters(lineitem: DataFrame): DataFrame = {
-    def side(c: String, which: String) = {
-      val (bucket, rho) = hllBucketRho(xxhash64(col(c)))
-      lineitem.select(lit(which).as("which"), bucket.as("bucket"), rho.as("rho"))
-    }
-    side("l_partkey", "parts").union(side("l_orderkey", "orders"))
+    // ONE scan for both register families: explode the two (which, hash)
+    // pairs map-side (codegen'd GenerateExec), partial-agg to ≤ 2·4096
+    // groups before the tiny shuffle. The r6-r8 form union'd two scans of
+    // lineitem — at 100 TB that is reading the fact table twice.
+    val pairs = lineitem.select(explode(array(
+        struct(lit("parts").as("which"), xxhash64(col("l_partkey")).as("h")),
+        struct(lit("orders").as("which"), xxhash64(col("l_orderkey")).as("h")))).as("e"))
+      .select(col("e.which").as("which"), col("e.h").as("h"))
+    val (bucket, rho) = hllBucketRho(col("h"))
+    pairs.select(col("which"), bucket.as("bucket"), rho.as("rho"))
       .groupBy(col("which"), col("bucket")).agg(max(col("rho")).as("r"))
   }
 
@@ -606,17 +611,20 @@ object AggOps {
       round(max(when(col("which") === "parts", col("est"))), 2).as("approx_parts"),
       round(max(when(col("which") === "orders", col("est"))), 2).as("approx_orders"))
     // Global rank via the TeraSort two-phase shape (same as packSequences):
-    // range-partition by v, per-partition row_number, plus a broadcast of
-    // per-partition counts — no single-partition global sort, so the rank
-    // stage scales with the sample instead of serializing it. Equal v land
-    // in one range partition, so offset + intra is a total order consistent
-    // with v; the rank-k VALUE is tie-order-independent either way.
+    // deterministic log-scale value buckets (Buckets.logBucket — a pure
+    // row function, so the counts branch and the rank branch agree by
+    // construction, with no dependence on range-exchange boundary reuse
+    // and no bounds-collection job), per-bucket row_number, plus a
+    // broadcast of per-bucket counts — no single-partition global sort, so
+    // the rank stage scales with the sample instead of serializing it.
+    // Equal v land in one bucket, so offset + intra is a total order
+    // consistent with v; the rank-k VALUE is tie-order-independent either
+    // way. perDecade=50: prices span ~2 decades → ~100 live buckets.
     val sample = lineitem.filter(
       substring(md5(concat(col("l_orderkey").cast("string"), lit("-"),
         col("l_linenumber").cast("string"))), 1, 1) === "0")
       .select(col("l_extendedprice").as("v"))
-      .repartitionByRange(col("v"))
-      .withColumn("pid", spark_partition_id())
+      .withColumn("pid", graft.ops.Buckets.logBucket(col("v"), perDecade = 50))
     val offsets = sample.groupBy(col("pid")).agg(count(lit(1)).as("pcnt"))
       .withColumn("offset", coalesce(sum(col("pcnt")).over(
         // ≤ shuffle-partitions rows — the tiny phase-2 window

@@ -139,48 +139,20 @@ object CurationPipeline {
       .join(contaminated.select(col("doc_id")), Seq("doc_id"), "left_anti")
   }
 
-  /** Deterministic bucket id for a uniform 32-hex-char key (md5 output):
-    * floor(prefix32bits · buckets / 2^32). A pure row function — every
-    * branch of a plan that evaluates it sees the SAME assignment, unlike
-    * `spark_partition_id()` after a range exchange, whose sample-derived
-    * boundaries are not guaranteed stable across re-executions of the
-    * exchange (the r8 `quota_sample` hash-red). Monotone in the key's
-    * lexicographic order (prefix map), uniform because md5 is uniform, and
-    * exact integer arithmetic throughout (v < 2^32, v·buckets < 2^63). */
-  private[graft] def hexBucket(key: Column, buckets: Int): Column =
-    shiftright(conv(substring(key, 1, 8), 16, 10).cast("long") * buckets, 32)
-
-  /** Deterministic bucket id for an arbitrary numeric key: bounds are
-    * computed ONCE here (driver-side approxQuantile, `buckets-1` doubles)
-    * and baked into the plan as a literal — the TotalOrderPartitioner
-    * idiom (reference terasort/TeraSort.java:1: boundaries written once
-    * and SHARED by every consumer, never re-sampled). bucket = #bounds ≤
-    * key, monotone in the key by construction; any bound set is correct,
-    * so approxQuantile's accuracy only affects balance, never results. */
-  private[graft] def quantileBucket(df: DataFrame, keyCol: String,
-                                    buckets: Int): Column = {
-    val bounds = if (buckets <= 1) Array.empty[Double]
-      else df.select(col(keyCol).cast("double").as("k"))
-        .stat.approxQuantile("k",
-          (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
-    if (bounds.isEmpty) lit(0)
-    else size(filter(typedLit(bounds.toSeq), b => col(keyCol).cast("double") >= b))
-  }
-
   /** Token-budget sequence packing (the training-batch assembly step):
     * concatenate docs in doc_id order into a token stream and assign each
     * doc the index of the `budget`-token sequence where it STARTS —
     * seq_id = floor(tokens_before / budget). The global ordered cumsum is
     * the TeraSort two-phase shape, not a single-partition window: a
     * deterministic bucket id (collected-once quantile bounds — see
-    * [[quantileBucket]]), per-bucket cumsum window, plus a broadcast of
+    * [[Buckets.quantileBucket]]), per-bucket cumsum window, plus a broadcast of
     * per-bucket totals (one tiny row per bucket). The bucket id is a pure
     * row function, so the offsets branch and the window branch agree by
     * construction — no dependence on exchange-boundary reuse. */
   def packSequences(docs: DataFrame, budget: Long = 512L,
                     partitions: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bucket = quantileBucket(docs.select(col("doc_id")), "doc_id", partitions)
+    val bucket = Buckets.quantileBucket(docs.select(col("doc_id")), "doc_id", partitions)
     val t = docs
       .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("pid", bucket)
@@ -212,7 +184,7 @@ object CurationPipeline {
     *
     * The global rank is the TeraSort two-phase shape (same as
     * [[packSequences]]): a deterministic key-prefix bucket id (see
-    * [[hexBucket]] — a pure row function, monotone in the key, so the
+    * [[Buckets.hexBucket]] — a pure row function, monotone in the key, so the
     * counts branch and the rank branch agree by construction), per-bucket
     * row_number, plus a broadcast of per-bucket counts — no
     * single-partition sort, so the stage scales with bucket count, never
@@ -225,7 +197,7 @@ object CurationPipeline {
     import org.apache.spark.sql.expressions.Window
     val keyed = docs.select(col("doc_id"),
         md5(concat_ws("-", lit(seed), col("doc_id").cast("string"))).as("k"))
-      .withColumn("pid", hexBucket(col("k"), partitions))
+      .withColumn("pid", Buckets.hexBucket(col("k"), partitions))
     val offsets = keyed.groupBy(col("pid")).agg(count(lit(1)).as("pcnt"))
       .withColumn("offset", coalesce(sum(col("pcnt")).over(
         // ≤ `partitions` rows — the tiny phase-2 window (see packSequences)
@@ -248,7 +220,7 @@ object CurationPipeline {
     *
     * The per-source running sum is the two-phase cumsum, not a naive
     * per-source window: a deterministic priority-prefix bucket id (see
-    * [[hexBucket]] — a pure row function of `pri`, monotone in priority
+    * [[Buckets.hexBucket]] — a pure row function of `pri`, monotone in priority
     * order, so the totals branch and the window branch agree by
     * construction; no `spark_partition_id()`, no exchange-boundary reuse),
     * per-(bucket, source) window, plus a broadcast of per-(source, bucket)
@@ -263,7 +235,7 @@ object CurationPipeline {
     val t = docs.select(col("doc_id"), col("source"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
         md5(col("doc_id").cast("string")).as("pri"))
-      .withColumn("pid", hexBucket(col("pri"), partitions))
+      .withColumn("pid", Buckets.hexBucket(col("pri"), partitions))
     val offsets = t.groupBy(col("source"), col("pid")).agg(sum(col("n_tokens")).as("ptotal"))
       .withColumn("offset", coalesce(sum(col("ptotal")).over(
         // ≤ sources × partitions rows — the tiny phase-2 window

@@ -25,7 +25,7 @@ class Round9Spec extends SparkSpecBase {
     import spark.implicits._
     val keyed = (1L to 5000L).toDF("id")
       .select(col("id"), md5(col("id").cast("string")).as("k"))
-      .withColumn("pid", CurationPipeline.hexBucket(col("k"), 32))
+      .withColumn("pid", Buckets.hexBucket(col("k"), 32))
     val rows = keyed.select("k", "pid").collect()
       .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     assert(rows.forall { case (_, p) => p >= 0 && p < 32 })
