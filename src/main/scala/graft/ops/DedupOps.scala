@@ -304,18 +304,23 @@ object DedupOps {
     * and identical lane-for-lane to the banding inside [[minhashLshPairs]]
     * (same tokenizer, shingle n, perm family, band hasher), so candidates
     * found by one are candidates under the other. */
-  def bandedMinhashSigs(docs: DataFrame, numPerms: Int = 128, bands: Int = 32): DataFrame = {
+  def bandedMinhashSigs(docs: DataFrame, numPerms: Int = 128, bands: Int = 32,
+                        carryCols: Seq[String] = Nil): DataFrame = {
     require(numPerms % bands == 0,
       s"bandedMinhashSigs: bands=$bands must divide numPerms=$numPerms")
     GraftFunctions.register(docs.sparkSession)
-    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-      .select(col("doc_id"), shinglesFromTokens(col("t"), 3).as("s"))
+    // carryCols ride the projection chain unchanged (e.g. the event-time
+    // column the watermark-bounded streaming twin pairs within)
+    val carried = carryCols.map(col)
+    docs.select(col("doc_id") +: TextOps.tokens(col("text")).as("t") +: carried: _*)
+      .select(col("doc_id") +: shinglesFromTokens(col("t"), 3).as("s") +: carried: _*)
       .filter(size(col("s")) > 0)
-      .select(col("doc_id"),
-        transform(col("s"), x => pmod(xxhash64(x), lit(P))).as("hs"))
-      .select(col("doc_id"), minhashFromHashes(col("hs"), numPerms).as("sig"))
-      .select(col("doc_id"),
-        posexplode(GraftFunctions.bandHashes(col("sig"), bands)).as(Seq("band", "band_sig")))
+      .select(col("doc_id") +:
+        transform(col("s"), x => pmod(xxhash64(x), lit(P))).as("hs") +: carried: _*)
+      .select(col("doc_id") +: minhashFromHashes(col("hs"), numPerms).as("sig") +: carried: _*)
+      .select(col("doc_id") +:
+        posexplode(GraftFunctions.bandHashes(col("sig"), bands)).as(Seq("band", "band_sig")) +:
+        carried: _*)
   }
 
   /** MinHash + LSH near-dup pairs, verified with exact Jaccard ≥ tau.

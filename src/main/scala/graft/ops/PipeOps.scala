@@ -41,19 +41,42 @@ object PipeOps {
   def mapPartitionsTyped[T, U: Encoder](ds: Dataset[T])(f: Iterator[T] => Iterator[U]): Dataset[U] =
     ds.mapPartitions(f)
 
+  /** One sort-key option in the reducer comparator: the `-k n[,m][nr]`
+    * flags of hadoop-streaming's KeyFieldBasedComparator (reference
+    * hadoop-mapreduce-client-core/.../lib/partition/KeyFieldBasedComparator
+    * .java:1) — `numeric` compares the field as a number instead of
+    * lexicographically (the reference's `n`), `reverse` descends (`r`). */
+  final case class SortKey(column: String, numeric: Boolean = false,
+                           reverse: Boolean = false) {
+    private[PipeOps] def toColumn: org.apache.spark.sql.Column = {
+      val base = if (numeric) col(column).cast("double") else col(column)
+      if (reverse) base.desc else base.asc
+    }
+  }
+
   /** The streaming REDUCER contract: hash-partition on `keyCol` into
     * `numPartitions` (KeyFieldBasedPartitioner analog), sort each partition
     * by (key, secondary…) (the comparator knob), THEN pipe — so the
     * subprocess sees every record of a key contiguously and in order, and
     * can aggregate with O(1) state exactly like an MR streaming reducer.
-    * Same line framing and tolerance as [[pipeThrough]]. */
+    * Same line framing and tolerance as [[pipeThrough]].
+    *
+    * `sortKeys`, when non-empty, replaces the default ascending-
+    * lexicographic (key, secondary…) comparator with per-field
+    * numeric/reverse options ([[SortKey]] — the `-k 2,2nr` contract).
+    * Partitioning ALWAYS stays on `keyCol` (comparator and partitioner are
+    * independent knobs in the reference too), so a reducer still sees each
+    * key's records contiguously whenever `keyCol` leads `sortKeys`. */
   def pipeThroughSorted(spark: SparkSession, df: DataFrame, keyCol: String,
                         textCol: String, cmd: Seq[String], numPartitions: Int = 0,
-                        secondarySort: Seq[String] = Nil): DataFrame = {
+                        secondarySort: Seq[String] = Nil,
+                        sortKeys: Seq[SortKey] = Nil): DataFrame = {
     import spark.implicits._
     val n = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val sortCols = (keyCol +: secondarySort).map(col)
+    val sortCols =
+      if (sortKeys.nonEmpty) sortKeys.map(_.toColumn)
+      else (keyCol +: secondarySort).map(col)
     val lines = df.repartition(n, col(keyCol))
       .sortWithinPartitions(sortCols: _*)
       .select(concat_ws("\t", col(keyCol).cast("string"), col(textCol)))

@@ -154,6 +154,32 @@ object IO {
       .toDF("archive", "entry", "bytes")
   }
 
+  /** XML-framed record reader — the hadoop-streaming StreamXmlRecordReader
+    * analog (reference hadoop-tools/hadoop-streaming/src/main/java/org/
+    * apache/hadoop/streaming/StreamXmlRecordReader.java:1: frame the input
+    * into records bounded by a begin/end tag pair so streaming jobs can
+    * consume XML). Spark-first shape: the END tag becomes the text
+    * source's record delimiter (`lineSep` — Hadoop's LineRecordReader
+    * handles delimiter-spanning split boundaries, so one huge XML file
+    * still fans out across tasks, exactly the property the reference's
+    * split-seeking gives), then each row is trimmed map-side to start at
+    * its begin tag and the end tag is restored. Rows without a begin tag
+    * (prolog, whitespace between records, trailing junk) are dropped —
+    * the reference skips non-record bytes the same way. Nested begin tags
+    * inside a record are out of contract for both. Returns one `record`
+    * column holding `beginTag…endTag`. */
+  def readXmlRecords(spark: SparkSession, path: String,
+                     beginTag: String, endTag: String): DataFrame =
+    spark.read.option("lineSep", endTag).text(path)
+      .filter(locate(beginTag, col("value")) > 0)
+      .select(concat(
+        expr(s"substring(value, locate(${sqlLit(beginTag)}, value))"),
+        lit(endTag)).as("record"))
+
+  /** SQL string literal with quotes escaped (tags are code-provided, but
+    * apostrophes in a tag must not break the expression). */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "\\'") + "'"
+
   /** JDBC source — the DBInputFormat analog (reference:
     * hadoop-mapreduce-examples/src/main/java/org/apache/hadoop/examples/
     * DBCountPageView.java:45-56 wires a pageview table through

@@ -169,7 +169,92 @@ object Streams {
           out.iterator
       }
       .toDF("a_id", "b_id")
+      // Cross-band pair dedup is ALSO stateful and, with no watermark,
+      // grows with emitted pair count — worst case quadratic within a hot
+      // bucket up to maxBucket, i.e. a larger footprint than the
+      // O(32 × docs) bucket state above. That is the price of the EXACT
+      // forever-contract (any doc may pair with any past doc, so no pair
+      // key is ever safely forgettable); when a time horizon is
+      // acceptable, [[nearDupCandidatesWithin]] bounds BOTH state stores
+      // by the horizon.
       .dropDuplicates("a_id", "b_id")
+  }
+
+  /** Horizon-bounded [[nearDupCandidates]]: pairs only docs whose event
+    * times lie within `horizon` of each other, in exchange for BOUNDED
+    * state — bucket members older than `watermark + horizon` can never
+    * pair with a future in-watermark arrival, so they are evicted on
+    * event-time timeout, and the cross-band pair dedup uses
+    * dropDuplicatesWithinWatermark (pair rows carry the newer doc's ts).
+    * State is O(docs per horizon) per store instead of O(history) — the
+    * dedupStream contract applied to near-dup detection. Within the
+    * horizon the emitted pairs are EXACTLY the unbounded op's (spec-
+    * pinned); pairs farther apart than `horizon` are the documented loss.
+    * Requires an event-time column `ts`; watermark should be ≥ the
+    * source's lateness bound as usual. */
+  def nearDupCandidatesWithin(docs: DataFrame, horizon: String = "24 hours",
+                              watermark: String = "2 hours",
+                              numPerms: Int = 128, bands: Int = 32,
+                              maxBucket: Int = 4096): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    // Chained stateful ops (flatMapGroupsWithState → dropDuplicatesWithin
+    // Watermark) trip Spark's conservative static late-row check. This
+    // specific chain is safe by construction: every emitted pair carries
+    // event time max(member_ts, arrival_ts) ≥ arrival_ts, and arrivals are
+    // never below the watermark, so no emitted row is late for the
+    // downstream dedup store. The check is static (it cannot see the max),
+    // hence the documented opt-out.
+    session.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    val horizonMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(horizon))
+    require(horizonMs.months == 0, "horizon must be day/time-based, not months")
+    val hMs = horizonMs.days * 86400000L + horizonMs.microseconds / 1000L
+    val banded = graft.ops.DedupOps
+      .bandedMinhashSigs(docs, numPerms, bands, carryCols = Seq("ts"))
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("band"), col("band_sig"), col("ts"))
+      .as[(Long, Int, Long, Timestamp)]
+    banded
+      .groupByKey { case (_, band, sig, _) => (band, sig) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), rows: Iterator[(Long, Int, Long, Timestamp)],
+         state: GroupState[List[(Long, Long)]]) =>
+          val wm = state.getCurrentWatermarkMs()
+          // evict members that can no longer pair with any future arrival
+          // (future ts ≥ watermark, so a member is dead once ts < wm − h)
+          val kept = state.getOption.getOrElse(Nil)
+            .filter { case (_, t) => t >= wm - hMs }
+          if (rows.isEmpty) {
+            // timeout firing: shrink or clear
+            if (kept.isEmpty) state.remove() else {
+              state.update(kept)
+              state.setTimeoutTimestamp(math.max(kept.map(_._2).max + hMs, wm + 1))
+            }
+            Iterator.empty
+          } else {
+            val fresh = rows.map(r => (r._1, r._4.getTime)).toSeq
+              .distinct.sortBy(r => (r._2, r._1))
+              .filterNot { case (id, _) => kept.exists(_._1 == id) }
+            val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Timestamp)]
+            var members = kept
+            fresh.foreach { case (id, t) =>
+              members.foreach { case (m, mt) =>
+                if (math.abs(t - mt) <= hMs)
+                  out += (if (m < id) (m, id, new Timestamp(math.max(t, mt)))
+                          else (id, m, new Timestamp(math.max(t, mt))))
+              }
+              if (members.size < maxBucket) members ::= ((id, t))
+            }
+            state.update(members)
+            state.setTimeoutTimestamp(math.max(members.map(_._2).max + hMs, wm + 1))
+            out.iterator
+          }
+      }
+      .toDF("a_id", "b_id", "ts")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("a_id", "b_id")
+      .select(col("a_id"), col("b_id"))
   }
 
   /** Ingest-time quality scoring: the trained classifier's map-side margin

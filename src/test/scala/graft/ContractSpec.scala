@@ -15,13 +15,14 @@ class ContractSpec extends SparkSpecBase {
     * last rows-only holdout — joined it late in r6 via the same register
     * dump plus md5-sample order-statistic quantiles, so the list is empty:
     * EVERY query is oracle-checked. */
-  /** r8 adds one genuine rows-only entry: `sudoku` — solving needs search
-    * (exact-cover), which DuckDB SQL cannot express; correctness is pinned
-    * by ComputePuzzleSpec instead (constraint validity, clue preservation,
-    * unsatisfiable → None, uniqueness-bounded recovery of the source
-    * grid). bbp_pi_digits and pentomino stay oracle-checked via
-    * literal-VALUES ground truth. */
-  private val rowsOnly = Set("sudoku")
+  /** Since r9 the list is empty again: `sudoku` — briefly the one genuine
+    * rows-only entry (solving needs exact-cover search DuckDB SQL cannot
+    * express) — is now oracle-checked via the planted-solution pattern:
+    * uniqueness-bounded puzzles must recover their generator source grid,
+    * so the oracle is a literal-VALUES comparison, no SQL solver needed.
+    * bbp_pi_digits and pentomino are likewise literal-VALUES ground
+    * truth. EVERY query is oracle-checked. */
+  private val rowsOnly = Set.empty[String]
 
   test("every query has an oracle or is on the documented rows-only list") {
     val qs = SparkEntry.queries.keySet

@@ -23,6 +23,59 @@ class PipeContractSpec extends SparkSpecBase {
     assert(piped == direct, s"reducer contract broken: $piped vs $direct")
   }
 
+  test("pipeThroughSorted sortKeys: numeric+reverse comparator (-k 2,2nr) " +
+    "feeds the reducer values in descending numeric order") {
+    import spark.implicits._
+    // values whose lexicographic and numeric orders DISAGREE ("9" > "10"
+    // as strings) — a first-line-per-key reducer is correct only if the
+    // comparator really sorted numerically descending
+    val rows = Seq(("a", "9"), ("a", "10"), ("a", "2"), ("b", "100"),
+      ("b", "99"), ("b", "3"), ("c", "7")).toDF("k", "v")
+    val awk = Seq("awk", "-F", "\t", "{ if ($1 != k) { print; k = $1 } }")
+    val piped = PipeOps.pipeThroughSorted(spark, rows, "k", "v", awk,
+      numPartitions = 3,
+      sortKeys = Seq(PipeOps.SortKey("k"),
+        PipeOps.SortKey("v", numeric = true, reverse = true)))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(piped == Map("a" -> "10", "b" -> "100", "c" -> "7"),
+      s"numeric-reverse comparator broken: $piped")
+    // lexicographic default for contrast: first line per key is the
+    // string-max under reverse WITHOUT numeric
+    val lex = PipeOps.pipeThroughSorted(spark, rows, "k", "v", awk,
+      numPartitions = 3,
+      sortKeys = Seq(PipeOps.SortKey("k"), PipeOps.SortKey("v", reverse = true)))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lex == Map("a" -> "9", "b" -> "99", "c" -> "7"),
+      s"lexicographic-reverse comparator broken: $lex")
+  }
+
+  test("readXmlRecords: begin/end-tag framing — wordcount over XML equals " +
+    "direct, multi-line records reassemble, non-record bytes are skipped") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("xmlrec").toFile
+    val bodies = (1 to 50).map(i => s"alpha beta gamma_$i\ndelta epsilon")
+    val xml = new StringBuilder("<?xml version=\"1.0\"?>\n<root>\n")
+    bodies.foreach { b => xml.append(s"  <doc>\n    $b\n  </doc>\n") }
+    xml.append("</root>\n")
+    val f = new java.io.File(dir, "corpus.xml")
+    java.nio.file.Files.write(f.toPath, xml.toString.getBytes("UTF-8"))
+    val recs = graft.sources.IO.readXmlRecords(spark, f.getAbsolutePath,
+      "<doc>", "</doc>")
+    val collected = recs.as[String].collect()
+    assert(collected.length == 50, s"want 50 records, got ${collected.length}")
+    assert(collected.forall(r => r.startsWith("<doc>") && r.endsWith("</doc>")))
+    // wordcount over the framed records == wordcount over the raw bodies
+    val viaXml = recs
+      .select(explode(split(trim(regexp_replace(col("record"),
+        "</?doc>", " ")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = bodies.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    assert(viaXml == direct, "XML-framed wordcount diverged from direct")
+  }
+
   test("pipeTypedBytes: binary-safe framing round-trips through the identity reducer") {
     import spark.implicits._
     // payloads that tab/newline framing would corrupt

@@ -461,4 +461,44 @@ class StreamingSpec extends SparkSpecBase {
       assert(verified.nonEmpty && verified.subsetOf(streamed))
     } finally q.stop()
   }
+
+  test("horizon-bounded near-dup candidates: within-horizon pairs equal the " +
+    "unbounded form; farther-apart pairs are dropped; state evicts") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    // assign event times: doc i lands at t0 + i minutes → pair (a, b) is
+    // within a "90 minutes" horizon iff |a − b| ≤ 90 (ids are 0..N−1)
+    val t0 = 1700000000000L
+    val stamped = docs.map { case (id, tx) => (id, tx, new Timestamp(t0 + id * 60000L)) }
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.nearDupCandidatesWithin(
+        input.toDF().toDF("doc_id", "text", "ts"),
+        horizon = "90 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("neardup_within_t")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (b1, b2) = stamped.splitAt(stamped.length / 2)
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("neardup_within_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // ground truth: unbounded banding pairs, horizon-filtered
+      val banded = graft.ops.DedupOps.bandedMinhashSigs(
+        spark.createDataset(docs.toSeq).toDF("doc_id", "text"))
+      val unbounded = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id"), col("y.doc_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val withinHorizon = unbounded.filter { case (a, b) => (b - a) <= 90 }
+      assert(streamed == withinHorizon,
+        s"stream ${streamed.size} pairs vs horizon-filtered batch ${withinHorizon.size}")
+      // the horizon must actually exclude something, or the test is vacuous
+      assert(unbounded.exists { case (a, b) => (b - a) > 90 },
+        "testdata has no cross-horizon candidate pair; widen the time spread")
+    } finally q.stop()
+  }
 }
