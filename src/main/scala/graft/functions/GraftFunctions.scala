@@ -43,6 +43,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("rolling_window_hashes",
       exprs => RollingWindowHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction("rolling_char_window_hashes",
+      exprs => RollingCharWindowHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("poly_hash64",
       exprs => PolyHash64(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction("sorted_intersect_count",
@@ -202,6 +205,12 @@ object GraftFunctions {
     * rolling_min_hash so the min reduction can be oracle-checked. */
   def rollingWindowHashes(text: Column, k: Int): Column =
     call_function("rolling_window_hashes", text, org.apache.spark.sql.functions.lit(k))
+
+  /** ALL k-CHAR window hashes for multibyte text, each equal to
+    * poly_hash64 of that window's substring (see RollingCharWindowHashes —
+    * the substring-dedup non-ASCII path without per-window substr). */
+  def rollingCharWindowHashes(text: Column, k: Int): Column =
+    call_function("rolling_char_window_hashes", text, org.apache.spark.sql.functions.lit(k))
 
   /** Whole-string polynomial hash in rolling_window_hashes' space (see
     * PolyHash64 — the substring-dedup non-ASCII fallback hasher). */

@@ -162,12 +162,15 @@ object DedupOps {
       .select(col("doc_id"), col("text"),
         posexplode(GraftFunctions.rollingWindowHashes(col("text"), L)).as(Seq("pos0", "h")))
       .select(col("doc_id"), col("text"), (col("pos0") + 1).as("pos"), col("h"))
+    // multibyte docs: rolling CHAR-window hashes (one pass over the bytes,
+    // no per-window substr allocation) — each hash equals poly_hash64 of
+    // the window substring by construction, so both paths land in one
+    // dup-detection hash space (spec-pinned in SubstringDedupSpec)
     val winsMb = longEnough
       .filter(octet_length(col("text")) =!= length(col("text")))
       .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - lit(L - 1))).as("pos"))
-      .withColumn("h", GraftFunctions.polyHash64(col("text").substr(col("pos"), lit(L))))
-      .select(col("doc_id"), col("text"), col("pos"), col("h"))
+        posexplode(GraftFunctions.rollingCharWindowHashes(col("text"), L)).as(Seq("pos0", "h")))
+      .select(col("doc_id"), col("text"), (col("pos0") + 1).as("pos"), col("h"))
     val wins = winsAscii.unionByName(winsMb)
     val cand =
       if (bloomPrefilter) {

@@ -63,6 +63,32 @@ object SubstringProfile {
       graft.ops.DedupOps.substringDupSpans(docs)
         .write.format("noop").mode("overwrite").save()
     }
+
+    // ---- multibyte-path enumeration: per-window substr+poly_hash64 (the
+    // pre-r9 fallback) vs the one-pass rolling char-window hash. An "é"
+    // prefix pushes every doc onto the MB path (octet_length != length)
+    // without changing window count materially.
+    val mbDocs = docs.select(col("doc_id"),
+        concat(lit("é"), col("text")).as("text"))
+      .filter(length(col("text")) >= L)
+    t("MB V-substr enumerate+count") {
+      mbDocs
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - lit(L - 1))).as("pos"))
+        .withColumn("h", GraftFunctions.polyHash64(col("text").substr(col("pos"), lit(L))))
+        .select(col("h")).groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(col("h"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("MB V-rolling enumerate+count") {
+      mbDocs
+        .select(col("doc_id"),
+          posexplode(GraftFunctions.rollingCharWindowHashes(col("text"), L))
+            .as(Seq("pos0", "h")))
+        .select(col("h")).groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(col("h"))
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -74,6 +74,51 @@ class SubstringDedupSpec extends SparkSpecBase {
     assert(spans2 == Set((3L, 8L, 47L), (4L, 14L, 53L)))
   }
 
+  test("rolling char-window hashes equal poly_hash64 of each substr window " +
+    "(1–4-byte code points, astral plane included)") {
+    // the multibyte fast path's whole contract: one pass over the bytes
+    // must reproduce exactly what per-window substr + poly_hash64 produced
+    // before — for every window, on text mixing 1-, 2-, 3- and 4-byte
+    // UTF-8 code points (é = 2, 語 = 3, 😀 = 4: a surrogate PAIR in Java
+    // but ONE char to Spark's length/substr, the semantics the windows
+    // must follow)
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab é語😀 cДﬁ𝕏."
+    val cps = alphabet.codePoints().toArray
+    val texts = (1 to 30).map { i =>
+      val n = 5 + rnd.nextInt(60)
+      val sb = new java.lang.StringBuilder
+      (1 to n).foreach(_ => sb.appendCodePoint(cps(rnd.nextInt(cps.length))))
+      (i.toLong, sb.toString)
+    }
+    val k = 7
+    val df = texts.toDF("doc_id", "text")
+    graft.functions.GraftFunctions.register(spark)
+    val rolled = df
+      .select(col("doc_id"),
+        posexplode(graft.functions.GraftFunctions
+          .rollingCharWindowHashes(col("text"), k)).as(Seq("pos0", "h")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val viaSubstr = df
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - lit(k - 1))).as("pos"))
+      .withColumn("h", graft.functions.GraftFunctions
+        .polyHash64(col("text").substr(col("pos"), lit(k))))
+      .collect().map(r => (r.getLong(0), r.getInt(2) - 1, r.getLong(3))).toSet
+    val shortFallback = df.filter(length(col("text")) < k)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+      .map(id => (id, 0, 0L)) // placeholder — checked separately below
+    assert(rolled.filter(r => !shortFallback.exists(_._1 == r._1)) == viaSubstr,
+      "rolling char-window hashes diverge from substr+poly_hash64")
+    // short texts fall back to the whole-string fingerprint, same as the
+    // byte-window variant
+    shortFallback.foreach { case (id, _, _) =>
+      val hs = rolled.filter(_._1 == id)
+      assert(hs.size == 1 && hs.head._2 == 0)
+    }
+  }
+
   test("docs shorter than the window and unique docs emit no spans") {
     val docs = Seq(
       (1L, "short"),
