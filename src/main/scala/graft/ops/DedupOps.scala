@@ -46,15 +46,26 @@ object DedupOps {
     * full-64-bit hashes for candidate verification (8 B/element instead of
     * ~20 B strings through the pair joins, and a codegen'd two-pointer
     * intersect instead of per-row hash sets; 64-bit space makes a corpus
-    * collision ~1e-11 — irrelevant to the exact-match oracle). */
-  private def shingleDocs(docs: DataFrame, n: Int = 3): DataFrame = {
+    * collision ~1e-11 — irrelevant to the exact-match oracle).
+    *
+    * keepStrings=false drops the `s` string array from the PERSISTED
+    * relation for callers that never touch shingle strings (minhash-LSH:
+    * signatures come from hs, verification from hv/sk). The strings are
+    * the single largest column (~20 B/shingle vs 8 B hashes) — at 5 M docs
+    * dropping them roughly halves the persist/spill footprint of this
+    * relation, which is the single-box scale wall (NOTES_PERF r8). The
+    * inverted-index ops (ngram/ppjoin) keep them: their join key is the
+    * shingle itself. */
+  private def shingleDocs(docs: DataFrame, n: Int = 3,
+                          keepStrings: Boolean = true): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
-    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+    val base = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
       .select(col("doc_id"), shinglesFromTokens(col("t"), n).as("s"))
       .filter(size(col("s")) > 0)
-      .select(col("doc_id"), col("s"),
-        transform(col("s"), x => pmod(xxhash64(x), lit(P))).as("hs"),
-        array_sort(transform(col("s"), x => xxhash64(x))).as("hv"))
+      .select(col("doc_id") +: (if (keepStrings) Seq(col("s")) else Nil) :+
+        transform(col("s"), x => pmod(xxhash64(x), lit(P))).as("hs") :+
+        array_sort(transform(col("s"), x => xxhash64(x))).as("hv"): _*)
+    base
       // sk = 256-byte bucket-count sketch of hv, computed once per doc at
       // shingle time: verifyPairs' pre-filter ships it per candidate pair
       // instead of the ~KB hv arrays (see BucketCountSketch)
@@ -335,7 +346,7 @@ object DedupOps {
     require(numPerms % bands == 0,
       s"minhashLshPairs: bands=$bands must divide numPerms=$numPerms")
     GraftFunctions.register(docs.sparkSession)
-    val sh = shingleDocs(docs)
+    val sh = shingleDocs(docs, keepStrings = false)
     // signature in its own projection; band sigs computed ONCE as a small
     // int array, THEN exploded — the explode carries (doc_id, band, sig32)
     // only, never the shingle arrays or the 128-lane signature.
