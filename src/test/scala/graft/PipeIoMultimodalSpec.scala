@@ -230,4 +230,63 @@ class PipeIoMultimodalSpec extends SparkSpecBase {
     val videoIds = d1.filter(_.kind == "video").map(_.media_id).toSet
     assert(fRows.map(_.getAs[Long]("media_id")).toSet == videoIds)
   }
+
+  test("diffPartitions: copy/rewrite/delete/skip classified; layout differences are not diffs") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_diff").toString
+    val old = Seq(("a", 1L, "x"), ("a", 2L, "y"), ("b", 3L, "z"), ("c", 4L, "w"))
+      .toDF("p", "k", "v")
+    old.write.partitionBy("p").parquet(s"$tmp/target")
+    // new source: a unchanged but written in a DIFFERENT file layout (one
+    // file vs many, different row order); b changed; c gone; d new
+    val src = Seq(("a", 2L, "y"), ("a", 1L, "x"), ("b", 3L, "Z2"), ("d", 5L, "q"))
+      .toDF("p", "k", "v").repartition(7)
+    src.write.partitionBy("p").parquet(s"$tmp/source")
+    val plan = IO.diffPartitions(spark, s"$tmp/source", s"$tmp/target", "p")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(plan == Map("a" -> "skip", "b" -> "rewrite", "c" -> "delete", "d" -> "copy"), s"got $plan")
+  }
+
+  test("syncPartitions: rewrites only the delta, deletes orphans, leaves identical partitions' files untouched") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_sync").toString
+    Seq(("a", 1L, "x"), ("a", 2L, "y"), ("b", 3L, "z"), ("c", 4L, "w"))
+      .toDF("p", "k", "v").write.partitionBy("p").parquet(s"$tmp/target")
+    val src = Seq(("a", 1L, "x"), ("a", 2L, "y"), ("b", 3L, "Z2"), ("d", 5L, "q"))
+      .toDF("p", "k", "v")
+    src.write.partitionBy("p").parquet(s"$tmp/source")
+    def filesOf(part: String): Set[(String, Long)] = {
+      val d = new java.io.File(s"$tmp/target/p=$part")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toSet
+    }
+    val aBefore = filesOf("a")
+    val plan = IO.syncPartitions(spark, s"$tmp/source", s"$tmp/target", "p")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(plan == Map("a" -> "skip", "b" -> "rewrite", "c" -> "delete", "d" -> "copy"), s"got $plan")
+    // untouched partition keeps its exact files (the -update "skip" promise)
+    assert(filesOf("a") == aBefore, "identical partition was rewritten")
+    assert(filesOf("c").isEmpty, "orphan partition survived")
+    // target now equals source, row-for-row
+    val got = spark.read.parquet(s"$tmp/target").select("p", "k", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val want = src.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want)
+    // idempotence: a second sync is all-skip
+    val plan2 = IO.syncPartitions(spark, s"$tmp/source", s"$tmp/target", "p")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(plan2 == Map("a" -> "skip", "b" -> "skip", "d" -> "skip"), s"got $plan2")
+  }
+
+  test("syncPartitions: first sync into an empty target copies everything") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_sync0").toString
+    Seq(("a", 1L, "x"), ("b", 2L, "y")).toDF("p", "k", "v")
+      .write.partitionBy("p").parquet(s"$tmp/source")
+    val plan = IO.syncPartitions(spark, s"$tmp/source", s"$tmp/target", "p")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(plan == Map("a" -> "copy", "b" -> "copy"), s"got $plan")
+    assert(spark.read.parquet(s"$tmp/target").count() == 2)
+  }
 }
