@@ -320,40 +320,57 @@ object IO {
     * no row-level join, so the diff costs O(scan), never O(shuffle of the
     * full dataset).
     *
-    * Returns one row per partition value: (partitionCol, action) with action
-    * ∈ 'copy' (missing at target), 'rewrite' (fingerprint differs), 'delete'
-    * (orphan at target), 'skip' (identical). */
+    * Returns one row per partition: the partition columns (string-cast) +
+    * `action` ∈ 'copy' (missing at target), 'rewrite' (fingerprint differs),
+    * 'delete' (orphan at target), 'skip' (identical). Hive-style multi-level
+    * layouts (`date=…/lang=…`) pass all levels in directory order. */
   def diffPartitions(spark: SparkSession, sourcePath: String, targetPath: String,
-                     partitionCol: String): DataFrame = {
-    def fingerprint(path: String, cols: Seq[String]) = {
+                     partitionCols: Seq[String]): DataFrame = {
+    require(partitionCols.nonEmpty, "diffPartitions: no partition columns")
+    val pcs = partitionCols.indices.map(i => s"_p$i")
+    def keyed(side: String, df: DataFrame) = df.select(
+      partitionCols.zip(pcs).map { case (c, p) => col(c).cast("string").as(s"$side$p") }: _*)
+    def fingerprint(side: String, path: String, cols: Seq[String]) = {
       val df = spark.read.parquet(path)
       // hash over the SHARED column set in a fixed (sorted) order, so a
       // benign column-order difference between the two sides doesn't read
       // as a full rewrite
-      df.groupBy(col(partitionCol).cast("string").as("p"))
-        .agg(count(lit(1)).as("cnt"),
-             sum(xxhash64(cols.map(col): _*)).as("sig"))
+      df.groupBy(partitionCols.zip(pcs).map { case (c, p) =>
+          col(c).cast("string").as(s"$side$p") }: _*)
+        .agg(count(lit(1)).as(s"${side}cnt"),
+             sum(xxhash64(cols.map(col): _*)).as(s"${side}sig"))
     }
+    def report(keyOf: String => Column, action: Column) =
+      partitionCols.zip(pcs).map { case (c, p) => keyOf(p).as(c) } :+ action.as("action")
     val srcCols = spark.read.parquet(sourcePath).columns.toSeq
     val tgtCols =
       try spark.read.parquet(targetPath).columns.toSeq
       catch { case _: org.apache.spark.sql.AnalysisException => Seq.empty[String] }
     if (tgtCols.isEmpty) {
       // first sync: everything is a copy
-      return fingerprint(sourcePath, srcCols.sorted)
-        .select(col("p").as(partitionCol), lit("copy").as("action"))
+      return fingerprint("s", sourcePath, srcCols.sorted)
+        .select(report(p => col(s"s$p"), lit("copy")): _*)
     }
     val shared = (srcCols.toSet intersect tgtCols.toSet).toSeq.sorted
     require(shared.nonEmpty, "diffPartitions: datasets share no columns")
-    val s = fingerprint(sourcePath, shared)
-    val t = fingerprint(targetPath, shared)
-    s.as("s").join(t.as("t"), col("s.p") === col("t.p"), "full_outer")
-      .select(coalesce(col("s.p"), col("t.p")).as(partitionCol),
-        when(col("t.p").isNull, "copy")
-          .when(col("s.p").isNull, "delete")
-          .when(col("s.cnt") === col("t.cnt") && col("s.sig") <=> col("t.sig"), "skip")
-          .otherwise("rewrite").as("action"))
+    val s = fingerprint("s", sourcePath, shared)
+    val t = fingerprint("t", targetPath, shared)
+    val joinCond = pcs.map(p => col(s"s$p") <=> col(s"t$p")).reduce(_ && _)
+    s.join(t, joinCond, "full_outer")
+      .select(report(p => coalesce(col(s"s$p"), col(s"t$p")),
+        // cnt is count(*) — non-null for every existing group, so a null
+        // cnt marks "no row on that side" even when the partition VALUE
+        // is itself null
+        when(col("tcnt").isNull, "copy")
+          .when(col("scnt").isNull, "delete")
+          .when(col("scnt") === col("tcnt") && col("ssig") <=> col("tsig"), "skip")
+          .otherwise("rewrite")): _*)
   }
+
+  /** Single-level convenience form of [[diffPartitions]]. */
+  def diffPartitions(spark: SparkSession, sourcePath: String, targetPath: String,
+                     partitionCol: String): DataFrame =
+    diffPartitions(spark, sourcePath, targetPath, Seq(partitionCol))
 
   /** Incremental partition sync — apply [[diffPartitions]]: rewrite ONLY the
     * changed/new partitions (dynamic partition overwrite, so untouched
@@ -363,22 +380,29 @@ object IO {
     * write proportional to the DELTA, not the dataset. Returns the action
     * report for audit (the distcp copy listing). */
   def syncPartitions(spark: SparkSession, sourcePath: String, targetPath: String,
-                     partitionCol: String, deleteOrphans: Boolean = true): DataFrame = {
+                     partitionCols: Seq[String], deleteOrphans: Boolean): DataFrame = {
+    val k = partitionCols.length
     // materialize the diff BEFORE mutating the target — a lazy plan would be
     // recomputed against the post-sync target by any later action (all-skip).
     // Partition values, not row data: bounded by partition count.
-    val planRows = diffPartitions(spark, sourcePath, targetPath, partitionCol)
-      .select(col(partitionCol).cast("string").as(partitionCol), col("action"))
+    val planRows = diffPartitions(spark, sourcePath, targetPath, partitionCols)
       .collect()
-    def of(actions: String*) = planRows
-      .filter(r => actions.contains(r.getString(1))).map(_.getString(0))
+    def of(actions: String*): Array[Seq[String]] = planRows
+      .filter(r => actions.contains(r.getString(k)))
+      .map(r => (0 until k).map(r.getString))
     val changed = of("copy", "rewrite")
     if (changed.nonEmpty) {
       val src = spark.read.parquet(sourcePath)
+      // exact per-column tuple match (no separator-collision risk a joined
+      // string key would have); changed-partition count is bounded, so the
+      // OR-of-ANDs predicate stays small
+      val hit = changed.map(vals =>
+        partitionCols.zip(vals).map { case (c, v) =>
+          col(c).cast("string") <=> lit(v) }.reduce(_ && _)).reduce(_ || _)
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try src.filter(col(partitionCol).cast("string").isin(changed: _*))
-        .write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(targetPath)
+      try src.filter(hit)
+        .write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(targetPath)
       finally prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
@@ -388,15 +412,22 @@ object IO {
       val conf = spark.sparkContext.hadoopConfiguration
       val root = new org.apache.hadoop.fs.Path(targetPath)
       val fs = root.getFileSystem(conf)
-      of("delete").foreach { p =>
-        fs.delete(new org.apache.hadoop.fs.Path(root, s"$partitionCol=$p"), true)
+      of("delete").foreach { vals =>
+        val rel = partitionCols.zip(vals).map { case (c, v) => s"$c=$v" }.mkString("/")
+        fs.delete(new org.apache.hadoop.fs.Path(root, rel), true)
       }
     }
     spark.createDataFrame(java.util.Arrays.asList(planRows: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField(partitionCol, org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("action", org.apache.spark.sql.types.StringType))))
+      org.apache.spark.sql.types.StructType(
+        partitionCols.map(c =>
+          org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)) :+
+        org.apache.spark.sql.types.StructField("action", org.apache.spark.sql.types.StringType)))
   }
+
+  /** Single-level convenience form of [[syncPartitions]]. */
+  def syncPartitions(spark: SparkSession, sourcePath: String, targetPath: String,
+                     partitionCol: String, deleteOrphans: Boolean = true): DataFrame =
+    syncPartitions(spark, sourcePath, targetPath, Seq(partitionCol), deleteOrphans)
 
   /** Z-order layout: sort the dataset by the Morton interleave of two keys
     * and write a bounded file count. Each output file then covers a small

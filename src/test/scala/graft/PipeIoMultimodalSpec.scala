@@ -279,6 +279,35 @@ class PipeIoMultimodalSpec extends SparkSpecBase {
     assert(plan2 == Map("a" -> "skip", "b" -> "skip", "d" -> "skip"), s"got $plan2")
   }
 
+  test("syncPartitions: multi-level (date/lang) layout syncs per CELL, not per top-level dir") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_sync2").toString
+    Seq(("d1", "en", 1L, "x"), ("d1", "fr", 2L, "y"), ("d2", "en", 3L, "z"))
+      .toDF("date", "lang", "k", "v").write.partitionBy("date", "lang").parquet(s"$tmp/target")
+    // d1/en unchanged, d1/fr changed, d2/en orphaned, d2/fr new — the d1 and
+    // d2 top dirs BOTH contain a changed cell and an unchanged/orphan one
+    val src = Seq(("d1", "en", 1L, "x"), ("d1", "fr", 2L, "Y2"), ("d2", "fr", 4L, "q"))
+      .toDF("date", "lang", "k", "v")
+    src.write.partitionBy("date", "lang").parquet(s"$tmp/source")
+    def filesOf(rel: String): Set[(String, Long)] = {
+      val d = new java.io.File(s"$tmp/target/$rel")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toSet
+    }
+    val before = filesOf("date=d1/lang=en")
+    val plan = IO.syncPartitions(spark, s"$tmp/source", s"$tmp/target", Seq("date", "lang"), true)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(plan == Map(("d1", "en") -> "skip", ("d1", "fr") -> "rewrite",
+      ("d2", "en") -> "delete", ("d2", "fr") -> "copy"), s"got $plan")
+    assert(filesOf("date=d1/lang=en") == before, "unchanged cell was rewritten")
+    assert(filesOf("date=d2/lang=en").isEmpty, "orphan cell survived")
+    val got = spark.read.parquet(s"$tmp/target").select("date", "lang", "k", "v")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    val want = src.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    assert(got == want)
+  }
+
   test("syncPartitions: first sync into an empty target copies everything") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_sync0").toString
