@@ -379,6 +379,29 @@ object SparkEntry {
         docs.filter(col("doc_id") % 100 =!= 0),
         docs.filter(col("doc_id") % 100 === 0))
     }),
+    // Cross-corpus near-dup: corpus = the 18 non-reference sources, ref =
+    // src0/src1 (the "eval suite"); exact inverted-index form, the LSH
+    // bucketed twin (identical output at tau=0.8, recall 1.0 — the
+    // dedup_minhash_lsh precedent), and the fuzzy-decontamination survivor
+    // set built on the exact pairs.
+    "dedup_cross_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.crossJaccardPairs(
+        docs.filter(!col("source").isin("src0", "src1")),
+        docs.filter(col("source").isin("src0", "src1")))
+    }),
+    "dedup_cross_minhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.crossMinhashPairs(
+        docs.filter(!col("source").isin("src0", "src1")),
+        docs.filter(col("source").isin("src0", "src1")))
+    }),
+    "decontaminate_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      CurationPipeline.decontaminateNearDup(
+        docs.filter(!col("source").isin("src0", "src1")),
+        docs.filter(col("source").isin("src0", "src1")))
+    }),
     "pack_sequences" -> ((s, d) => CurationPipeline.packSequences(Tables.documents(s, d))),
     "curation_pipeline" -> ((s, d) => CurationPipeline.curate(Tables.documents(s, d))),
     "curation_full" -> ((s, d) => CurationPipeline.curateFull(Tables.documents(s, d))),
@@ -1323,6 +1346,57 @@ object SparkEntry {
          SELECT doc_id FROM documents
          WHERE doc_id % 100 <> 0
            AND doc_id NOT IN (SELECT doc_id FROM contaminated)""",
+    "dedup_cross_jaccard" ->
+      """WITH tok AS (SELECT doc_id, source,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         sh AS (SELECT doc_id, source, CASE WHEN len(t)>=3
+             THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+                                 FOR i IN generate_series(1, len(t)-2)])
+             ELSE [] END AS s FROM tok),
+         ex AS (SELECT doc_id, source, unnest(s) AS sg, len(s) AS nsh FROM sh WHERE len(s)>0),
+         pairs AS (SELECT a.doc_id AS corpus_id, b.doc_id AS ref_id, count(*) AS inter,
+             any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+           FROM ex a JOIN ex b ON a.sg=b.sg
+           WHERE a.source NOT IN ('src0','src1') AND b.source IN ('src0','src1')
+           GROUP BY 1,2)
+         SELECT corpus_id, ref_id, round(inter/(na+nb-inter),6) AS jacc FROM pairs
+         WHERE round(inter/(na+nb-inter),6) >= 0.8""",
+    // The LSH twin is output-identical at tau=0.8 (32x4-band recall 1.0 on
+    // near-dup thresholds — the dedup_minhash_lsh precedent; candidates are
+    // exact-Jaccard verified, so no unsound pair can appear).
+    "dedup_cross_minhash" ->
+      """WITH tok AS (SELECT doc_id, source,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         sh AS (SELECT doc_id, source, CASE WHEN len(t)>=3
+             THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+                                 FOR i IN generate_series(1, len(t)-2)])
+             ELSE [] END AS s FROM tok),
+         ex AS (SELECT doc_id, source, unnest(s) AS sg, len(s) AS nsh FROM sh WHERE len(s)>0),
+         pairs AS (SELECT a.doc_id AS corpus_id, b.doc_id AS ref_id, count(*) AS inter,
+             any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+           FROM ex a JOIN ex b ON a.sg=b.sg
+           WHERE a.source NOT IN ('src0','src1') AND b.source IN ('src0','src1')
+           GROUP BY 1,2)
+         SELECT corpus_id, ref_id, round(inter/(na+nb-inter),6) AS jacc FROM pairs
+         WHERE round(inter/(na+nb-inter),6) >= 0.8""",
+    "decontaminate_neardup" ->
+      """WITH tok AS (SELECT doc_id, source,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         sh AS (SELECT doc_id, source, CASE WHEN len(t)>=3
+             THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+                                 FOR i IN generate_series(1, len(t)-2)])
+             ELSE [] END AS s FROM tok),
+         ex AS (SELECT doc_id, source, unnest(s) AS sg, len(s) AS nsh FROM sh WHERE len(s)>0),
+         pairs AS (SELECT a.doc_id AS corpus_id, count(*) AS inter,
+             any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+           FROM ex a JOIN ex b ON a.sg=b.sg
+           WHERE a.source NOT IN ('src0','src1') AND b.source IN ('src0','src1')
+           GROUP BY a.doc_id, b.doc_id),
+         flagged AS (SELECT DISTINCT corpus_id FROM pairs
+           WHERE round(inter/(na+nb-inter),6) >= 0.8)
+         SELECT doc_id FROM documents
+         WHERE source NOT IN ('src0','src1')
+           AND doc_id NOT IN (SELECT corpus_id FROM flagged)""",
     "pack_sequences" ->
       """WITH tok AS (SELECT doc_id,
              list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),

@@ -139,6 +139,22 @@ object CurationPipeline {
       .join(contaminated.select(col("doc_id")), Seq("doc_id"), "left_anti")
   }
 
+  /** Fuzzy decontamination: drop corpus docs NEAR-DUPLICATE to any benchmark
+    * doc (shingle Jaccard ≥ tau) — catches the paraphrased/lightly-edited
+    * contamination that [[decontaminate]]'s exact n-gram overlap misses.
+    * Same output contract as decontaminate: surviving (doc_id) rows.
+    * useLsh=true routes candidates through the MinHash-LSH bucketed join
+    * ([[DedupOps.crossMinhashPairs]]) — the 100 TB path; both forms emit
+    * identical survivors at τ ≥ ~0.8 (LSH recall 1.0 there, spec-pinned). */
+  def decontaminateNearDup(corpus: DataFrame, benchmark: DataFrame,
+                           tau: Double = 0.8, useLsh: Boolean = false): DataFrame = {
+    val pairs =
+      if (useLsh) DedupOps.crossMinhashPairs(corpus, benchmark, tau)
+      else DedupOps.crossJaccardPairs(corpus, benchmark, tau)
+    corpus.select(col("doc_id"))
+      .join(pairs.select(col("corpus_id").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+  }
+
   /** Token-budget sequence packing (the training-batch assembly step):
     * concatenate docs in doc_id order into a token stream and assign each
     * doc the index of the `budget`-token sequence where it STARTS —

@@ -91,12 +91,18 @@ object DedupOps {
     * pairs concentrates near Σ min of independent Poisson(nsh/256) counts
     * — well under the τ requirement — so the expensive joins see roughly
     * the output size, not the candidate volume. */
-  private def verifyPairs(cand: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
+  private def verifyPairs(cand: DataFrame, sh: DataFrame, tau: Double): DataFrame =
+    verifyPairsAB(cand, sh, sh, tau)
+
+  /** Two-relation form: a_id keys into shA, b_id into shB (self-join ops
+    * pass the same relation twice; cross-corpus ops pass corpus + ref). */
+  private def verifyPairsAB(cand: DataFrame, shA: DataFrame, shB: DataFrame,
+                            tau: Double): DataFrame = {
     val tauEff = tau - 1e-6
-    val meta = sh.select(col("doc_id"), size(col("hv")).as("nsh"), col("sk"))
+    def meta(sh: DataFrame) = sh.select(col("doc_id"), size(col("hv")).as("nsh"), col("sk"))
     val pruned = cand.select(col("a_id"), col("b_id"))
-      .join(meta.select(col("doc_id").as("a_id"), col("nsh").as("na"), col("sk").as("ska")), "a_id")
-      .join(meta.select(col("doc_id").as("b_id"), col("nsh").as("nb"), col("sk").as("skb")), "b_id")
+      .join(meta(shA).select(col("doc_id").as("a_id"), col("nsh").as("na"), col("sk").as("ska")), "a_id")
+      .join(meta(shB).select(col("doc_id").as("b_id"), col("nsh").as("nb"), col("sk").as("skb")), "b_id")
       .filter(least(col("na"), col("nb")).cast("double") >=
         greatest(col("na"), col("nb")) * lit(tauEff) - lit(1e-9))
       .withColumn("ub", GraftFunctions.sketchIntersectUB(col("ska"), col("skb")))
@@ -104,8 +110,8 @@ object DedupOps {
         col("ub").cast("double") >= (col("na") + col("nb")) * lit(tauEff / (1.0 + tauEff)) - lit(1e-9))
       .select(col("a_id"), col("b_id"))
     pruned
-      .join(sh.select(col("doc_id").as("a_id"), col("hv").as("ha")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("hv").as("hb")), "b_id")
+      .join(shA.select(col("doc_id").as("a_id"), col("hv").as("ha")), "a_id")
+      .join(shB.select(col("doc_id").as("b_id"), col("hv").as("hb")), "b_id")
       .withColumn("inter", GraftFunctions.sortedIntersectCount(col("ha"), col("hb")))
       .withColumn("jacc", round(col("inter") /
         (size(col("ha")) + size(col("hb")) - col("inter")), 6))
@@ -366,16 +372,70 @@ object DedupOps {
     verifyPairs(cand, sh, tau)
   }
 
+  /** Exact cross-corpus near-dup pairs: every (corpus doc, reference doc)
+    * pair with shingle Jaccard ≥ tau — the FUZZY version of benchmark
+    * decontamination (GPT-3 App. C / Llama used n-gram overlap against
+    * eval sets; near-dup containment catches paraphrased or lightly-edited
+    * contamination that exact n-gram overlap thresholds miss). Asymmetric
+    * inverted-index join: no self-pair constraint, the two sides are
+    * distinct relations. Reference analog: the datajoin tool's two-source
+    * inner join shape (hadoop-tools/hadoop-datajoin/.../DataJoinJob.java:1).
+    * Output: (corpus_id, ref_id, jacc). */
+  def crossJaccardPairs(corpus: DataFrame, ref: DataFrame, tau: Double = 0.8): DataFrame = {
+    val sa = shingleDocs(corpus)
+    val sb = shingleDocs(ref)
+    def ex(sh: DataFrame) =
+      sh.select(col("doc_id"), explode(col("s")).as("sg"), size(col("s")).as("nsh"))
+    ex(sa).as("a").join(ex(sb).as("b"), col("a.sg") === col("b.sg"))
+      .groupBy(col("a.doc_id").as("corpus_id"), col("b.doc_id").as("ref_id"))
+      .agg(count(lit(1)).as("inter"),
+           first(col("a.nsh")).as("na"), first(col("b.nsh")).as("nb"))
+      .withColumn("jacc", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jacc") >= tau)
+      .select(col("corpus_id"), col("ref_id"), col("jacc"))
+  }
+
+  /** [[crossJaccardPairs]]'s 100 TB twin: MinHash-LSH bucketed candidates
+    * instead of the full inverted-index join. Both sides band map-side
+    * (hash-only shingle relations — no strings in the persisted state),
+    * candidates come from the (band, band_sig) equi-join — at τ ≥ ~0.8 with
+    * 32×4 bands recall is 1.0 for the same reason as [[minhashLshPairs]] —
+    * and exact Jaccard verification makes every emitted pair sound. The
+    * reference side is typically tiny (an eval suite) next to the corpus, so
+    * the banded join is effectively a semi-broadcast probe of the corpus's
+    * band stream. Output identical to [[crossJaccardPairs]] when recall
+    * holds (spec-pinned on the gate corpus). */
+  def crossMinhashPairs(corpus: DataFrame, ref: DataFrame, tau: Double = 0.8,
+                        numPerms: Int = 128, bands: Int = 32): DataFrame = {
+    require(numPerms % bands == 0,
+      s"crossMinhashPairs: bands=$bands must divide numPerms=$numPerms")
+    GraftFunctions.register(corpus.sparkSession)
+    val sa = shingleDocs(corpus, keepStrings = false)
+    val sb = shingleDocs(ref, keepStrings = false)
+    def banded(sh: DataFrame) = sh
+      .select(col("doc_id"), minhashFromHashes(col("hs"), numPerms).as("sig"))
+      .select(col("doc_id"),
+        posexplode(GraftFunctions.bandHashes(col("sig"), bands)).as(Seq("band", "band_sig")))
+    val cand = banded(sa).as("x").join(banded(sb).as("y"),
+        col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    verifyPairsAB(cand, sa, sb, tau)
+      .select(col("a_id").as("corpus_id"), col("b_id").as("ref_id"), col("jacc"))
+  }
+
   /** Resolve near-dup PAIRS into duplicate GROUPS — connected components by
     * iterative min-label propagation (the distributed-join formulation of
     * Kiveris et al. 2014, "Connected Components in MapReduce and Beyond").
     * Input: (a_id, b_id) pair rows. Output: (id, comp) where comp is the
     * minimum doc_id reachable through the pair graph — the canonical member.
     *
-    * Scale shape: each iteration is one shuffle (edge join + min-agg);
-    * convergence is O(diameter) iterations, and near-dup clusters are tiny
+    * Scale shape: each round is an edge-join + min-agg shuffle followed by a
+    * pointer-jumping shortcut (label ← label's label); the alternation
+    * converges in O(log diameter) rounds. Near-dup clusters are tiny
     * (pairs come from a ≥ tau similarity join, so components are near-cliques
-    * of duplicates — diameter 1-3 in practice). Each iteration's result is
+    * of duplicates — diameter 1-3 in practice), but low-τ semantic graphs
+    * chain, and the shortcut keeps those cheap too. Each iteration's result is
     * checkpointed to truncate lineage: pass `checkpointDir` for RELIABLE
     * checkpoints (survives executor loss — what a preemptible 1000-executor
     * cluster needs, since a lost localCheckpoint block kills the lineage-less
