@@ -480,13 +480,33 @@ object DedupOps {
       .select(col("src").as("id"), col("comp"))
       .unionByName(l)
       .groupBy("id").agg(min("comp").as("comp"))
+    // pointer jumping: replace each label by its LABEL'S label (path
+    // halving — Shiloach-Vishkin's shortcut step). Sound because a node's
+    // comp is always the id of a same-component node (labels start as ids
+    // and only component members' ids ever propagate), and that node's own
+    // comp is ≤ itself (labels are monotone non-increasing), so the jump
+    // stays in-component and never increases a label. Alternating
+    // propagate+shortcut reaches the component minimum in O(log diameter)
+    // rounds instead of propagate-only's O(diameter) — on a long-chain pair
+    // graph (low-τ semantic graphs produce them) this cuts the number of
+    // blocking driver rounds, each of which pays full scheduling latency.
+    def shortcut(l: DataFrame): DataFrame = {
+      // parent side re-projected under fresh names so the self-join carries
+      // no shared attribute names (every l-side ref stays unambiguous)
+      val parent = l.select(col("id").as("p_id"), col("comp").as("p_comp"))
+      l.join(parent, col("comp") === col("p_id"), "left")
+        .select(col("id"), coalesce(col("p_comp"), col("comp")).as("comp"))
+    }
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // two propagation rounds per convergence check: halves the blocking
-      // driver actions (each one pays scheduling latency), and a converged
-      // labelling is a fixed point so the extra round is a no-op
-      val next = truncate(propagate(propagate(labels)))
+      // two propagate+shortcut rounds per convergence check: halves the
+      // blocking driver actions (each one pays scheduling latency), and a
+      // converged labelling is a fixed point so the extra round is a no-op.
+      // No-change of the composite implies no change from propagate alone
+      // (both steps are monotone non-increasing), and a propagate fixpoint
+      // is full convergence — labels constant across every edge.
+      val next = truncate(shortcut(propagate(shortcut(propagate(labels)))))
       converged = next.as("n")
         .join(labels.as("o"), "id")
         .filter(col("n.comp") =!= col("o.comp"))
@@ -497,11 +517,11 @@ object DedupOps {
     // a silently partial labelling would split one true component into
     // several groups with no signal — convergence is part of the contract.
     // maxIter is a ROUND BUDGET including the ~2 confirmation rounds that
-    // observe no change, so a component of diameter d needs maxIter ≥ d + 2
-    // (rounds run in pairs, so budget an even number).
+    // observe no change; with pointer jumping a component of diameter d
+    // needs ~log2(d) + 2 rounds (rounds run in pairs, budget an even
+    // number), so the default 50 covers any graph that fits on disk.
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge within the $maxIter-round budget " +
-        "(component diameter is at or above maxIter - 2) — raise maxIter")
+      s"connectedComponents did not converge within the $maxIter-round budget — raise maxIter")
     labels
   }
 
