@@ -402,6 +402,8 @@ object SparkEntry {
         docs.filter(!col("source").isin("src0", "src1")),
         docs.filter(col("source").isin("src0", "src1")))
     }),
+    "leakage_free_split" -> ((s, d) =>
+      CurationPipeline.leakageFreeSplit(Tables.documents(s, d))),
     "pack_sequences" -> ((s, d) => CurationPipeline.packSequences(Tables.documents(s, d))),
     "curation_pipeline" -> ((s, d) => CurationPipeline.curate(Tables.documents(s, d))),
     "curation_full" -> ((s, d) => CurationPipeline.curateFull(Tables.documents(s, d))),
@@ -1397,6 +1399,35 @@ object SparkEntry {
          SELECT doc_id FROM documents
          WHERE source NOT IN ('src0','src1')
            AND doc_id NOT IN (SELECT corpus_id FROM flagged)""",
+    // the dedup_groups recursive-CTE oracle with the split coin on top:
+    // group_id is the component's canonical member, the coin is the same
+    // Knuth multiplicative hash mixture_sample's oracle replays.
+    "leakage_free_split" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(t)>=3
+             THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+                                 FOR i IN generate_series(1, len(t)-2)])
+             ELSE [] END AS s FROM tok),
+         ex AS (SELECT doc_id, unnest(s) AS sg, len(s) AS nsh FROM sh WHERE len(s)>0),
+         cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
+             any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+           FROM ex a JOIN ex b ON a.sg=b.sg AND a.doc_id<b.doc_id GROUP BY 1,2),
+         pairs AS (SELECT a_id, b_id FROM cand
+           WHERE round(inter/(na+nb-inter),6) >= 0.8),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                   UNION ALL SELECT b_id, a_id FROM pairs),
+         r(id, comp) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.src, r.comp FROM edges e JOIN r ON e.dst = r.id),
+         lab AS (SELECT id, min(comp) AS comp FROM r GROUP BY id),
+         g AS (SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS group_id
+               FROM documents d LEFT JOIN lab l ON d.doc_id = l.id)
+         SELECT doc_id, group_id,
+           CASE WHEN ((group_id * 2654435761) % 4294967296) / 4294967296.0 < 0.1
+                THEN 'val' ELSE 'train' END AS split
+         FROM g""",
     "pack_sequences" ->
       """WITH tok AS (SELECT doc_id,
              list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),

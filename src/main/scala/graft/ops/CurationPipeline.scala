@@ -155,6 +155,25 @@ object CurationPipeline {
       .join(pairs.select(col("corpus_id").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
   }
 
+  /** Dedup-aware train/validation split (the leakage-free holdout rule):
+    * every near-dup GROUP lands wholly on one side. A validation doc with a
+    * near-duplicate in train is leaked supervision — per-doc random splits
+    * leak exactly in proportion to the corpus's duplication rate — so the
+    * split coin flips on the group's CANONICAL id, not the doc's. Coin =
+    * the deterministic Knuth multiplicative hash [[TextAnalysis.mixtureKeep]]
+    * uses (engine-portable, resume-stable: the same doc lands on the same
+    * side across runs, engines, and retries). Output: (doc_id, group_id,
+    * split). Pure map-side on top of [[DedupOps.dedupGroups]] — the only
+    * shuffles are the dedup pipeline's own. */
+  def leakageFreeSplit(docs: DataFrame, valFrac: Double = 0.1,
+                       tau: Double = 0.8): DataFrame = {
+    val groups = DedupOps.dedupGroups(docs, tau)
+    val u = pmod(col("group_id") * lit(2654435761L), lit(4294967296L))
+      .cast("double") / 4294967296.0
+    groups.select(col("doc_id"), col("group_id"),
+      when(u < valFrac, lit("val")).otherwise(lit("train")).as("split"))
+  }
+
   /** Token-budget sequence packing (the training-batch assembly step):
     * concatenate docs in doc_id order into a token stream and assign each
     * doc the index of the `budget`-token sequence where it STARTS —
