@@ -167,6 +167,44 @@ object ScaleDedup {
         else s"FAIL: missed=$lshMissed unsound=$lshUnsound (out=$lshN plantedQ=$pq)"
     }
 
+    // ---- cross-corpus minhash @ tau=0.8: ref side = each group's near
+    // copy (doc_id % 10 == 2, the "eval suite"), corpus side = the rest.
+    // Planted straddlers (g, g+2) and (g+1, g+2) are the ground truth;
+    // (g, g+1) stays within the corpus side and must NOT appear. Also
+    // closes the decontamination arithmetic end-to-end: survivors of the
+    // LSH decontaminate == corpus minus distinct flagged ids. ----
+    if (enabled("dedup_cross")) {
+      val corpusSide = docs.filter(pmod(col("doc_id"), lit(10)) =!= 2)
+      val refSide = docs.filter(pmod(col("doc_id"), lit(10)) === 2)
+      val cross = recordAndDump("dedup_cross") {
+        DedupOps.crossMinhashPairs(corpusSide, refSide, tau = 0.8)
+      }
+      val plantedCross = plantedJ
+        .filter(pmod(col("b_id"), lit(10)) === 2 && col("jacc") >= 0.8)
+      val crossMissed = plantedCross
+        .join(cross.select(col("corpus_id").as("a_id"), col("ref_id").as("b_id")),
+          Seq("a_id", "b_id"), "left_anti").count()
+      val crossUnsound = cross
+        .join(hvRel.select(col("doc_id").as("corpus_id"), col("hv").as("ha")), "corpus_id")
+        .join(hvRel.select(col("doc_id").as("ref_id"), col("hv").as("hb")), "ref_id")
+        .withColumn("inter", GraftFunctions.sortedIntersectCount(col("ha"), col("hb")))
+        .withColumn("j2", round(col("inter") / (size(col("ha")) + size(col("hb")) - col("inter")), 6))
+        .filter(col("j2") < 0.8 || col("j2") =!= col("jacc")).count()
+      val sideLeak = cross
+        .filter(pmod(col("corpus_id"), lit(10)) === 2 || pmod(col("ref_id"), lit(10)) =!= 2)
+        .count()
+      val flagged = cross.select(col("corpus_id")).distinct().count()
+      val surv = CurationPipeline.decontaminateNearDup(corpusSide, refSide, useLsh = true).count()
+      val nCorpus = corpusSide.count()
+      val pc = plantedCross.count()
+      checks("dedup_cross") =
+        if (crossMissed == 0 && crossUnsound == 0 && sideLeak == 0 && surv == nCorpus - flagged)
+          s"PASS: ${cross.count()} pairs, all $pc qualifying planted straddlers found, sound, " +
+            s"sides clean; decontaminate survivors $surv == $nCorpus-$flagged"
+        else s"FAIL: missed=$crossMissed unsound=$crossUnsound sideLeak=$sideLeak " +
+          s"surv=$surv want=${nCorpus - flagged}"
+    }
+
     // ---- ppjoin @ tau=0.5 (same claim, prefix+positional+sketch path) ----
     if (enabled("dedup_jaccard_ppjoin")) {
       val pp = recordAndDump("dedup_jaccard_ppjoin") { DedupOps.ngramJaccardPairsPrefix(docs, tau = 0.5) }
