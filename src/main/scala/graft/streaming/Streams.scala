@@ -257,6 +257,32 @@ object Streams {
       .select(col("a_id"), col("b_id"))
   }
 
+  /** Ingest-time fuzzy decontamination CANDIDATES: flag arriving docs that
+    * LSH-collide with the STATIC benchmark relation — the streaming twin of
+    * DedupOps.crossMinhashPairs' candidate stage. A stream-static equi-join
+    * on (band, band_sig) with ZERO streaming state: the benchmark side is a
+    * plain batch relation (an eval suite — always small), broadcast into
+    * every micro-batch; nothing about past stream rows needs remembering,
+    * because contamination is a doc-vs-static property, not a doc-vs-doc
+    * one. That makes this the cheapest stateful-looking op in the file — it
+    * isn't stateful at all.
+    *
+    * Emits (doc_id, ref_id) band collisions; a pair colliding in k bands is
+    * emitted up to k times (per-pair dedup would need a stateful
+    * dropDuplicates — pointless when the downstream exact-Jaccard verify in
+    * foreachBatch is idempotent, the [[nearDupCandidates]] production
+    * shape). DISTINCT candidate parity with the batch cross banding is
+    * spec-pinned (same tokenizer/perms/bands on both sides). */
+  def decontaminateCandidatesStream(docs: DataFrame, benchmark: DataFrame,
+                                    numPerms: Int = 128, bands: Int = 32): DataFrame = {
+    val banded = graft.ops.DedupOps.bandedMinhashSigs(docs, numPerms, bands)
+      .select(col("doc_id"), col("band"), col("band_sig"))
+    val refBanded = graft.ops.DedupOps.bandedMinhashSigs(benchmark, numPerms, bands)
+      .select(col("doc_id").as("ref_id"), col("band"), col("band_sig"))
+    banded.join(refBanded, Seq("band", "band_sig"))
+      .select(col("doc_id"), col("ref_id"))
+  }
+
   /** Ingest-time quality scoring: the trained classifier's map-side margin
     * expression applied to a document STREAM — stateless, so the streaming
     * plan is the same one Scan+Project as batch scoring (weights ship with

@@ -462,6 +462,46 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming decontamination candidates == batch cross banding; " +
+    "batch verified cross pairs are a subset; plan is stateless") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+    val benchmark = docs.filter(col("source").isin("src0", "src1"))
+      .select("doc_id", "text")
+    val corpus = docs.filter(!col("source").isin("src0", "src1"))
+      .select("doc_id", "text")
+    val rows = corpus.as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.decontaminateCandidatesStream(
+        input.toDF().toDF("doc_id", "text"), benchmark)
+      .writeStream.format("memory").queryName("decontam_cand_t")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+      // zero streaming state: the stream-static join keeps no state store
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"expected stateless plan, got ${q.lastProgress.stateOperators.length} state operators")
+      val streamed = spark.table("decontam_cand_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      def banded(d: org.apache.spark.sql.DataFrame) =
+        graft.ops.DedupOps.bandedMinhashSigs(d)
+      val batchCand = banded(corpus).as("x").join(banded(benchmark).as("y"),
+          col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig"))
+        .select(col("x.doc_id"), col("y.doc_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batchCand,
+        s"stream ${streamed.size} pairs vs batch ${batchCand.size}")
+      val verified = graft.ops.DedupOps.crossMinhashPairs(corpus, benchmark)
+        .select("corpus_id", "ref_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(verified.nonEmpty && verified.subsetOf(streamed))
+    } finally q.stop()
+  }
+
   test("horizon-bounded near-dup candidates: within-horizon pairs equal the " +
     "unbounded form; farther-apart pairs are dropped; state evicts") {
     import org.apache.spark.sql.functions.col
