@@ -404,6 +404,14 @@ object SparkEntry {
     }),
     "leakage_free_split" -> ((s, d) =>
       CurationPipeline.leakageFreeSplit(Tables.documents(s, d))),
+    "temperature_sample" -> ((s, d) =>
+      TextAnalysis.temperatureSample(Tables.documents(s, d))),
+    "contamination_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      CurationPipeline.contaminationReport(
+        docs.filter(!col("source").isin("src0", "src1")),
+        docs.filter(col("source").isin("src0", "src1")))
+    }),
     "pack_sequences" -> ((s, d) => CurationPipeline.packSequences(Tables.documents(s, d))),
     "curation_pipeline" -> ((s, d) => CurationPipeline.curate(Tables.documents(s, d))),
     "curation_full" -> ((s, d) => CurationPipeline.curateFull(Tables.documents(s, d))),
@@ -1399,6 +1407,31 @@ object SparkEntry {
          SELECT doc_id FROM documents
          WHERE source NOT IN ('src0','src1')
            AND doc_id NOT IN (SELECT corpus_id FROM flagged)""",
+    "temperature_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         m AS (SELECT min(n) AS n_min FROM c),
+         rates AS (SELECT source, round(pow(n_min * 1.0 / n, 0.5), 6) AS p_keep
+                   FROM c, m)
+         SELECT d.doc_id, d.source, r.p_keep
+         FROM documents d JOIN rates r ON d.source = r.source
+         WHERE ((d.doc_id * 2654435761) % 4294967296) / 4294967296.0 < r.p_keep""",
+    "contamination_report" ->
+      """WITH tok AS (SELECT doc_id, source,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         sh AS (SELECT doc_id, source, CASE WHEN len(t)>=3
+             THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+                                 FOR i IN generate_series(1, len(t)-2)])
+             ELSE [] END AS s FROM tok),
+         ex AS (SELECT doc_id, source, unnest(s) AS sg, len(s) AS nsh FROM sh WHERE len(s)>0),
+         pairs AS (SELECT a.doc_id AS corpus_id, b.doc_id AS ref_id, count(*) AS inter,
+             any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+           FROM ex a JOIN ex b ON a.sg=b.sg
+           WHERE a.source NOT IN ('src0','src1') AND b.source IN ('src0','src1')
+           GROUP BY 1,2),
+         qual AS (SELECT ref_id, round(inter/(na+nb-inter),6) AS jacc FROM pairs
+           WHERE round(inter/(na+nb-inter),6) >= 0.8)
+         SELECT ref_id, count(*) AS n_contaminating, max(jacc) AS max_jacc
+         FROM qual GROUP BY 1""",
     // the dedup_groups recursive-CTE oracle with the split coin on top:
     // group_id is the component's canonical member, the coin is the same
     // Knuth multiplicative hash mixture_sample's oracle replays.

@@ -155,6 +155,21 @@ object CurationPipeline {
       .join(pairs.select(col("corpus_id").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
   }
 
+  /** Per-benchmark-doc contamination rollup — the report an eval owner
+    * reads before trusting a score: for each benchmark doc with at least
+    * one near-duplicate in the corpus, how many corpus docs collide and how
+    * close the closest is. One tiny agg over [[DedupOps.crossJaccardPairs]]
+    * (or the LSH path at scale — identical pairs, identical report).
+    * Output: (ref_id, n_contaminating, max_jacc). */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                          tau: Double = 0.8, useLsh: Boolean = false): DataFrame = {
+    val pairs =
+      if (useLsh) DedupOps.crossMinhashPairs(corpus, benchmark, tau)
+      else DedupOps.crossJaccardPairs(corpus, benchmark, tau)
+    pairs.groupBy(col("ref_id"))
+      .agg(count(lit(1)).as("n_contaminating"), max(col("jacc")).as("max_jacc"))
+  }
+
   /** Dedup-aware train/validation split (the leakage-free holdout rule):
     * every near-dup GROUP lands wholly on one side. A validation doc with a
     * near-duplicate in train is leaked supervision — per-doc random splits

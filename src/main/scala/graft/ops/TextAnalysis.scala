@@ -181,6 +181,31 @@ object TextAnalysis {
     docs.filter(mixtureKeep)
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
 
+  /** Examples-proportional mixture with TEMPERATURE (the T5 mixing rule,
+    * Raffel et al. 2020 §3.4.4): output proportions follow n_i^α instead of
+    * n_i, flattening source imbalance. As a downsampling filter the keep
+    * probability for source i is p_i = (n_min / n_i)^(1−α) — α=1 keeps
+    * everything (proportional), α→0 equalizes source counts; no source is
+    * upsampled (max p_i = 1 at the smallest source). The per-doc coin is
+    * the same deterministic multiplicative hash as [[mixtureKeep]], so the
+    * sample is reproducible across engines/runs/retries. p_i is rounded to
+    * 6 dp so both engines compare the coin against the identical constant.
+    *
+    * Scale shape: one vocab-of-sources-sized count agg (tiny), broadcast
+    * back, then a pure map-side filter — scan speed at 100 TB. */
+  def temperatureSample(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val withMin = counts.crossJoin(
+      broadcast(counts.agg(min(col("n")).as("n_min"))))
+    val p = round(pow(col("n_min").cast("double") / col("n"), 1.0 - alpha), 6)
+    val rates = withMin.select(col("source"), p.as("p_keep"))
+    val u = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      .cast("double") / 4294967296.0
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(u < col("p_keep"))
+      .select(col("doc_id"), col("source"), col("p_keep"))
+  }
+
   /** The repetition rule as a reusable predicate: keep iff the rounded
     * duplicate-bigram ratio does not exceed the threshold (same arithmetic
     * as [[repetitionScore]]'s flag, so the two stay oracle-consistent). */

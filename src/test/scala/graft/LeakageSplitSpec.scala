@@ -10,6 +10,35 @@ class LeakageSplitSpec extends SparkSpecBase {
 
   private def docs = Tables.documents(spark, sfDir)
 
+  test("temperatureSample: alpha=1 keeps all; alpha flattens toward equal counts; coin/rate replay") {
+    import graft.ops.TextAnalysis
+    val n = docs.count()
+    assert(TextAnalysis.temperatureSample(docs, alpha = 1.0).count() == n)
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = counts.values.min
+    val kept = TextAnalysis.temperatureSample(docs, alpha = 0.5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // replay rate + coin per kept row; and no row that qualifies is missing
+    kept.foreach { case (id, src, p) =>
+      val pTrue = math.rint(math.pow(nMin.toDouble / counts(src), 0.5) * 1e6) / 1e6
+      assert(p == pTrue, s"doc $id source $src: p_keep $p vs $pTrue")
+      val u = java.lang.Math.floorMod(id * 2654435761L, 4294967296L).toDouble / 4294967296.0
+      assert(u < p)
+    }
+    val keptIds = kept.map(_._1).toSet
+    docs.select("doc_id", "source").collect().foreach { r =>
+      val (id, src) = (r.getLong(0), r.getString(1))
+      val p = math.rint(math.pow(nMin.toDouble / counts(src), 0.5) * 1e6) / 1e6
+      val u = java.lang.Math.floorMod(id * 2654435761L, 4294967296L).toDouble / 4294967296.0
+      assert(keptIds.contains(id) == u < p, s"doc $id keep mismatch")
+    }
+    // flattening: the spread of per-source kept counts shrinks vs raw
+    val keptBySrc = kept.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    def spread(m: Map[String, Double]) = m.values.max / m.values.min
+    assert(spread(keptBySrc) <= spread(counts.view.mapValues(_.toDouble).toMap) + 1e-9)
+  }
+
   test("leakageFreeSplit: no near-dup pair straddles the train/val boundary") {
     val split = CurationPipeline.leakageFreeSplit(docs)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
