@@ -396,11 +396,16 @@ object SparkEntry {
         docs.filter(!col("source").isin("src0", "src1")),
         docs.filter(col("source").isin("src0", "src1")))
     }),
+    // Both composites take the LSH candidate path (useLsh=true): output
+    // identical to the exact form at tau=0.8 (CrossDedupSpec pins it; the
+    // 500 k/5 M planted runs prove recall 1.0) and ~11x faster at sf1 —
+    // the oracle still replays the EXACT inverted-index definition, so the
+    // gate independently re-derives every pair.
     "decontaminate_neardup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       CurationPipeline.decontaminateNearDup(
         docs.filter(!col("source").isin("src0", "src1")),
-        docs.filter(col("source").isin("src0", "src1")))
+        docs.filter(col("source").isin("src0", "src1")), useLsh = true)
     }),
     "leakage_free_split" -> ((s, d) =>
       CurationPipeline.leakageFreeSplit(Tables.documents(s, d))),
@@ -410,7 +415,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       CurationPipeline.contaminationReport(
         docs.filter(!col("source").isin("src0", "src1")),
-        docs.filter(col("source").isin("src0", "src1")))
+        docs.filter(col("source").isin("src0", "src1")), useLsh = true)
     }),
     "pack_sequences" -> ((s, d) => CurationPipeline.packSequences(Tables.documents(s, d))),
     "curation_pipeline" -> ((s, d) => CurationPipeline.curate(Tables.documents(s, d))),
