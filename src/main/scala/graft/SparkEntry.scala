@@ -409,6 +409,15 @@ object SparkEntry {
     }),
     "leakage_free_split" -> ((s, d) =>
       CurationPipeline.leakageFreeSplit(Tables.documents(s, d))),
+    // new batch = ids not divisible by 5, existing corpus = the rest —
+    // an id split so the gate exercises BOTH drop reasons (batch-internal
+    // smaller-id pairs and collisions against the existing side)
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      CurationPipeline.incrementalDedup(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0))
+    }),
     "temperature_sample" -> ((s, d) =>
       TextAnalysis.temperatureSample(Tables.documents(s, d))),
     "contamination_report" -> ((s, d) => {
@@ -1412,6 +1421,31 @@ object SparkEntry {
          SELECT doc_id FROM documents
          WHERE source NOT IN ('src0','src1')
            AND doc_id NOT IN (SELECT corpus_id FROM flagged)""",
+    // exact replay: all-pairs qualifying Jaccard over the whole table, then
+    // the three drop reasons — batch-internal bigger id, and either
+    // orientation of a (new, existing) pair
+    "dedup_incremental" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         sh AS (SELECT doc_id, CASE WHEN len(t)>=3
+             THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+                                 FOR i IN generate_series(1, len(t)-2)])
+             ELSE [] END AS s FROM tok),
+         ex AS (SELECT doc_id, unnest(s) AS sg, len(s) AS nsh FROM sh WHERE len(s)>0),
+         cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
+             any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+           FROM ex a JOIN ex b ON a.sg=b.sg AND a.doc_id<b.doc_id GROUP BY 1,2),
+         pairs AS (SELECT a_id, b_id FROM cand
+           WHERE round(inter/(na+nb-inter),6) >= 0.8),
+         dropd AS (
+           SELECT b_id AS doc_id FROM pairs WHERE a_id % 5 <> 0 AND b_id % 5 <> 0
+           UNION
+           SELECT a_id FROM pairs WHERE a_id % 5 <> 0 AND b_id % 5 = 0
+           UNION
+           SELECT b_id FROM pairs WHERE b_id % 5 <> 0 AND a_id % 5 = 0)
+         SELECT doc_id FROM documents
+         WHERE doc_id % 5 <> 0
+           AND doc_id NOT IN (SELECT doc_id FROM dropd)""",
     "temperature_sample" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
          m AS (SELECT min(n) AS n_min FROM c),

@@ -155,6 +155,27 @@ object CurationPipeline {
       .join(pairs.select(col("corpus_id").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
   }
 
+  /** Incremental ingest dedup — the composite an ingestion pipeline runs on
+    * every new batch: keep a new doc only if it is NOT a near-duplicate of
+    * (i) the already-ingested corpus (cross-corpus LSH) or (ii) a
+    * smaller-id doc in the same batch (the batch's own pair graph, the
+    * same min-id-survives greedy rule the dedup family uses throughout —
+    * deterministic, non-transitive by design: a doc is dropped for HAVING a
+    * smaller near-dup, kept or not, so the rule needs no component
+    * resolution and one batch's verdicts never depend on iteration order).
+    * Both pair stages are the scale-proven MinHash-LSH paths; the existing
+    * side never reshuffles more than its banded (hash-only) relation.
+    * Output: surviving new-doc (doc_id) rows. */
+  def incrementalDedup(newDocs: DataFrame, existing: DataFrame,
+                       tau: Double = 0.8): DataFrame = {
+    val selfDrop = DedupOps.minhashLshPairs(newDocs, tau)
+      .select(col("b_id").as("doc_id"))
+    val crossDrop = DedupOps.crossMinhashPairs(newDocs, existing, tau)
+      .select(col("corpus_id").as("doc_id"))
+    newDocs.select(col("doc_id"))
+      .join(selfDrop.unionByName(crossDrop).distinct(), Seq("doc_id"), "left_anti")
+  }
+
   /** Per-benchmark-doc contamination rollup — the report an eval owner
     * reads before trusting a score: for each benchmark doc with at least
     * one near-duplicate in the corpus, how many corpus docs collide and how

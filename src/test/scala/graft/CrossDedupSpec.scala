@@ -45,6 +45,22 @@ class CrossDedupSpec extends SparkSpecBase {
       s"missed=${(exact -- lsh).take(3)} extra=${(lsh -- exact).take(3)}")
   }
 
+  test("incrementalDedup: survivors == new minus (bigger-id batch dups ∪ cross collisions), both reasons exercised") {
+    val newDocs = docs.filter(col("doc_id") % 5 =!= 0)
+    val existing = docs.filter(col("doc_id") % 5 === 0)
+    val newIds = newDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+    // reference drops from the EXACT pair ops
+    val selfDrops = DedupOps.ngramJaccardPairs(newDocs, tau = 0.8)
+      .select("b_id").collect().map(_.getLong(0)).toSet
+    val crossDrops = DedupOps.crossJaccardPairs(newDocs, existing, tau = 0.8)
+      .select("corpus_id").collect().map(_.getLong(0)).toSet
+    assert(selfDrops.nonEmpty && crossDrops.nonEmpty,
+      "gate split should exercise both drop reasons")
+    val surv = CurationPipeline.incrementalDedup(newDocs, existing)
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == newIds -- selfDrops -- crossDrops)
+  }
+
   test("decontaminateNearDup: survivors + flagged partition the corpus; LSH path identical") {
     val corpusIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
     val flagged = DedupOps.crossJaccardPairs(corpus, ref, tau = 0.8)
