@@ -163,18 +163,15 @@ object CurationPipeline {
     * deterministic, non-transitive by design: a doc is dropped for HAVING a
     * smaller near-dup, kept or not, so the rule needs no component
     * resolution and one batch's verdicts never depend on iteration order).
-    * Both pair stages are the scale-proven MinHash-LSH paths; the existing
-    * side never reshuffles more than its banded (hash-only) relation.
-    * Output: surviving new-doc (doc_id) rows. */
+    * Both pair stages are the scale-proven MinHash-LSH paths and share ONE
+    * banded shingle pass of the new batch ([[DedupOps.incrementalDropIds]]);
+    * the existing side never reshuffles more than its banded (hash-only)
+    * relation. Output: surviving new-doc (doc_id) rows. */
   def incrementalDedup(newDocs: DataFrame, existing: DataFrame,
-                       tau: Double = 0.8): DataFrame = {
-    val selfDrop = DedupOps.minhashLshPairs(newDocs, tau)
-      .select(col("b_id").as("doc_id"))
-    val crossDrop = DedupOps.crossMinhashPairs(newDocs, existing, tau)
-      .select(col("corpus_id").as("doc_id"))
+                       tau: Double = 0.8): DataFrame =
     newDocs.select(col("doc_id"))
-      .join(selfDrop.unionByName(crossDrop).distinct(), Seq("doc_id"), "left_anti")
-  }
+      .join(DedupOps.incrementalDropIds(newDocs, existing, tau),
+        Seq("doc_id"), "left_anti")
 
   /** Per-benchmark-doc contamination rollup — the report an eval owner
     * reads before trusting a score: for each benchmark doc with at least

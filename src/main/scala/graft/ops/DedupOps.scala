@@ -424,6 +424,44 @@ object DedupOps {
       .select(col("a_id").as("corpus_id"), col("b_id").as("ref_id"), col("jacc"))
   }
 
+  /** The drop set for incremental ingest dedup, computed over ONE shingle
+    * pass of the new batch: both candidate stages (batch self-join and the
+    * cross join against the existing corpus) band the SAME persisted
+    * shingle relation — calling [[minhashLshPairs]] and
+    * [[crossMinhashPairs]] separately would shingle, hash, and persist the
+    * new side twice (a full extra corpus pass at scale). Returns the new-
+    * batch doc_ids to DROP: every b_id of a verified batch-internal pair
+    * (min-id-survives) plus every new id verified against the existing
+    * side. */
+  def incrementalDropIds(newDocs: DataFrame, existing: DataFrame,
+                         tau: Double = 0.8, numPerms: Int = 128,
+                         bands: Int = 32): DataFrame = {
+    require(numPerms % bands == 0,
+      s"incrementalDropIds: bands=$bands must divide numPerms=$numPerms")
+    GraftFunctions.register(newDocs.sparkSession)
+    val sa = shingleDocs(newDocs, keepStrings = false)
+    val sb = shingleDocs(existing, keepStrings = false)
+    def banded(sh: DataFrame) = sh
+      .select(col("doc_id"), minhashFromHashes(col("hs"), numPerms).as("sig"))
+      .select(col("doc_id"),
+        posexplode(GraftFunctions.bandHashes(col("sig"), bands)).as(Seq("band", "band_sig")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandedA = banded(sa)
+    val selfCand = bandedA.as("x").join(bandedA.as("y"),
+        col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val crossCand = bandedA.as("x").join(banded(sb).as("y"),
+        col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    verifyPairsAB(selfCand, sa, sa, tau).select(col("b_id").as("doc_id"))
+      .unionByName(
+        verifyPairsAB(crossCand, sa, sb, tau).select(col("a_id").as("doc_id")))
+      .distinct()
+  }
+
   /** Resolve near-dup PAIRS into duplicate GROUPS — connected components by
     * iterative min-label propagation (the distributed-join formulation of
     * Kiveris et al. 2014, "Connected Components in MapReduce and Beyond").
