@@ -43,6 +43,8 @@ object SparkEntry {
   val CmsMatrixDumpDir = s"$DumpBase/graft_cms_matrix"
   val CmsCandDumpDir = s"$DumpBase/graft_cms_cand"
   val UnigramWordDumpDir = s"$DumpBase/graft_unigram_words"
+  val KmeansCentroidDumpDir = s"$DumpBase/graft_kmeans_centroids"
+  val KmeansBalancedDumpDir = s"$DumpBase/graft_kmeans_balanced"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -431,6 +433,38 @@ object SparkEntry {
     "curation_full" -> ((s, d) => CurationPipeline.curateFull(Tables.documents(s, d))),
     "global_shuffle" -> ((s, d) => CurationPipeline.globalShuffle(Tables.documents(s, d))),
     "quota_sample" -> ((s, d) => CurationPipeline.quotaSample(Tables.documents(s, d))),
+    "gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(Tables.documents(s, d))),
+    "dedup_paragraph" -> ((s, d) => DedupOps.dedupParagraphs(Tables.documents(s, d))),
+    "chunk_overlap" -> ((s, d) => CurationPipeline.chunkOverlap(Tables.documents(s, d))),
+    // Under Verify the trained centroid relation is materialized and the
+    // assignment recomputed FROM it (the IVF bucket-dump pattern), so the
+    // DuckDB oracle replays the identical argmax-cosine assignment; the
+    // Lloyd trainer itself stays spec-covered — it IS the dumped relation.
+    "kmeans_cluster" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      if (sys.props.contains("graft.fp.dump")) {
+        val cs = SimilarityOps.trainKmeans(emb)
+        SimilarityOps.kmeansCentroidRelation(s, cs)
+          .coalesce(1).write.mode("overwrite").parquet(KmeansCentroidDumpDir)
+        SimilarityOps.assignFromCentroidRelation(s, emb,
+          s.read.parquet(KmeansCentroidDumpDir))
+      } else SimilarityOps.kmeansCluster(s, emb)
+    }),
+    "text_normalize" -> ((s, d) => TextAnalysis.textNormalize(Tables.documents(s, d))),
+    "embedding_quantize" -> ((s, d) => SimilarityOps.embeddingQuantize(Tables.embeddings(s, d))),
+    // Same dump-recovery pattern as kmeans_cluster, with its OWN centroid
+    // dump (Lloyd training is run-deterministic only given partials order,
+    // so each consumer materializes exactly the model it was checked on).
+    "cluster_balanced_sample" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      if (sys.props.contains("graft.fp.dump")) {
+        val cs = SimilarityOps.trainKmeans(emb)
+        SimilarityOps.kmeansCentroidRelation(s, cs)
+          .coalesce(1).write.mode("overwrite").parquet(KmeansBalancedDumpDir)
+        CurationPipeline.clusterBalancedSampleFrom(s, emb,
+          s.read.parquet(KmeansBalancedDumpDir))
+      } else CurationPipeline.clusterBalancedSample(s, emb)
+    }),
     "lm_perplexity" -> ((s, d) => TextAnalysis.lmPerplexity(Tables.documents(s, d))),
     // Under Verify the per-distinct-word BPE encodings are materialized and
     // the per-doc counts recomputed FROM the dump, so the DuckDB oracle
@@ -1523,6 +1557,120 @@ object SparkEntry {
            coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 2000 AS keep
          FROM t""",
+    "gopher_rules" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         c AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_words,
+             CAST(len(list_filter(t, x->regexp_matches(x,'[A-Za-z]'))) AS BIGINT) AS n_alpha,
+             CAST(len(list_filter(t, x->list_contains(['the','a','of','and','to','in','is','it'], x))) AS BIGINT) AS n_stop,
+             coalesce(list_sum(list_transform(t, x->length(x))), 0) AS tls FROM tok),
+         m AS (SELECT doc_id, n_words, n_stop,
+             round(tls / (CASE WHEN n_words>0 THEN n_words ELSE 1 END)::DOUBLE, 6) AS mean_word_len,
+             round(n_alpha / (CASE WHEN n_words>0 THEN n_words ELSE 1 END)::DOUBLE, 6) AS alpha_frac
+           FROM c)
+         SELECT doc_id, n_words, n_stop, mean_word_len, alpha_frac,
+           (n_words >= 50 AND n_words <= 100000) AS ok_words,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_len,
+           (alpha_frac >= 0.8) AS ok_alpha, (n_stop >= 2) AS ok_stop,
+           (n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0
+             AND mean_word_len <= 10.0 AND alpha_frac >= 0.8 AND n_stop >= 2) AS keep
+         FROM m""",
+    "dedup_paragraph" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         f AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n, t FROM tok WHERE len(t) > 0),
+         paras AS (SELECT doc_id, u.i AS idx,
+             array_to_string(t[(u.i*10+1)::BIGINT : (u.i*10+10)::BIGINT], ' ') AS para
+           FROM f, UNNEST(range(0, ((n + 9) // 10)::BIGINT)) AS u(i)),
+         boiler AS (SELECT para FROM
+             (SELECT para, count(DISTINCT doc_id) AS nd FROM paras GROUP BY para)
+           WHERE nd >= 2),
+         m AS (SELECT p.doc_id, p.idx, p.para,
+             CASE WHEN b.para IS NULL THEN 0 ELSE 1 END AS is_dup
+           FROM paras p LEFT JOIN boiler b ON p.para = b.para)
+         SELECT doc_id, count(*)::BIGINT AS n_paras, sum(is_dup)::BIGINT AS n_dropped,
+           coalesce(array_to_string(list(para ORDER BY idx) FILTER (WHERE is_dup = 0), ' '), '')
+             AS text_clean
+         FROM m GROUP BY doc_id""",
+    "chunk_overlap" ->
+      """WITH tok AS (SELECT doc_id,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         f AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n, t FROM tok WHERE len(t) > 0)
+         SELECT doc_id, u.i AS chunk_id,
+           least(32, n - u.i*24)::BIGINT AS n_chunk_tokens,
+           array_to_string(t[(u.i*24+1)::BIGINT : (u.i*24+32)::BIGINT], ' ') AS chunk_text
+         FROM f, UNNEST(range(0, (1 + greatest(0, (n - 32 + 23) // 24))::BIGINT)) AS u(i)""",
+    // Assignment replayed from the centroid relation the Verify run dumped
+    // (the IVF bucket-dump pattern): exact scoring + (cos desc, cluster)
+    // ranking over the identical model — the Lloyd trainer itself is
+    // spec-covered; it IS the dumped relation.
+    "kmeans_cluster" ->
+      s"""WITH c AS (SELECT cluster, centroid
+             FROM read_parquet('$KmeansCentroidDumpDir/*.parquet')),
+           scored AS (SELECT e.vec_id, c.cluster,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid::DOUBLE[]),6) AS cos
+             FROM embeddings e CROSS JOIN c),
+           r AS (SELECT vec_id, cluster, cos,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) AS rn
+             FROM scored)
+         SELECT vec_id, cluster, cos FROM r WHERE rn = 1""",
+    // The accent translate is spelled with the same 27-char from/to tables
+    // as TextAnalysis.AccentFrom/AccentTo (unicode_escape'd there, literal
+    // UTF-8 here — DuckDB string literals take the bytes verbatim).
+    "text_normalize" ->
+      """WITH n AS (SELECT doc_id,
+             trim(regexp_replace(regexp_replace(
+               translate(lower(text), 'àáâãäåèéêëìíîïòóôõöùúûüçñýÿ', 'aaaaaaeeeeiiiiooooouuuucnyy'),
+               '[0-9]+', '0', 'g'), '[^a-z0]+', ' ', 'g')) AS text_norm
+           FROM documents)
+         SELECT doc_id, text_norm,
+           (CASE WHEN text_norm = '' THEN 0
+                 ELSE len(string_split(text_norm, ' ')) END)::BIGINT AS n_words,
+           length(text_norm)::BIGINT AS n_chars
+         FROM n""",
+    // floor(x+0.5) on BOTH engines (round() half-modes differ); max is
+    // order-free; the cosine accumulates left-to-right in list order on
+    // both engines (list_sum == sequential fold), formula spelled as
+    // dot/(sqrt(nx)*sqrt(ny)) to match CosineSimilarity exactly.
+    "embedding_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         s AS (SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS amax FROM v),
+         q AS (SELECT vec_id, e,
+             CASE WHEN amax = 0 THEN 0.0 ELSE amax / 127.0 END AS scale FROM s),
+         r AS (SELECT vec_id, e, scale,
+             list_transform(e, x -> CASE WHEN scale = 0 THEN 0.0
+               ELSE greatest(-127.0, least(127.0, floor(x / scale + 0.5))) * scale
+               END) AS recon FROM q),
+         m AS (SELECT vec_id, scale,
+             list_max(list_transform(e, x -> abs(x - (CASE WHEN scale = 0 THEN 0.0
+               ELSE greatest(-127.0, least(127.0, floor(x / scale + 0.5))) * scale
+               END)))) AS maxerr,
+             list_sum(list_transform(list_zip(e, recon), p -> p[1] * p[2])) AS dot,
+             list_sum(list_transform(e, x -> x * x)) AS nx,
+             list_sum(list_transform(recon, x -> x * x)) AS ny
+           FROM r)
+         SELECT vec_id, round(scale, 9) AS scale, round(maxerr, 9) AS max_abs_err,
+           round(CASE WHEN nx = 0 OR ny = 0 THEN 0.0
+             ELSE dot / (sqrt(nx) * sqrt(ny)) END, 6) AS cos_recon
+         FROM m""",
+    // Assignment replayed from this query's OWN dumped centroid relation
+    // (kmeans_cluster pattern), then the per-cluster md5-priority rank.
+    "cluster_balanced_sample" ->
+      s"""WITH c AS (SELECT cluster, centroid
+             FROM read_parquet('$KmeansBalancedDumpDir/*.parquet')),
+           scored AS (SELECT e.vec_id, c.cluster,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid::DOUBLE[]),6) AS cos
+             FROM embeddings e CROSS JOIN c),
+           a AS (SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster) AS rn
+             FROM scored),
+           asg AS (SELECT vec_id, cluster FROM a WHERE rn = 1),
+           r AS (SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY cluster
+                 ORDER BY md5(vec_id::VARCHAR), vec_id) AS rnk
+             FROM asg)
+         SELECT vec_id, cluster, rnk::BIGINT AS rnk, rnk <= 20 AS keep FROM r""",
     "lm_perplexity" ->
       """WITH tok AS (SELECT doc_id,
              list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),

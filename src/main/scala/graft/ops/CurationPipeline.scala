@@ -319,4 +319,88 @@ object CurationPipeline {
         (col("intra") + col("offset")).as("tokens_before"))
       .withColumn("keep", col("tokens_before") < budgetTokens)
   }
+
+  /** Sliding-window document chunking with overlap — the RAG / embedding-
+    * prep framing (and the "context window with stride" eval convention):
+    * token windows of `size` starting every `stride` tokens, so consecutive
+    * chunks share `size − stride` tokens of context; the final window is
+    * partial rather than dropped (no text is lost), and a doc shorter than
+    * `size` yields exactly one chunk. Chunk count per doc:
+    * 1 + max(0, ceil((n − size) / stride)).
+    *
+    * Pure map-side: one tokenize + one in-row transform + posexplode — no
+    * shuffle, no window, whole-stage codegen, so at 100 TB chunking runs at
+    * scan speed and the output streams straight into the embedding or
+    * packing stage. Per-row memory is O(doc), the same bound as the scan.
+    * Output: (doc_id, chunk_id, n_chunk_tokens, chunk_text). */
+  def chunkOverlap(docs: DataFrame, size: Int = 32, stride: Int = 24): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size)
+    val w = TextOps.tokens(col("text"))
+    docs.select(col("doc_id"), w.as("w"))
+      .withColumn("n", org.apache.spark.sql.functions.size(col("w")))
+      .filter(col("n") > 0) // token-less docs chunk to nothing on either engine
+      .select(col("doc_id"), col("n"), posexplode(transform(
+          sequence(lit(0),
+            greatest(lit(0L), ceil((col("n") - size).cast("double") / stride)).cast("int")),
+          i => array_join(slice(col("w"), i * stride + 1, lit(size)), " ")))
+        .as(Seq("chunk_id", "chunk_text")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        least(lit(size), col("n") - col("chunk_id") * stride).cast("long")
+          .as("n_chunk_tokens"),
+        col("chunk_text"))
+  }
+
+  /** Per-cluster cap over an (vec_id, cluster) assignment — the DIVERSITY
+    * half of cluster-balanced sampling (the D4 / SemDedup-family recipe,
+    * Abbas et al. 2023: cluster the embedding space, then sample evenly
+    * across clusters so one dense mode can't dominate the mixture). Within
+    * each cluster rows are ranked by the deterministic engine-portable
+    * priority md5(vec_id) (the [[quotaSample]] convention) and kept iff
+    * rank ≤ quota. Output: (vec_id, cluster, rnk, keep) — audit-shaped, so
+    * the mixture report is one groupBy over this relation.
+    *
+    * The per-cluster rank is the two-phase cumsum, not a naive per-cluster
+    * window: k clusters would otherwise mean k tasks at 100 TB. The bucket
+    * id is [[Buckets.hexBucket]] over the priority itself — a pure row
+    * function, monotone in (pri, vec_id) order, so the counts branch and
+    * the rank branch agree by construction (no spark_partition_id, no
+    * exchange-boundary reuse — the quota_sample hardening). */
+  private[graft] def balancedRank(assigned: DataFrame, quota: Long,
+                                  partitions: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = assigned.select(col("vec_id"), col("cluster"),
+        md5(col("vec_id").cast("string")).as("pri"))
+      .withColumn("pid", Buckets.hexBucket(col("pri"), partitions))
+    val offsets = t.groupBy(col("cluster"), col("pid")).agg(count(lit(1)).as("pcnt"))
+      .withColumn("offset", coalesce(sum(col("pcnt")).over(
+        // ≤ clusters × partitions rows — the tiny phase-2 window
+        Window.partitionBy(col("cluster")).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("cluster"), col("pid"), col("offset"))
+    t.withColumn("intra", row_number().over(
+        Window.partitionBy(col("pid"), col("cluster"))
+          .orderBy(col("pri"), col("vec_id"))).cast("long"))
+      .join(broadcast(offsets), Seq("cluster", "pid"))
+      .select(col("vec_id"), col("cluster"),
+        (col("offset") + col("intra")).as("rnk"))
+      .withColumn("keep", col("rnk") <= quota)
+  }
+
+  /** Cluster-balanced sampling, direct path: Lloyd k-means assignment
+    * ([[SimilarityOps.kmeansCluster]] — map-side argmax, bounded-model
+    * training) + [[balancedRank]]. */
+  def clusterBalancedSample(spark: org.apache.spark.sql.SparkSession,
+                            emb: DataFrame, quota: Long = 20, k: Int = 16,
+                            iters: Int = 5, partitions: Int = 32): DataFrame =
+    balancedRank(SimilarityOps.kmeansCluster(spark, emb, k, iters)
+      .select(col("vec_id"), col("cluster")), quota, partitions)
+
+  /** Cluster-balanced sampling from a materialized centroid relation — the
+    * Verify/oracle path (assignment recomputed from the dumped model, so
+    * DuckDB replays assignment + ranking over identical inputs). */
+  def clusterBalancedSampleFrom(spark: org.apache.spark.sql.SparkSession,
+                                emb: DataFrame, cents: DataFrame,
+                                quota: Long = 20, partitions: Int = 32): DataFrame =
+    balancedRank(SimilarityOps.assignFromCentroidRelation(spark, emb, cents)
+      .select(col("vec_id"), col("cluster")), quota, partitions)
 }

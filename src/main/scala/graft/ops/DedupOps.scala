@@ -800,4 +800,57 @@ object DedupOps {
       .dropDuplicates("fa", "fb")
     expandFpPairsToDocPairs(docs, fpPairs)
   }
+
+  /** Cross-document PARAGRAPH dedup — the CCNet/MassiveText boilerplate
+    * rule (Wenzek et al. 2020 §3.1; Rae et al. 2021 §A1.2): a span repeated
+    * across ≥ minDocs distinct documents is boilerplate (headers, footers,
+    * license blurbs) and EVERY occurrence is dropped — boilerplate has no
+    * canonical owner, unlike document-level dedup's min-id survivor rule.
+    * Paragraph framing here = consecutive non-overlapping `paraWords`-token
+    * windows (the corpus has no newline structure; with real newlines the
+    * framing swaps to split(text, '\n') and everything downstream is
+    * unchanged). Docs are rebuilt from surviving paragraphs in order.
+    *
+    * Scale shape: the corpus-wide frequency stage shuffles (xxhash64,
+    * doc_id) pairs — 16 bytes per paragraph, NO paragraph text (the
+    * substring-dedup discipline); only occurrences of hash-flagged
+    * candidates (boilerplate + ~0 collisions) carry strings into the exact
+    * verify regroup, which kills hash collisions, so the drop set is exact
+    * at any scale. Rebuild is one per-doc groupBy with an in-array sort —
+    * no window, no skew (a doc's paragraph count is bounded by doc size).
+    * Output: (doc_id, n_paras, n_dropped, text_clean); docs whose every
+    * paragraph is boilerplate stay, with text_clean = ''. */
+  def dedupParagraphs(docs: DataFrame, paraWords: Int = 10,
+                      minDocs: Int = 2): DataFrame = {
+    require(paraWords >= 1 && minDocs >= 2)
+    val w = TextOps.tokens(col("text"))
+    val framed = docs
+      .select(col("doc_id"), w.as("w")).withColumn("n", size(col("w")))
+      .filter(col("n") > 0) // token-less docs have no paragraphs on either engine
+      .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), floor((col("n") + (paraWords - 1)) / paraWords).cast("int") - 1),
+          i => array_join(slice(col("w"), i * paraWords + 1, lit(paraWords)), " ")))
+        .as(Seq("idx", "para")))
+      .withColumn("h", xxhash64(col("para")))
+    // Stage 1 (hash-only shuffle): candidate hashes seen in >= minDocs docs.
+    val candHashes = framed.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("h"))
+    // Stage 2 (strings, candidates only): exact per-paragraph doc frequency.
+    // Collisions can only ADD candidates here; the regroup on the exact
+    // text computes each paragraph's true doc count, so no false drops.
+    val boiler = framed.join(candHashes, Seq("h"), "left_semi")
+      .select(col("para"), col("doc_id")).distinct()
+      .groupBy(col("para")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("para"), lit(1).as("is_dup"))
+    framed.join(boiler, Seq("para"), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(0)))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).cast("long").as("n_paras"),
+        sum(col("is_dup")).cast("long").as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("is_dup") === 0,
+            struct(col("idx"), col("para"))))),
+          s => s.getField("para")), " ").as("text_clean"))
+  }
 }

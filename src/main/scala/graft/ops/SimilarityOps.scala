@@ -472,4 +472,133 @@ object SimilarityOps {
       .withColumn("cos", round(cosineSim(col("qe"), col("ne")), 6))
     rankTopK(scored, k)
   }
+
+  /** Lloyd k-means over the embedding column (spherical variant: cosine
+    * assignment, mean update — cosine to an unnormalized mean equals cosine
+    * to the normalized one, so no renormalization step) — the clustering
+    * primitive behind cluster-balanced mixture sampling and SemDedup-style
+    * diversity pruning (Abbas et al. 2023, arXiv 2303.09540 cluster docs
+    * before intra-cluster dedup). Init = the deterministic strided pick
+    * ([[trainCentroids]]); each Lloyd round is one MAP-SIDE assignment
+    * (NearestCentroids — codegen'd, no join) + one partial-agg'd groupBy
+    * over (cluster, dim) — the shuffle carries k × dim keys per task, not
+    * corpus rows, and the driver reduces a k × dim double matrix (the MLlib
+    * KMeansModel bounded-model pattern; ~8 KB at k=16, dim=64). Empty
+    * clusters keep their previous centroid. Per-round float-sum ordering is
+    * engine-scheduled, so centroids are run-deterministic only given the
+    * same partials order — the gate therefore checks the ASSIGNMENT from
+    * the materialized centroid relation (exact on both engines), and the
+    * spec pins direct-vs-relation assignment parity. */
+  private[graft] def trainKmeans(emb: DataFrame, k: Int = 16, iters: Int = 5,
+                                 centroidStride: Int = 31): Array[Array[Float]] = {
+    GraftFunctions.register(emb.sparkSession)
+    var cs = trainCentroids(emb, k, centroidStride)
+    if (cs.isEmpty) return cs
+    val dim = cs.head.length
+    for (_ <- 1 to iters) {
+      val partials = emb.select(
+          nearestCentroids(col("embedding"), cs, 1)(0).as("cluster"),
+          posexplode(col("embedding")).as(Seq("d", "v")))
+        .groupBy(col("cluster"), col("d"))
+        .agg(sum(col("v").cast("double")).as("sv"), count(lit(1)).as("cnt"))
+        .collect()
+      val acc = Array.ofDim[Double](cs.length, dim)
+      val cnt = new Array[Long](cs.length)
+      partials.foreach { r =>
+        acc(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        cnt(r.getInt(0)) = r.getLong(3)
+      }
+      cs = cs.zipWithIndex.map { case (old, c) =>
+        if (cnt(c) == 0) old
+        else Array.tabulate(dim)(d => (acc(c)(d) / cnt(c)).toFloat)
+      }
+    }
+    cs
+  }
+
+  /** The trained centroid set as a relation (cluster, centroid) — the
+    * Verify-mode dump that lets the DuckDB oracle recompute every
+    * assignment from the identical model (the IVF bucket-dump pattern). */
+  def kmeansCentroidRelation(spark: SparkSession,
+                             centroids: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+  }
+
+  /** Assignment recomputed FROM a centroid relation: score every (vector,
+    * centroid) pair — k rows per vector, k driver-bounded — and keep the
+    * top by (cos desc, cluster asc). Both the Verify dump path and the
+    * DuckDB oracle run THIS recovery over the identical parquet, so the
+    * assignment+scoring+ranking stages are oracle-checked; at scale the
+    * map-side [[kmeansCluster]] argmax form replaces the ×k join. */
+  def assignFromCentroidRelation(spark: SparkSession, emb: DataFrame,
+                                 cents: DataFrame): DataFrame = {
+    GraftFunctions.register(spark)
+    val scored = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos", round(cosineSim(col("embedding"), col("centroid")), 6))
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cluster"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cluster"), col("cos"))
+  }
+
+  /** Direct-path k-means clustering: train, then one map-side argmax
+    * assignment column — no join, no window; at 100 TB assignment runs at
+    * scan speed and only training's bounded partials shuffle. Output:
+    * (vec_id, cluster, cos to the assigned centroid, round 6). */
+  def kmeansCluster(spark: SparkSession, emb: DataFrame, k: Int = 16,
+                    iters: Int = 5): DataFrame = {
+    GraftFunctions.register(spark)
+    val cs = trainKmeans(emb, k, iters)
+    if (cs.isEmpty)
+      return emb.select(col("vec_id"), lit(0).as("cluster"),
+        lit(0.0).as("cos")).limit(0)
+    emb.select(col("vec_id"),
+        nearestCentroids(col("embedding"), cs, 1)(0).as("cluster"),
+        col("embedding"))
+      .withColumn("cos", round(cosToCentroid(col("embedding"), cs, col("cluster")), 6))
+      .select(col("vec_id"), col("cluster"), col("cos"))
+  }
+
+  /** Symmetric int8 vector quantization with a per-vector scale (the
+    * faiss/SQ8-style storage trick: 4× smaller embedding shards, so a
+    * 100 TB embedding store reads 25 TB): scale = max|v|/127, q_i =
+    * clamp(round(v_i/scale), ±127), recon_i = q_i·scale. Emits the audit
+    * relation a quantization rollout needs — per-vector scale, the max
+    * absolute reconstruction error (bounded by scale/2 by construction;
+    * asserted in the spec), and the original↔recon cosine (what nearest-
+    * neighbor quality actually depends on).
+    *
+    * Pure map-side, one pass, no shuffle. Every step is per-element double
+    * arithmetic in array order — identical IEEE ops in the DuckDB oracle
+    * (floor(x+0.5) for round-half-up on BOTH engines; engine round()
+    * half-modes differ), max is order-free, and the cosine accumulates
+    * left-to-right like [[graft.functions.CosineSimilarity]], so round(6)
+    * hashes match. HOF lambdas here are interpreted — acceptable because
+    * dim is small and fixed; the scale path swaps in a native expression
+    * like CosineSimilarity if quantization ever dominates a profile. */
+  def embeddingQuantize(emb: DataFrame): DataFrame = {
+    val e = transform(col("embedding"), x => x.cast("double"))
+    def clampQ(x: Column): Column =
+      greatest(lit(-127.0), least(lit(127.0), floor(x / col("scale") + 0.5)))
+    def reconAt(x: Column): Column =
+      when(col("scale") === 0.0, lit(0.0)).otherwise(clampQ(x) * col("scale"))
+    emb.select(col("vec_id"), e.as("e"))
+      .withColumn("amax", aggregate(col("e"), lit(0.0), (a, x) => greatest(a, abs(x))))
+      .withColumn("scale", when(col("amax") === 0.0, lit(0.0))
+        .otherwise(col("amax") / 127.0))
+      .withColumn("recon", transform(col("e"), x => reconAt(x)))
+      .withColumn("max_abs_err", round(aggregate(col("e"), lit(0.0),
+        (a, x) => greatest(a, abs(x - reconAt(x)))), 9))
+      .withColumn("dot", aggregate(zip_with(col("e"), col("recon"), (a, b) => a * b),
+        lit(0.0), (a, x) => a + x))
+      .withColumn("nx", aggregate(col("e"), lit(0.0), (a, x) => a + x * x))
+      .withColumn("ny", aggregate(col("recon"), lit(0.0), (a, x) => a + x * x))
+      .withColumn("cos_recon", round(when(col("nx") === 0.0 || col("ny") === 0.0,
+        lit(0.0)).otherwise(col("dot") / (sqrt(col("nx")) * sqrt(col("ny")))), 6))
+      .select(col("vec_id"), round(col("scale"), 9).as("scale"),
+        col("max_abs_err"), col("cos_recon"))
+  }
 }

@@ -421,4 +421,68 @@ object TextAnalysis {
     topk.join(est, Seq("word"))
       .select(col("word"), col("n").as("n_true"), col("n_est"))
   }
+
+  /** Gopher-style hard document-quality rules (Rae et al. 2021, arXiv
+    * 2112.11446 §A1.1) — the rule-based pre-filter a crawl-curation pass
+    * applies BEFORE any model-based scoring: word-count bounds, mean-word-
+    * length band, alphabetic-word fraction, and stopword evidence, each as
+    * an auditable flag plus the conjunction `keep`. (The paper's line-shape
+    * rules — bullet/ellipsis prefixes, symbol ratios — need line structure;
+    * the token-shape family implemented here is the part that applies to
+    * any corpus.) Pure map-side integer/ratio arithmetic mirrored verbatim
+    * in the DuckDB oracle — one pass, no shuffle, whole-stage codegen, so
+    * at 100 TB this runs at scan speed like [[qualityScore]]. */
+  def gopherRules(docs: DataFrame, minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  minAlphaFrac: Double = 0.8, minStop: Int = 2): DataFrame = {
+    val t = TextOps.tokens(col("text"))
+    docs.select(col("doc_id"), size(t).cast("long").as("n_words"),
+        size(filter(t, x => x.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+        stopCount(t, "en").cast("long").as("n_stop"),
+        aggregate(t, lit(0), (acc, x) => acc + length(x)).cast("long").as("tls"))
+      .withColumn("mean_word_len", round(col("tls") /
+        when(col("n_words") > 0, col("n_words")).otherwise(1).cast("double"), 6))
+      .withColumn("alpha_frac", round(col("n_alpha") /
+        when(col("n_words") > 0, col("n_words")).otherwise(1).cast("double"), 6))
+      .withColumn("ok_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("ok_mean_len",
+        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen)
+      .withColumn("ok_alpha", col("alpha_frac") >= minAlphaFrac)
+      .withColumn("ok_stop", col("n_stop") >= minStop)
+      .withColumn("keep",
+        col("ok_words") && col("ok_mean_len") && col("ok_alpha") && col("ok_stop"))
+      .drop("tls", "n_alpha")
+  }
+
+  /** Latin-1 accented letters → their base letter, as parallel from/to
+    * strings for `translate` (the CCNet normalization's accent-strip step).
+    * \u escapes keep the source file pure ASCII. */
+  private val AccentFrom: String =
+    "\u00e0\u00e1\u00e2\u00e3\u00e4\u00e5\u00e8\u00e9\u00ea\u00eb" +
+    "\u00ec\u00ed\u00ee\u00ef\u00f2\u00f3\u00f4\u00f5\u00f6\u00f9" +
+    "\u00fa\u00fb\u00fc\u00e7\u00f1\u00fd\u00ff"
+  private val AccentTo: String = "aaaaaaeeeeiiiiooooouuuucnyy"
+
+  /** CCNet-style text normalization (Wenzek et al. 2020 §3.1 — the
+    * normalization applied before paragraph hashing so trivially-variant
+    * boilerplate collapses to one form): lowercase → strip Latin-1 accents
+    * (translate, table above) → every digit run → a single '0' → every
+    * non-[a-z0 ] run → a single space → trim. Emits the normalized text
+    * plus its word/char counts so the downstream hash/dedup stage is a pure
+    * projection of this relation.
+    *
+    * All five steps are codegen'd native string functions with identical
+    * semantics in the DuckDB oracle (lower/translate/regexp_replace on the
+    * same RE2-safe patterns) — one pass, no shuffle; at 100 TB this runs at
+    * scan speed and fuses into whichever curation stage consumes it. */
+  def textNormalize(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(
+      translate(lower(col("text")), AccentFrom, AccentTo),
+      "[0-9]+", "0"), "[^a-z0]+", " "))
+    docs.select(col("doc_id"), norm.as("text_norm"))
+      .withColumn("n_words", when(col("text_norm") === "", lit(0L))
+        .otherwise(size(split(col("text_norm"), " ")).cast("long")))
+      .withColumn("n_chars", length(col("text_norm")).cast("long"))
+  }
 }

@@ -473,6 +473,74 @@ object ScaleDedup {
       f"lsh@${lp.tables}x${lp.bits}+${lp.flips}p=${lshRecall}%.2f (candidates=$lshCand) vs brute force"
     }
 
+    // ---- r9: paragraph-level boilerplate dedup at scale ----
+    // Planted exact pairs are whole-doc duplicates: every paragraph of the
+    // base doc appears verbatim in its copy, so BOTH docs must drop fully
+    // (boilerplate has no canonical owner). Near copies and independents
+    // aren't gated: post-edit window alignment isn't closed-form.
+    if (enabled("dedup_paragraph")) {
+      val para = recordAndDump("dedup_paragraph") { DedupOps.dedupParagraphs(docs) }
+      val exactIds = planted.filter(col("kind") === "exact")
+        .select(explode(array(col("a_id"), col("b_id"))).as("doc_id")).distinct()
+      val notFull = para.join(exactIds, "doc_id")
+        .filter(col("n_dropped") =!= col("n_paras") || col("text_clean") =!= "").count()
+      val fullDropAll = para.filter(col("n_dropped") === col("n_paras")).count()
+      checks("dedup_paragraph") =
+        if (notFull == 0)
+          s"PASS: all ${2 * nGroups} planted exact-copy docs fully boilerplate-dropped ($fullDropAll full-drop docs total)"
+        else s"FAIL: $notFull planted exact-copy docs not fully dropped"
+    }
+
+    // ---- r9: Lloyd k-means + cluster-balanced sampling at scale ----
+    if (enabled("kmeans")) {
+      val assigned = recordAndDump("kmeans_cluster") {
+        SimilarityOps.kmeansCluster(spark, emb, k = 64, iters = 5)
+      }
+      // GATES: (a) planted exact twins are bit-identical vectors -> the
+      // argmax must assign them identically, always; (b) spherical-Lloyd
+      // monotonicity -> the trained model's objective (mean assignment
+      // cosine) must not be below the strided init's. Near-twin
+      // co-clustering is reported as a STAT, not gated: how many near
+      // pairs straddle a boundary is a property of k vs the 2000 planted
+      // centers (k=64 arbitrarily bisects some), not of the implementation.
+      val aSide = assigned.select(col("vec_id").as("a_id"), col("cluster").as("ca"))
+      val bSide = assigned.select(col("vec_id").as("b_id"), col("cluster").as("cb"))
+      val j = planted.join(aSide, "a_id").join(bSide, "b_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exBad = j.filter(col("kind") === "exact" && col("ca") =!= col("cb")).count()
+      val nearTot = j.filter(col("kind") === "near").count()
+      val nearSame = j.filter(col("kind") === "near" && col("ca") === col("cb")).count()
+      j.unpersist()
+      val nearFrac = nearSame / math.max(1.0, nearTot.toDouble)
+      val objTrained = assigned.agg(avg("cos")).collect()(0).getDouble(0)
+      val objInit = SimilarityOps.assignFromCentroidRelation(spark, emb,
+          SimilarityOps.kmeansCentroidRelation(spark,
+            SimilarityOps.trainKmeans(emb, k = 64, iters = 0)))
+        .agg(avg("cos")).collect()(0).getDouble(0)
+      checks("kmeans_cluster") =
+        if (exBad == 0 && objTrained >= objInit - 1e-6)
+          f"PASS: exact twins co-cluster 100%%, Lloyd objective $objInit%.4f -> $objTrained%.4f (near-twin co-cluster stat: $nearFrac%.4f at k=64)"
+        else f"FAIL: exact-split=$exBad obj $objInit%.4f -> $objTrained%.4f nearFrac=$nearFrac%.4f"
+
+      // the rank IS the check: per-cluster ranks must be a 1..size
+      // permutation and keeps = min(quota, size) — this exercises the
+      // two-phase cumsum's bucket arithmetic at full corpus width
+      val quota = math.max(1L, n / 128)
+      val bal = recordAndDump("cluster_balanced_sample") {
+        CurationPipeline.clusterBalancedSample(spark, emb, quota = quota, k = 64)
+      }
+      val perC = bal.groupBy("cluster").agg(
+        count(lit(1)).as("sz"), max("rnk").as("mx"),
+        countDistinct("rnk").as("dr"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("keeps"))
+      val badC = perC.filter(col("mx") =!= col("sz") || col("dr") =!= col("sz") ||
+        col("keeps") =!= least(lit(quota), col("sz"))).count()
+      checks("cluster_balanced_sample") =
+        if (badC == 0)
+          s"PASS: every cluster's ranks are a 1..size permutation, keeps = min($quota, size)"
+        else s"FAIL: $badC clusters with broken rank/keep arithmetic"
+    }
+
     // ---- tile-sizing evidence: the measured worst blocks the adaptive
     // sub-splits respond to (recomputed with the ops' own formulas) ----
     if (enabled("tile_sizing")) {
