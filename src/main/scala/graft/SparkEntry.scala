@@ -45,6 +45,8 @@ object SparkEntry {
   val UnigramWordDumpDir = s"$DumpBase/graft_unigram_words"
   val KmeansCentroidDumpDir = s"$DumpBase/graft_kmeans_centroids"
   val KmeansBalancedDumpDir = s"$DumpBase/graft_kmeans_balanced"
+  val IvfIndexDir = s"$DumpBase/graft_ivf_index"
+  val IvfIndexProbeDumpDir = s"$DumpBase/graft_ivf_index_probes"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -257,6 +259,30 @@ object SparkEntry {
         SimilarityOps.topKFromBucketDumps(s, emb,
           s.read.parquet(LshBucketDumpDir), s.read.parquet(LshProbeDumpDir), k = 5)
       } else SimilarityOps.annLshTopK(s, emb)
+    }),
+    // The index build (centroids + bucket-partitioned postings) is part of
+    // the query body on purpose: an index op's honest cost IS build+probe.
+    // Under Verify the probe relation is additionally dumped so the oracle
+    // reads probes as data instead of replaying the argmax's unrounded
+    // tie-breaking (the ann_ivf_topk dump convention); the ORACLE's
+    // postings come from the persisted index itself.
+    "ann_ivf_persisted" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 10)
+      SimilarityOps.ivfWriteIndex(s, emb, IvfIndexDir)
+      if (sys.props.contains("graft.fp.dump")) {
+        SimilarityOps.ivfIndexProbes(s, IvfIndexDir, queries)
+          .select("q_id", "bucket")
+          .coalesce(1).write.mode("overwrite").parquet(IvfIndexProbeDumpDir)
+      }
+      SimilarityOps.ivfQueryIndex(s, IvfIndexDir, queries)
+    }),
+    // The next snapshot is DERIVED from the corpus inside the query (drop
+    // doc_id%17==0, edit %13==1, re-add %29==3 under shifted ids), so the
+    // oracle replays the derivation and the diff from the same table.
+    "corpus_diff" -> ((s, d) => {
+      val old = Tables.documents(s, d)
+      CurationPipeline.corpusDiff(old, CurationPipeline.deriveNextSnapshot(old))
     }),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
@@ -1832,6 +1858,41 @@ object SparkEntry {
            ranked AS (SELECT q_id, n_id, cos,
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM scored)
          SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 5""",
+    // Postings come FROM the persisted hive-partitioned index (the bucket
+    // is the partition directory); probes from the dumped probe relation.
+    "ann_ivf_persisted" ->
+      s"""WITH post AS (SELECT vec_id AS n_id, bucket::BIGINT AS bucket
+             FROM read_parquet('$IvfIndexDir/postings/*/*.parquet', hive_partitioning=1)),
+           p AS (SELECT q_id, bucket::BIGINT AS bucket
+             FROM read_parquet('$IvfIndexProbeDumpDir/*.parquet')),
+           cand AS (SELECT DISTINCT p.q_id, post.n_id
+             FROM post JOIN p ON post.bucket = p.bucket WHERE p.q_id <> post.n_id),
+           scored AS (SELECT c.q_id, c.n_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]),6) AS cos
+             FROM cand c JOIN embeddings q ON q.vec_id = c.q_id
+                         JOIN embeddings n ON n.vec_id = c.n_id),
+           ranked AS (SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rn FROM scored)
+         SELECT q_id, n_id, cos, rn FROM ranked WHERE rn <= 5""",
+    "corpus_diff" ->
+      """WITH old AS (SELECT doc_id, text FROM documents),
+           nw AS (
+             SELECT doc_id,
+               CASE WHEN doc_id % 13 = 1 THEN text || ' v2' ELSE text END AS text
+             FROM old WHERE doc_id % 17 <> 0
+             UNION ALL
+             SELECT doc_id + 1000000, text FROM old WHERE doc_id % 29 = 3),
+           o AS (SELECT doc_id, md5(text) AS old_hash FROM old),
+           n AS (SELECT doc_id, md5(text) AS new_hash FROM nw),
+           j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, old_hash, new_hash
+             FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         SELECT doc_id,
+           CASE WHEN new_hash IS NULL THEN 'removed'
+                WHEN old_hash IS NULL THEN 'added'
+                ELSE 'changed' END AS status,
+           old_hash, new_hash
+         FROM j
+         WHERE new_hash IS NULL OR old_hash IS NULL OR old_hash <> new_hash""",
     "ann_lsh_topk" ->
       s"""WITH b AS (SELECT n_id, bucket FROM read_parquet('$LshBucketDumpDir/*.parquet')),
            p AS (SELECT q_id, bucket FROM read_parquet('$LshProbeDumpDir/*.parquet')),

@@ -403,4 +403,38 @@ object CurationPipeline {
                                 quota: Long = 20, partitions: Int = 32): DataFrame =
     balancedRank(SimilarityOps.assignFromCentroidRelation(spark, emb, cents)
       .select(col("vec_id"), col("cluster")), quota, partitions)
+
+  /** Corpus snapshot diff — the doc-level distcp -diff analog (the
+    * file-level twin is IO.syncPartitions): which documents were added,
+    * removed, or changed between two corpus snapshots. Content identity is
+    * md5(text), computed MAP-SIDE on each snapshot so the full-outer join
+    * shuffles (doc_id, 32-char hash) rows, never document bodies — at
+    * 100 TB the exchange carries ~40 bytes/doc regardless of doc size.
+    * Output: one row per non-identical doc — (doc_id, status ∈
+    * added|removed|changed, old_hash, new_hash); unchanged docs are
+    * filtered before the sink so the result is change-sized, not
+    * corpus-sized. */
+  /** Deterministic "next snapshot" derivation for the corpus_diff gate
+    * query (and any parity test): drop doc_id%17==0, append an edit marker
+    * to %13==1, re-add %29==3 under shifted ids — a known mix of removed /
+    * changed / added the oracle replays verbatim. */
+  def deriveNextSnapshot(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+      .withColumn("text", when(pmod(col("doc_id"), lit(13)) === 1,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(docs.filter(pmod(col("doc_id"), lit(29)) === 3)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("old_hash"))
+    val n = newSnap.select(col("doc_id"), md5(col("text")).as("new_hash"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("new_hash").isNull, "removed")
+          .when(col("old_hash").isNull, "added")
+          .when(col("old_hash") =!= col("new_hash"), "changed")
+          .otherwise("unchanged"))
+      .filter(col("status") =!= "unchanged")
+      .select(col("doc_id"), col("status"), col("old_hash"), col("new_hash"))
+  }
 }

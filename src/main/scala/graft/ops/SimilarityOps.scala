@@ -601,4 +601,78 @@ object SimilarityOps {
       .select(col("vec_id"), round(col("scale"), 9).as("scale"),
         col("max_abs_err"), col("cos_recon"))
   }
+
+  /** Build and PERSIST an IVF index: Lloyd-refined centroids plus the
+    * postings relation hive-partitioned BY BUCKET — the "build once, query
+    * many" production ANN shape (faiss's IVF files, as a parquet layout any
+    * engine can read). The partitioned layout is the point: a query batch
+    * probing nprobe of nlist buckets reads nprobe/nlist of the index BYTES
+    * (partition pruning), so at a 100 TB embedding store each query batch
+    * touches ~3/16ths (defaults) of the shards instead of scanning
+    * everything, and the O(corpus) assignment cost is paid once at build
+    * time, not per query batch. */
+  def ivfWriteIndex(spark: SparkSession, emb: DataFrame, dir: String,
+                    nlist: Int = 16, iters: Int = 2,
+                    centroidStride: Int = 50): Unit = {
+    GraftFunctions.register(spark)
+    val cs = trainKmeans(emb, nlist, iters, centroidStride)
+    require(cs.nonEmpty, "empty corpus: nothing to index")
+    kmeansCentroidRelation(spark, cs).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    emb.select(col("vec_id"), col("embedding"),
+        nearestCentroids(col("embedding"), cs, 1)(0).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+  }
+
+  /** Probe relation (q_id, qe, bucket) for a query batch against a
+    * PERSISTED index: each query assigned to its nprobe nearest centroids
+    * from the index's centroid relation (bounded model state — nlist × dim
+    * floats — collected once per batch, the trainCentroids convention). */
+  def ivfIndexProbes(spark: SparkSession, dir: String, queries: DataFrame,
+                     nprobe: Int = 3): DataFrame = {
+    GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$dir/centroids").orderBy("cluster")
+      .collect().map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+    val probeK = math.min(nprobe, cents.length)
+    queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+      explode(nearestCentroids(col("embedding"), cents, probeK)).as("bucket"))
+  }
+
+  /** Query a persisted IVF index: probe buckets → STATIC partition pruning
+    * of the postings scan (the probe-bucket set is bounded by |queries| ×
+    * nprobe, so the isin filter is an explicit PartitionFilters entry —
+    * deterministic pruning, no reliance on runtime DPP) → exact cosine →
+    * per-query top-k. Output matches [[ivfTopK]]'s (q_id, n_id, cos, rn)
+    * contract; a posting lives in exactly one bucket, so candidates never
+    * duplicate. */
+  /** The index's full postings relation: the base build plus any
+    * incremental batches appended by Streams.ivfAppendStream
+    * (postings_inc/batch_N, same bucket-partitioned layout). Batch dirs are
+    * unioned individually so each keeps its own partition discovery; a
+    * compaction pass (IO.compaction over postings_inc into postings) folds
+    * them back when the batch count grows. */
+  private[graft] def readIndexPostings(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/postings")
+    val incRoot = new org.apache.hadoop.fs.Path(s"$dir/postings_inc")
+    val fs = incRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(incRoot)) base
+    else fs.listStatus(incRoot).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("batch_"))
+      .map(st => spark.read.parquet(st.getPath.toString))
+      .foldLeft(base)((acc, b) => acc.unionByName(b))
+  }
+
+  def ivfQueryIndex(spark: SparkSession, dir: String, queries: DataFrame,
+                    k: Int = 5, nprobe: Int = 3): DataFrame = {
+    val probes = ivfIndexProbes(spark, dir, queries, nprobe)
+    val probeBuckets = probes.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val postings = readIndexPostings(spark, dir)
+      .filter(col("bucket").isin(probeBuckets.map(b => b: Any): _*))
+    val scored = postings.join(broadcast(probes), Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", round(cosineSim(col("qe"), col("embedding")), 6))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("cos"))
+    rankTopK(scored, k)
+  }
 }

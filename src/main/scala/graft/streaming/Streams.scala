@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured Streaming operators over the events stream.
   *
@@ -87,6 +87,37 @@ object Streams {
           .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
       }
       .start()
+
+  /** Streaming IVF index maintenance — the ingest half of the persisted
+    * ANN index (SimilarityOps.ivfWriteIndex builds; this appends): each
+    * incoming vector is assigned to its nearest centroid from the index's
+    * OWN centroid relation (fixed at build time — the faiss convention:
+    * appends never retrain; re-clustering is a batch rebuild) and written
+    * under postings_inc/batch_N in the same bucket-partitioned layout, so
+    * SimilarityOps.readIndexPostings serves queries over base + increments
+    * with the same partition pruning. Assignment is a pure map-side argmax
+    * (no state store, no shuffle); the batchId-keyed OVERWRITE makes
+    * foreachBatch retries idempotent (the incrementalRollup contract).
+    * Compaction: fold postings_inc into postings with a batch rewrite when
+    * batch count grows — queries see either layout identically. */
+  def ivfAppendStream(vectors: DataFrame, indexDir: String,
+                      checkpointDir: String): StreamingQuery = {
+    val spark = vectors.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val cents = spark.read.parquet(s"$indexDir/centroids").orderBy("cluster")
+      .collect().map(r => r.getSeq[Float](r.fieldIndex("centroid")).toArray)
+    require(cents.nonEmpty, s"no centroid relation under $indexDir")
+    vectors.select(col("vec_id"), col("embedding"),
+        graft.functions.GraftFunctions.nearestCentroids(col("embedding"), cents, 1)(0)
+          .as("bucket"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$indexDir/postings_inc/batch_$batchId")
+      }
+      .start()
+  }
 
   /** Merge-on-read for the incremental rollup table: partials → totals.
     * A rollup with no committed batch yet (empty stream, or a reader racing
