@@ -47,6 +47,7 @@ object SparkEntry {
   val KmeansBalancedDumpDir = s"$DumpBase/graft_kmeans_balanced"
   val IvfIndexDir = s"$DumpBase/graft_ivf_index"
   val IvfIndexProbeDumpDir = s"$DumpBase/graft_ivf_index_probes"
+  val MinhashStoreDir = s"$DumpBase/graft_minhash_store"
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -446,6 +447,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 =!= 0),
         docs.filter(col("doc_id") % 5 === 0))
     }),
+    // Same split, routed through the PERSISTED signature store (built here
+    // from the existing side — the build is part of the query body, the
+    // ivf_persisted convention). Survivors must be id-for-id identical to
+    // dedup_incremental, so both share one oracle.
+    "dedup_incremental_store" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val existing = docs.filter(col("doc_id") % 5 === 0)
+      DedupOps.minhashWriteStore(existing, MinhashStoreDir)
+      CurationPipeline.incrementalDedupFromStore(
+        docs.filter(col("doc_id") % 5 =!= 0), existing, MinhashStoreDir)
+    }),
     "temperature_sample" -> ((s, d) =>
       TextAnalysis.temperatureSample(Tables.documents(s, d))),
     "contamination_report" -> ((s, d) => {
@@ -581,6 +593,32 @@ object SparkEntry {
         Seq(o("o_totalprice_r").desc, o("o_orderkey")), 3)
     }),
   )
+
+
+  /** Shared by dedup_incremental and dedup_incremental_store: the store
+    * path is defined to produce id-for-id identical survivors. */
+  private val IncrementalDedupOracle: String =
+    """WITH tok AS (SELECT doc_id,
+           list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+       sh AS (SELECT doc_id, CASE WHEN len(t)>=3
+           THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+                               FOR i IN generate_series(1, len(t)-2)])
+           ELSE [] END AS s FROM tok),
+       ex AS (SELECT doc_id, unnest(s) AS sg, len(s) AS nsh FROM sh WHERE len(s)>0),
+       cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
+           any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+         FROM ex a JOIN ex b ON a.sg=b.sg AND a.doc_id<b.doc_id GROUP BY 1,2),
+       pairs AS (SELECT a_id, b_id FROM cand
+         WHERE round(inter/(na+nb-inter),6) >= 0.8),
+       dropd AS (
+         SELECT b_id AS doc_id FROM pairs WHERE a_id % 5 <> 0 AND b_id % 5 <> 0
+         UNION
+         SELECT a_id FROM pairs WHERE a_id % 5 <> 0 AND b_id % 5 = 0
+         UNION
+         SELECT b_id FROM pairs WHERE b_id % 5 <> 0 AND a_id % 5 = 0)
+       SELECT doc_id FROM documents
+       WHERE doc_id % 5 <> 0
+         AND doc_id NOT IN (SELECT doc_id FROM dropd)"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -1484,28 +1522,9 @@ object SparkEntry {
     // exact replay: all-pairs qualifying Jaccard over the whole table, then
     // the three drop reasons — batch-internal bigger id, and either
     // orientation of a (new, existing) pair
-    "dedup_incremental" ->
-      """WITH tok AS (SELECT doc_id,
-             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
-         sh AS (SELECT doc_id, CASE WHEN len(t)>=3
-             THEN list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
-                                 FOR i IN generate_series(1, len(t)-2)])
-             ELSE [] END AS s FROM tok),
-         ex AS (SELECT doc_id, unnest(s) AS sg, len(s) AS nsh FROM sh WHERE len(s)>0),
-         cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
-             any_value(a.nsh) AS na, any_value(b.nsh) AS nb
-           FROM ex a JOIN ex b ON a.sg=b.sg AND a.doc_id<b.doc_id GROUP BY 1,2),
-         pairs AS (SELECT a_id, b_id FROM cand
-           WHERE round(inter/(na+nb-inter),6) >= 0.8),
-         dropd AS (
-           SELECT b_id AS doc_id FROM pairs WHERE a_id % 5 <> 0 AND b_id % 5 <> 0
-           UNION
-           SELECT a_id FROM pairs WHERE a_id % 5 <> 0 AND b_id % 5 = 0
-           UNION
-           SELECT b_id FROM pairs WHERE b_id % 5 <> 0 AND a_id % 5 = 0)
-         SELECT doc_id FROM documents
-         WHERE doc_id % 5 <> 0
-           AND doc_id NOT IN (SELECT doc_id FROM dropd)""",
+    "dedup_incremental" -> IncrementalDedupOracle,
+    // the store path must be id-for-id identical — one shared oracle
+    "dedup_incremental_store" -> IncrementalDedupOracle,
     "temperature_sample" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
          m AS (SELECT min(n) AS n_min FROM c),

@@ -173,6 +173,16 @@ object CurationPipeline {
       .join(DedupOps.incrementalDropIds(newDocs, existing, tau),
         Seq("doc_id"), "left_anti")
 
+  /** [[incrementalDedup]] routed through a persisted MinHash signature
+    * store ([[DedupOps.minhashWriteStore]]) — identical survivors, but the
+    * existing corpus's signature pass is amortized across batches instead
+    * of recomputed per ingest. */
+  def incrementalDedupFromStore(newDocs: DataFrame, existing: DataFrame,
+                                storeDir: String, tau: Double = 0.8): DataFrame =
+    newDocs.select(col("doc_id"))
+      .join(DedupOps.incrementalDropIdsFromStore(newDocs, existing, storeDir, tau),
+        Seq("doc_id"), "left_anti")
+
   /** Per-benchmark-doc contamination rollup — the report an eval owner
     * reads before trusting a score: for each benchmark doc with at least
     * one near-duplicate in the corpus, how many corpus docs collide and how

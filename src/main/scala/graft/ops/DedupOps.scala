@@ -462,6 +462,82 @@ object DedupOps {
       .distinct()
   }
 
+  /** Persist the corpus's banded MinHash signature relation — the dedup
+    * twin of the persisted IVF index (SimilarityOps.ivfWriteIndex). At
+    * 100 TB the signature pass (tokenize + shingle + 128 permutations over
+    * every HISTORICAL document) is the dominant cost of incremental dedup
+    * if recomputed per ingest batch; the store pays it once, and each batch
+    * thereafter reads narrow (band, band_sig, doc_id) rows. Layout:
+    * bands/ partitioned by band; accepted batches append under
+    * bands_inc/<label> in the same layout (batch-path write — idempotent
+    * because each label is one batch's full rewrite); [[readMinhashStore]]
+    * merges base + increments; fold increments into bands/ with a
+    * compaction rewrite when the batch count grows. */
+  def minhashWriteStore(docs: DataFrame, dir: String,
+                        numPerms: Int = 128, bands: Int = 32): Unit =
+    bandedMinhashSigs(docs, numPerms, bands)
+      .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
+
+  /** Append one accepted batch's signatures under bands_inc/<label> —
+    * re-running the same label overwrites (retry-idempotent). */
+  def minhashAppendStore(docs: DataFrame, dir: String, label: String,
+                         numPerms: Int = 128, bands: Int = 32): Unit =
+    bandedMinhashSigs(docs, numPerms, bands)
+      .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands_inc/$label")
+
+  /** The store's full banded relation: base build plus appended batches. */
+  def readMinhashStore(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/bands")
+    val incRoot = new org.apache.hadoop.fs.Path(s"$dir/bands_inc")
+    val fs = incRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(incRoot)) base
+    else fs.listStatus(incRoot).filter(_.isDirectory)
+      .map(st => spark.read.parquet(st.getPath.toString))
+      .foldLeft(base)((acc, b) => acc.unionByName(b))
+  }
+
+  /** [[incrementalDropIds]] against a PERSISTED signature store instead of
+    * re-banding the existing corpus: the new batch is shingled and banded
+    * once (it is the small side), candidates come from the (band, band_sig)
+    * join against the store, and the exact-Jaccard verify re-reads ONLY the
+    * candidate documents from the existing corpus (a left-semi prune —
+    * candidate-sized, not corpus-sized). Output is id-for-id identical to
+    * [[incrementalDropIds]] when the store was built from `existing`:
+    * banding is a deterministic function of text, and restricting the
+    * verify relation to candidate ids cannot change which candidate pairs
+    * clear tau (spec-pinned). */
+  def incrementalDropIdsFromStore(newDocs: DataFrame, existing: DataFrame,
+                                  storeDir: String, tau: Double = 0.8,
+                                  numPerms: Int = 128, bands: Int = 32): DataFrame = {
+    require(numPerms % bands == 0,
+      s"incrementalDropIdsFromStore: bands=$bands must divide numPerms=$numPerms")
+    GraftFunctions.register(newDocs.sparkSession)
+    val sa = shingleDocs(newDocs, keepStrings = false)
+    val bandedA = sa
+      .select(col("doc_id"), minhashFromHashes(col("hs"), numPerms).as("sig"))
+      .select(col("doc_id"),
+        posexplode(GraftFunctions.bandHashes(col("sig"), bands)).as(Seq("band", "band_sig")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val selfCand = bandedA.as("x").join(bandedA.as("y"),
+        col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val store = readMinhashStore(newDocs.sparkSession, storeDir)
+    val crossCand = bandedA.as("x").join(store.as("y"),
+        col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val candIds = crossCand.select(col("b_id").as("doc_id")).distinct()
+    val sbCand = shingleDocs(existing.join(candIds, Seq("doc_id"), "left_semi"),
+      keepStrings = false)
+    verifyPairsAB(selfCand, sa, sa, tau).select(col("b_id").as("doc_id"))
+      .unionByName(
+        verifyPairsAB(crossCand, sa, sbCand, tau).select(col("a_id").as("doc_id")))
+      .distinct()
+  }
+
   /** Resolve near-dup PAIRS into duplicate GROUPS — connected components by
     * iterative min-label propagation (the distributed-join formulation of
     * Kiveris et al. 2014, "Connected Components in MapReduce and Beyond").

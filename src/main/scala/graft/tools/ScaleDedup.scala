@@ -473,6 +473,43 @@ object ScaleDedup {
       f"lsh@${lp.tables}x${lp.bits}+${lp.flips}p=${lshRecall}%.2f (candidates=$lshCand) vs brute force"
     }
 
+    // ---- r9: persisted-signature-store ingest dedup at scale ----
+    // Split: ingest batch = doc_id % 10 ∈ {1, 8, 9} — each group's EXACT
+    // COPY (g+1, which must drop against its base g on the existing side,
+    // J = 1) plus two independents per group (which must survive); existing
+    // corpus = the rest. Closed form: survivors == |batch| − nGroups. The
+    // perf claim is the AMORTIZATION: the per-batch cost against a
+    // PERSISTED store excludes the historical corpus's shingle+perm pass,
+    // which the recompute path pays every batch. Correctness gate: that
+    // closed form, and store-path == recompute-path id for id.
+    if (enabled("dedup_store")) {
+      val m = pmod(col("doc_id"), lit(10))
+      val batch = docs.filter(m === 1 || m >= 8)
+      val existing = docs.filter(m =!= 1 && m < 8)
+      val storeDir = s"$dir/_minhash_store"
+      val (buildSec, _) = time(1) {
+        DedupOps.minhashWriteStore(existing, storeDir)
+      }
+      times("minhash_store_build") = buildSec
+      System.err.println(f"[scale] minhash_store_build      $buildSec%8.2f s")
+      val viaStore = recordAndDump("dedup_incremental_store") {
+        CurationPipeline.incrementalDedupFromStore(batch, existing, storeDir)
+      }
+      val recomputed = recordAndDump("dedup_incremental_recompute") {
+        CurationPipeline.incrementalDedup(batch, existing)
+      }
+      val diff = viaStore.exceptAll(recomputed).count() +
+        recomputed.exceptAll(viaStore).count()
+      val nSurv = viaStore.count()
+      val wantSurv = batch.count() - nGroups
+      checks("dedup_incremental_store") =
+        if (diff == 0 && nSurv == wantSurv)
+          f"PASS: store-path survivors ($nSurv == batch-nGroups) == recompute-path, id for id; " +
+            f"batch ${times("dedup_incremental_store")}%.1f s vs recompute " +
+            f"${times("dedup_incremental_recompute")}%.1f s (store build $buildSec%.1f s amortized)"
+        else s"FAIL: diff=$diff surv=$nSurv want=$wantSurv"
+    }
+
     // ---- r9: paragraph-level boilerplate dedup at scale ----
     // Planted exact pairs are whole-doc duplicates: every paragraph of the
     // base doc appears verbatim in its copy, so BOTH docs must drop fully
