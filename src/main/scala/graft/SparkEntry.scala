@@ -270,13 +270,19 @@ object SparkEntry {
     "ann_ivf_persisted" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 10)
-      SimilarityOps.ivfWriteIndex(s, emb, IvfIndexDir)
+      // Bench/direct runs build under a SEPARATE dir: the oracle reads the
+      // Verify-built index from IvfIndexDir, and a Bench run between the
+      // Verify dump and the DuckDB compare must not clobber it (it may run
+      // at a different SF entirely).
+      val dir = if (sys.props.contains("graft.fp.dump")) IvfIndexDir
+                else s"${IvfIndexDir}_bench"
+      SimilarityOps.ivfWriteIndex(s, emb, dir)
       if (sys.props.contains("graft.fp.dump")) {
-        SimilarityOps.ivfIndexProbes(s, IvfIndexDir, queries)
+        SimilarityOps.ivfIndexProbes(s, dir, queries)
           .select("q_id", "bucket")
           .coalesce(1).write.mode("overwrite").parquet(IvfIndexProbeDumpDir)
       }
-      SimilarityOps.ivfQueryIndex(s, IvfIndexDir, queries)
+      SimilarityOps.ivfQueryIndex(s, dir, queries)
     }),
     // The next snapshot is DERIVED from the corpus inside the query (drop
     // doc_id%17==0, edit %13==1, re-add %29==3 under shifted ids), so the
@@ -285,6 +291,7 @@ object SparkEntry {
       val old = Tables.documents(s, d)
       CurationPipeline.corpusDiff(old, CurationPipeline.deriveNextSnapshot(old))
     }),
+    "dataset_card" -> ((s, d) => CurationPipeline.datasetCard(Tables.documents(s, d))),
     "lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "token_count" -> ((s, d) => TextAnalysis.tokenCount(Tables.documents(s, d))),
@@ -1372,6 +1379,36 @@ object SparkEntry {
                 WHEN s_fr=greatest(s_de,s_en,s_es,s_fr,s_zh) THEN 'fr'
                 ELSE 'zh' END AS pred_lang
          FROM sc""",
+    // mean quality over round(q*1e6) BIGINTs — integer sums are
+    // reassociation-free (the float-determinism note on the Scala side)
+    "dataset_card" ->
+      """WITH tok AS (SELECT doc_id, source, text,
+             list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),
+         c AS (SELECT doc_id, source, length(text) AS n_chars, len(t) AS n_tokens,
+             len(list_filter(t, x->list_contains(['the','a','of','and','to','in','is','it'], x))) AS n_stop,
+             len(list_filter(t, x->regexp_matches(x,'[A-Za-z]'))) AS n_alpha,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+             coalesce(list_sum(list_transform(t, x->length(x))), 0) AS tls,
+             md5(text) AS h FROM tok),
+         q AS (SELECT doc_id, source, n_tokens, h,
+             round(round(least(1.0, n_tokens/50.0)*0.4
+               + round(n_stop / (CASE WHEN n_tokens>0 THEN n_tokens ELSE 1 END)::DOUBLE, 6)*0.4
+               + (1.0 - round(n_punct / (CASE WHEN n_chars>0 THEN n_chars ELSE 1 END)::DOUBLE, 6))*0.2, 6)
+               * 1000000)::BIGINT AS q_micro,
+             (CASE WHEN n_tokens >= 50 AND n_tokens <= 100000
+               AND round(tls / (CASE WHEN n_tokens>0 THEN n_tokens ELSE 1 END)::DOUBLE, 6) >= 3.0
+               AND round(tls / (CASE WHEN n_tokens>0 THEN n_tokens ELSE 1 END)::DOUBLE, 6) <= 10.0
+               AND round(n_alpha / (CASE WHEN n_tokens>0 THEN n_tokens ELSE 1 END)::DOUBLE, 6) >= 0.8
+               AND n_stop >= 2 THEN 1 ELSE 0 END)::BIGINT AS keep1
+           FROM c),
+         dup AS (SELECT h, count(*) AS nc FROM q GROUP BY h)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           round((sum(q_micro)::BIGINT / count(*)) / 1000000.0, 6) AS mean_quality,
+           round(sum(keep1)::BIGINT / count(*)::DOUBLE, 6) AS gopher_keep_frac,
+           round(sum(CASE WHEN d.nc > 1 THEN 1 ELSE 0 END)::BIGINT / count(*)::DOUBLE, 6) AS dup_frac
+         FROM q JOIN dup d USING (h)
+         GROUP BY source""",
     "quality_score" ->
       """WITH tok AS (SELECT doc_id, text,
              list_filter(string_split_regex(text,'\s+'), x->x<>'') AS t FROM documents),

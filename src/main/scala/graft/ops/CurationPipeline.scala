@@ -424,6 +424,33 @@ object CurationPipeline {
     * added|removed|changed, old_hash, new_hash); unchanged docs are
     * filtered before the sink so the result is change-sized, not
     * corpus-sized. */
+  /** Per-source dataset card — the observability report a mixture owner
+    * reads before weighting sources: doc count, token total, mean quality,
+    * Gopher-rule pass rate, and exact-duplicate rate, one row per source.
+    * Float determinism: the only cross-row float reduction (mean quality)
+    * is computed over round(quality × 1e6) LONGS — integer sums are
+    * reassociation-free, so Spark's partial aggs and DuckDB's sequential
+    * sum agree bit-for-bit; every ratio is a single exact-integer division
+    * rounded once. Two shuffles total at any scale: the md5 dup-count
+    * groupBy and the per-source agg (the metric columns ride map-side). */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityScore(docs).select(col("doc_id"),
+      col("n_tokens"), round(col("quality") * 1e6).cast("long").as("q_micro"))
+    val g = TextAnalysis.gopherRules(docs).select(col("doc_id"),
+      when(col("keep"), 1L).otherwise(0L).as("keep1"))
+    val h = docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val dupN = h.groupBy(col("h")).agg(count(lit(1)).as("nc"))
+    h.join(dupN, "h").join(q, "doc_id").join(g, "doc_id")
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round((sum(col("q_micro")) / count(lit(1))) / 1e6, 6).as("mean_quality"),
+        round(sum(col("keep1")).cast("double") / count(lit(1)), 6)
+          .as("gopher_keep_frac"),
+        round(sum(when(col("nc") > 1, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("dup_frac"))
+  }
+
   /** Deterministic "next snapshot" derivation for the corpus_diff gate
     * query (and any parity test): drop doc_id%17==0, append an edit marker
     * to %13==1, re-add %29==3 under shifted ids — a known mix of removed /
