@@ -541,4 +541,33 @@ class StreamingSpec extends SparkSpecBase {
         "testdata has no cross-horizon candidate pair; widen the time spread")
     } finally q.stop()
   }
+
+  test("stateless curation ops are streaming-safe as-is: textNormalize and " +
+    "gopherRules over a memory stream == the batch op row-for-row") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "Café COSTS 12,50 dollars!!"),
+      (2L, (Seq.fill(24)("the") ++ Seq.fill(26)("table")).mkString(" ")),
+      (3L, "...!!!"))
+    val batch = rows.toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q1 = graft.ops.TextAnalysis.textNormalize(stream)
+      .writeStream.format("memory").queryName("tn_stream_t")
+      .outputMode(OutputMode.Append).start()
+    val q2 = graft.ops.TextAnalysis.gopherRules(stream)
+      .writeStream.format("memory").queryName("gr_stream_t")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+      assert(canon(spark.table("tn_stream_t")) ==
+        canon(graft.ops.TextAnalysis.textNormalize(batch)))
+      assert(canon(spark.table("gr_stream_t")) ==
+        canon(graft.ops.TextAnalysis.gopherRules(batch)))
+    } finally { q1.stop(); q2.stop() }
+  }
 }
