@@ -1634,10 +1634,12 @@ object SparkEntry {
                AS n_tokens,
              md5(CAST(doc_id AS VARCHAR)) AS pri FROM documents)
          SELECT doc_id, source, n_tokens,
-           coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before,
-           coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 2000 AS keep
+           CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS tokens_before,
+           CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY pri, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             < 2000 AS keep
          FROM t""",
     "gopher_rules" ->
       """WITH tok AS (SELECT doc_id,

@@ -70,8 +70,31 @@ object NearestCentroids {
     }
   }
 
-  /** Top-k centroid indexes by (cosine desc, index asc); same zero-norm
-    * convention as CosineSimilarity (cos = 0). */
+  /** Spark `round(x, 6)` semantics (BigDecimal HALF_UP over the shortest
+    * decimal repr) — the SAME rounding the relation-recovery path and the
+    * DuckDB oracle apply before ranking, so every assignment path shares
+    * one tie-break rule. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** compare(round6(a), round6(b)) — with a fast path that skips the
+    * BigDecimal when |a−b| > 1.1e-6: rounding moves each value by at most
+    * 5.0001e-7, so beyond that gap the rounded values are distinct
+    * multiples of 1e-6 in the same order as the raw ones. The slow path
+    * fires only on near-ties, keeping the assignment kernel FLOPs-bound. */
+  private def cmpRounded(a: Double, b: Double): Int = {
+    val d = a - b
+    if (d > 1.1e-6) 1
+    else if (d < -1.1e-6) -1
+    else java.lang.Double.compare(round6(a), round6(b))
+  }
+
+  /** Top-k centroid indexes by (round-6 cosine desc, index asc) — the one
+    * tie-break rule shared with assignFromCentroidRelation and the DuckDB
+    * oracle, so the direct/bench argmax and the Verify/oracle ranking can
+    * never disagree on a near-tie. Same zero-norm convention as
+    * CosineSimilarity (cos = 0). */
   def compute(vec: ArrayData, m: Model, k: Int): GenericArrayData = {
     val d = math.min(vec.numElements(), m.dim)
     var vn = 0.0
@@ -88,11 +111,11 @@ object NearestCentroids {
       i = 0
       while (i < d) { dot += vec.getFloat(i).toDouble * m.flat(off + i); i += 1 }
       val cos = if (vn == 0.0 || m.norm(j) == 0.0) 0.0 else dot / (vn * m.norm(j))
-      // insertion into the (cos desc, idx asc) top-k; strict > keeps the
-      // earlier (lower) index on ties
-      if (filled < k || cos > bestCos(filled - 1)) {
+      // insertion into the (round-6 cos desc, idx asc) top-k; strict >
+      // keeps the earlier (lower) index on rounded ties
+      if (filled < k || cmpRounded(cos, bestCos(filled - 1)) > 0) {
         var p = math.min(filled, k - 1)
-        while (p > 0 && cos > bestCos(p - 1)) {
+        while (p > 0 && cmpRounded(cos, bestCos(p - 1)) > 0) {
           bestCos(p) = bestCos(p - 1); bestIdx(p) = bestIdx(p - 1); p -= 1
         }
         bestCos(p) = cos; bestIdx(p) = j

@@ -330,6 +330,19 @@ object CurationPipeline {
       .withColumn("keep", col("tokens_before") < budgetTokens)
   }
 
+  /** Forensic sidecar for [[quotaSample]] — the per-row INPUTS to the
+    * two-phase cumsum (doc_id, pri, pid, n_tokens), so a gate-side hash
+    * mismatch on quota_sample can be diffed to the exact cell: if these
+    * inputs agree between environments, any output divergence is in the
+    * comparator, not the plan (the plan is a pure function of these rows).
+    * Verify dumps this next to the result; never on the bench path. */
+  def quotaSampleForensics(docs: DataFrame, partitions: Int = 32): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("pri"))
+      .withColumn("pid", Buckets.hexBucket(col("pri"), partitions))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("pri"), col("pid"))
+
   /** Sliding-window document chunking with overlap — the RAG / embedding-
     * prep framing (and the "context window with stride" eval convention):
     * token windows of `size` starting every `stride` tokens, so consecutive

@@ -380,12 +380,37 @@ object DedupOps {
     * inverted-index join: no self-pair constraint, the two sides are
     * distinct relations. Reference analog: the datajoin tool's two-source
     * inner join shape (hadoop-tools/hadoop-datajoin/.../DataJoinJob.java:1).
-    * Output: (corpus_id, ref_id, jacc). */
-  def crossJaccardPairs(corpus: DataFrame, ref: DataFrame, tau: Double = 0.8): DataFrame = {
+    * Output: (corpus_id, ref_id, jacc).
+    *
+    * SKEW BOUND (docs/SCALE_GUIDE.md "cross-corpus dedup"): unlike the
+    * self-join form, this exact baseline has NO posting-list cap — capping
+    * would break oracle-exactness, and a cross pair sharing only capped
+    * shingles would be lost (no self-join "found via its other shingles"
+    * argument applies when the reference doc is short). Worst case is
+    * |corpus posting| × |ref posting| join rows for ONE shingle shared by
+    * hot boilerplate on both sides. The scale path is [[crossMinhashPairs]]
+    * (every composite uses it); when the exact baseline must run at scale,
+    * pass `maxRefDf` to FAIL LOUDLY on a reference-side hot shingle instead
+    * of silently materializing the blow-up — the reference side is the
+    * small side, so the guard scan is cheap. */
+  def crossJaccardPairs(corpus: DataFrame, ref: DataFrame, tau: Double = 0.8,
+                        maxRefDf: Long = 0L): DataFrame = {
     val sa = shingleDocs(corpus)
     val sb = shingleDocs(ref)
     def ex(sh: DataFrame) =
       sh.select(col("doc_id"), explode(col("s")).as("sg"), size(col("s")).as("nsh"))
+    if (maxRefDf > 0L) {
+      val hot = ex(sb).groupBy(col("sg")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxRefDf).orderBy(col("df").desc).limit(1).collect()
+      require(hot.isEmpty, {
+        val h = hot.head
+        s"crossJaccardPairs: reference shingle '${h.getString(0)}' appears in " +
+        s"${h.getLong(1)} reference docs > maxRefDf=$maxRefDf — the inverted-" +
+        s"index join would replicate every corpus occurrence per reference " +
+        s"occurrence; dedupe/clean the reference, raise maxRefDf, or use the " +
+        s"LSH twin crossMinhashPairs"
+      })
+    }
     ex(sa).as("a").join(ex(sb).as("b"), col("a.sg") === col("b.sg"))
       .groupBy(col("a.doc_id").as("corpus_id"), col("b.doc_id").as("ref_id"))
       .agg(count(lit(1)).as("inter"),
@@ -452,14 +477,22 @@ object DedupOps {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    val crossCand = bandedA.as("x").join(banded(sb).as("y"),
+    val bandedB = banded(sb)
+    val crossCand = bandedA.as("x").join(bandedB.as("y"),
         col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    verifyPairsAB(selfCand, sa, sa, tau).select(col("b_id").as("doc_id"))
+    val out = verifyPairsAB(selfCand, sa, sa, tau).select(col("b_id").as("doc_id"))
       .unionByName(
         verifyPairsAB(crossCand, sa, sb, tau).select(col("a_id").as("doc_id")))
       .distinct()
+    // Per-batch entry point (one call per ingest batch in the intended
+    // loop): materialize the batch-sized drop set eagerly, then release the
+    // intermediate caches — leaked MEMORY_AND_DISK partitions would
+    // otherwise accumulate for the whole ingest session.
+    val res = out.localCheckpoint(true)
+    sa.unpersist(); sb.unpersist(); bandedA.unpersist(); bandedB.unpersist()
+    res
   }
 
   /** Persist the corpus's banded MinHash signature relation — the dedup
@@ -474,9 +507,36 @@ object DedupOps {
     * merges base + increments; fold increments into bands/ with a
     * compaction rewrite when the batch count grows. */
   def minhashWriteStore(docs: DataFrame, dir: String,
-                        numPerms: Int = 128, bands: Int = 32): Unit =
+                        numPerms: Int = 128, bands: Int = 32): Unit = {
+    // A full rebuild invalidates accumulated increments by definition:
+    // bands_inc/ signatures left over from a previous store would be merged
+    // by readMinhashStore into the NEW base — stale rows for documents that
+    // may no longer exist, and duplicates for ones that do. Clear the root.
+    graft.sources.IO.deletePath(docs.sparkSession, dir)
     bandedMinhashSigs(docs, numPerms, bands)
       .write.mode("overwrite").partitionBy("band").parquet(s"$dir/bands")
+  }
+
+  /** Fold accumulated ingest batches (bands_inc/<label>) back into the base
+    * banded relation — the store's HAR-style re-layout pass (the IVF twin
+    * is SimilarityOps.compactIndex; reference analog: hadoop-archives
+    * re-packing accumulated small files, HadoopArchives.java:1). Queries
+    * see either layout identically (readMinhashStore merges on read);
+    * compaction restores one band-partitioned dir so discovery lists one
+    * relation and file counts stop growing with batch count. Staged write +
+    * swap, increments deleted last; the merge dedups full rows, so a crash
+    * between swap and delete (increments folded AND present) heals on
+    * re-run instead of double-counting. No-op when no increments exist. */
+  def compactMinhashStore(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val incRoot = new org.apache.hadoop.fs.Path(s"$dir/bands_inc")
+    val fs = incRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(incRoot)) return
+    val staging = s"$dir/bands_cmp"
+    readMinhashStore(spark, dir).dropDuplicates()
+      .write.mode("overwrite").partitionBy("band").parquet(staging)
+    graft.sources.IO.swapPath(spark, staging, s"$dir/bands")
+    graft.sources.IO.deletePath(spark, s"$dir/bands_inc")
+  }
 
   /** Append one accepted batch's signatures under bands_inc/<label> —
     * re-running the same label overwrites (retry-idempotent). */
@@ -492,7 +552,10 @@ object DedupOps {
     val incRoot = new org.apache.hadoop.fs.Path(s"$dir/bands_inc")
     val fs = incRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(incRoot)) base
-    else fs.listStatus(incRoot).filter(_.isDirectory)
+    else fs.listStatus(incRoot).filter(st => st.isDirectory &&
+        // an increment dir with no part files (interrupted append, empty
+        // batch) has no schema to infer — it reads as "no rows" by skipping
+        SimilarityOps.hasParquetFile(fs, st.getPath))
       .map(st => spark.read.parquet(st.getPath.toString))
       .foldLeft(base)((acc, b) => acc.unionByName(b))
   }
@@ -532,10 +595,17 @@ object DedupOps {
     val candIds = crossCand.select(col("b_id").as("doc_id")).distinct()
     val sbCand = shingleDocs(existing.join(candIds, Seq("doc_id"), "left_semi"),
       keepStrings = false)
-    verifyPairsAB(selfCand, sa, sa, tau).select(col("b_id").as("doc_id"))
+    val out = verifyPairsAB(selfCand, sa, sa, tau).select(col("b_id").as("doc_id"))
       .unionByName(
         verifyPairsAB(crossCand, sa, sbCand, tau).select(col("a_id").as("doc_id")))
       .distinct()
+    // This entry point exists to be called once per accepted batch:
+    // materialize the batch-sized drop set, then release every cache the
+    // call pinned (sa/bandedA/sbCand all persist MEMORY_AND_DISK) so a
+    // long-running ingest loop doesn't accumulate session-lifetime blocks.
+    val res = out.localCheckpoint(true)
+    sa.unpersist(); bandedA.unpersist(); sbCand.unpersist()
+    res
   }
 
   /** Resolve near-dup PAIRS into duplicate GROUPS — connected components by
@@ -887,34 +957,121 @@ object DedupOps {
     * framing swaps to split(text, '\n') and everything downstream is
     * unchanged). Docs are rebuilt from surviving paragraphs in order.
     *
-    * Scale shape: the corpus-wide frequency stage shuffles (xxhash64,
-    * doc_id) pairs — 16 bytes per paragraph, NO paragraph text (the
-    * substring-dedup discipline); only occurrences of hash-flagged
-    * candidates (boilerplate + ~0 collisions) carry strings into the exact
-    * verify regroup, which kills hash collisions, so the drop set is exact
-    * at any scale. Rebuild is one per-doc groupBy with an in-array sort —
-    * no window, no skew (a doc's paragraph count is bounded by doc size).
+    * Scale shape (r10 — full-document text NEVER enters an exchange):
+    *   1. hash-frequency stage: one (xxhash64, doc_id) shuffle — 16 bytes
+    *      per paragraph — flags candidate hashes seen in ≥ minDocs docs;
+    *   2. exact verify: a bloom over the candidate hashes pre-filters
+    *      MAP-SIDE (the decontaminate_bloom pattern), so only candidate
+    *      occurrences (boilerplate + ~fpr false positives + ~0 collisions)
+    *      carry their PARAGRAPH strings into the exact regroup, where
+    *      non-boiler rows die on the true per-string doc count — the drop
+    *      set is exact at any scale (bloom FPs and hash collisions both
+    *      eliminated by string-exact counting);
+    *   3. rebuild IN-ROW: a second bloom over the verified-contaminated
+    *      doc_ids splits the corpus map-side — clean docs (the vast
+    *      majority at real contamination rates) are rebuilt by a pure
+    *      projection (array_join over the in-row paragraph array: zero
+    *      joins, zero shuffles, scan speed); only contaminated(+fp) docs
+    *      join their narrow (doc_id, drop_idx[]) set, broadcast while it
+    *      fits (`broadcastDropMax`), a contamination-sized shuffle beyond.
+    * The pre-r10 form shuffled every byte of corpus text twice (a
+    * paragraph-string join against the full framed relation, then a
+    * groupBy(doc_id).collect_list rebuild) — kept as
+    * [[dedupParagraphsRegroup]] for the output-identity spec.
     * Output: (doc_id, n_paras, n_dropped, text_clean); docs whose every
     * paragraph is boilerplate stay, with text_clean = ''. */
   def dedupParagraphs(docs: DataFrame, paraWords: Int = 10,
-                      minDocs: Int = 2): DataFrame = {
+                      minDocs: Int = 2, bitsPerKey: Int = 10,
+                      numHashes: Int = 7,
+                      broadcastDropMax: Long = 5000000L): DataFrame = {
+    require(paraWords >= 1 && minDocs >= 2)
+    GraftFunctions.register(docs.sparkSession)
+    val w = TextOps.tokens(col("text"))
+    // in-row framing: (doc_id, paras) — the rebuild source, never exploded
+    val framedArr = docs
+      .select(col("doc_id"), w.as("w")).withColumn("n", size(col("w")))
+      .filter(col("n") > 0) // token-less docs have no paragraphs on either engine
+      .select(col("doc_id"), transform(
+          sequence(lit(0), floor((col("n") + (paraWords - 1)) / paraWords).cast("int") - 1),
+          i => array_join(slice(col("w"), i * paraWords + 1, lit(paraWords)), " "))
+        .as("paras"))
+    def cleanRebuild(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), size(col("paras")).cast("long").as("n_paras"),
+        lit(0L).as("n_dropped"), array_join(col("paras"), " ").as("text_clean"))
+    val exploded = framedArr
+      .select(col("doc_id"), posexplode(col("paras")).as(Seq("idx", "para")))
+      .withColumn("h", xxhash64(col("para")))
+    // Stage 1 (hash-only shuffle): candidate hashes seen in >= minDocs docs.
+    val candHashes = exploded.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCand = candHashes.count()
+    if (nCand == 0) { candHashes.unpersist(); return cleanRebuild(framedArr) }
+    val candBits = math.min(1L << 30, math.max(1024L, nCand * bitsPerKey)).toInt
+    val candBlob = candHashes
+      .agg(GraftFunctions.bloomBuild(col("h"), candBits, numHashes).as("blob"))
+      .head().getAs[Array[Byte]](0)
+    candHashes.unpersist()
+    // Stage 2 (strings, candidate occurrences only — map-side bloom gate):
+    // the exact per-paragraph doc count kills bloom FPs (their true count
+    // is < minDocs, else their own hash would be a candidate) and hash
+    // collisions (the regroup is on the exact string), so no false drops.
+    val cand = exploded
+      .filter(GraftFunctions.bloomMightContain(col("h"), candBlob))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boiler = cand.select(col("para"), col("doc_id")).distinct()
+      .groupBy(col("para")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("para"))
+    // Verified drop occurrences -> per-doc drop-index sets (narrow ints).
+    val dropSets = cand.join(boiler, Seq("para"))
+      .groupBy(col("doc_id")).agg(collect_set(col("idx")).as("drop_idx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDirty = dropSets.count()
+    cand.unpersist()
+    if (nDirty == 0) { dropSets.unpersist(); return cleanRebuild(framedArr) }
+    // Stage 3: map-side corpus split on a bloom over contaminated doc_ids.
+    // FP docs take the join path, find no drop set, and rebuild in full —
+    // output-exact either way; only the cost is probabilistic.
+    val docBits = math.min(1L << 30, math.max(1024L, nDirty * bitsPerKey)).toInt
+    val docBlob = dropSets
+      .agg(GraftFunctions.bloomBuild(xxhash64(col("doc_id")), docBits, numHashes)
+        .as("blob"))
+      .head().getAs[Array[Byte]](0)
+    val isDirty = GraftFunctions.bloomMightContain(xxhash64(col("doc_id")), docBlob)
+    val clean = cleanRebuild(framedArr.filter(!isDirty))
+    val dropRel = if (nDirty <= broadcastDropMax) broadcast(dropSets) else dropSets
+    val dirty = framedArr.filter(isDirty)
+      .join(dropRel, Seq("doc_id"), "left")
+      .withColumn("di", coalesce(col("drop_idx"), array().cast("array<int>")))
+      .withColumn("kept", filter(col("paras"),
+        (p, i) => !array_contains(col("di"), i)))
+      .select(col("doc_id"), size(col("paras")).cast("long").as("n_paras"),
+        (size(col("paras")) - size(col("kept"))).cast("long").as("n_dropped"),
+        array_join(col("kept"), " ").as("text_clean"))
+    clean.unionByName(dirty)
+  }
+
+  /** The pre-r10 regroup form of [[dedupParagraphs]] — identical output,
+    * kept as the spec's identity reference: it shuffles the full framed
+    * paragraph text twice (boiler join keyed on the paragraph string, then
+    * a corpus-wide groupBy(doc_id).collect_list rebuild), which is the
+    * shape the r10 rewrite exists to avoid at 100 TB. */
+  private[graft] def dedupParagraphsRegroup(docs: DataFrame, paraWords: Int = 10,
+                                            minDocs: Int = 2): DataFrame = {
     require(paraWords >= 1 && minDocs >= 2)
     val w = TextOps.tokens(col("text"))
     val framed = docs
       .select(col("doc_id"), w.as("w")).withColumn("n", size(col("w")))
-      .filter(col("n") > 0) // token-less docs have no paragraphs on either engine
+      .filter(col("n") > 0)
       .select(col("doc_id"), posexplode(transform(
           sequence(lit(0), floor((col("n") + (paraWords - 1)) / paraWords).cast("int") - 1),
           i => array_join(slice(col("w"), i * paraWords + 1, lit(paraWords)), " ")))
         .as(Seq("idx", "para")))
       .withColumn("h", xxhash64(col("para")))
-    // Stage 1 (hash-only shuffle): candidate hashes seen in >= minDocs docs.
     val candHashes = framed.select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs).select(col("h"))
-    // Stage 2 (strings, candidates only): exact per-paragraph doc frequency.
-    // Collisions can only ADD candidates here; the regroup on the exact
-    // text computes each paragraph's true doc count, so no false drops.
     val boiler = framed.join(candHashes, Seq("h"), "left_semi")
       .select(col("para"), col("doc_id")).distinct()
       .groupBy(col("para")).agg(count(lit(1)).as("nd"))

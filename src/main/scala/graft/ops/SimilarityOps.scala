@@ -617,6 +617,13 @@ object SimilarityOps {
     GraftFunctions.register(spark)
     val cs = trainKmeans(emb, nlist, iters, centroidStride)
     require(cs.nonEmpty, "empty corpus: nothing to index")
+    // A full rebuild invalidates ALL prior state by definition — including
+    // streaming increments under postings_inc/, which are bucketed under
+    // the OLD centroid model: left in place they would be merged by
+    // readIndexPostings into wrong (new-model) buckets, hiding vectors from
+    // probes and duplicating re-ingested ids. Clear the whole index root
+    // before writing the new model.
+    graft.sources.IO.deletePath(spark, dir)
     kmeansCentroidRelation(spark, cs).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
     emb.select(col("vec_id"), col("embedding"),
@@ -657,9 +664,51 @@ object SimilarityOps {
     val fs = incRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(incRoot)) base
     else fs.listStatus(incRoot).filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("batch_"))
+        st.getPath.getName.startsWith("batch_") &&
+        // a batch dir with no part files (an interrupted write, or an empty
+        // micro-batch written by an older ivfAppendStream) has no schema to
+        // infer — skipping it is the only correct read of "no rows"
+        hasParquetFile(fs, st.getPath))
       .map(st => spark.read.parquet(st.getPath.toString))
       .foldLeft(base)((acc, b) => acc.unionByName(b))
+  }
+
+  private[graft] def hasParquetFile(fs: org.apache.hadoop.fs.FileSystem,
+                                    p: org.apache.hadoop.fs.Path): Boolean = {
+    val it = fs.listFiles(p, true)
+    var found = false
+    while (!found && it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) found = true
+    }
+    found
+  }
+
+  /** Fold accumulated streaming increments (postings_inc/batch_*) back into
+    * the base postings relation — the index's HAR-style re-layout pass
+    * (reference analog: hadoop-archives re-packs accumulated small files,
+    * HadoopArchives.java:1). Queries see either layout identically
+    * (readIndexPostings merges on read); compaction restores one
+    * bucket-partitioned relation so partition discovery lists ONE dir and
+    * per-bucket file counts stop growing with ingest batch count.
+    *
+    * Crash-safety (single-writer maintenance op): the merged relation is
+    * staged under postings_cmp and only then swapped onto postings/, so a
+    * crash before the swap leaves the readable layout untouched. A crash
+    * BETWEEN the swap and the increment delete leaves increments both
+    * folded and still present — which is why the merge dedups on vec_id (a
+    * posting is one vector): re-running compactIndex heals that state
+    * instead of materializing duplicates, and re-ingested vec_ids can no
+    * longer surface twice in a top-k. No-op when no increments exist. */
+  def compactIndex(spark: SparkSession, dir: String): Unit = {
+    val incRoot = new org.apache.hadoop.fs.Path(s"$dir/postings_inc")
+    val fs = incRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(incRoot)) return
+    val staging = s"$dir/postings_cmp"
+    readIndexPostings(spark, dir).dropDuplicates("vec_id")
+      .write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    graft.sources.IO.swapPath(spark, staging, s"$dir/postings")
+    graft.sources.IO.deletePath(spark, s"$dir/postings_inc")
   }
 
   def ivfQueryIndex(spark: SparkSession, dir: String, queries: DataFrame,

@@ -21,6 +21,25 @@ object IO {
   def readOrc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
   def readText(spark: SparkSession, path: String): DataFrame = spark.read.text(path)
 
+  /** Recursive delete (no-op when absent) — the FileSystem plumbing shared
+    * by index rebuilds and compaction passes. */
+  private[graft] def deletePath(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Atomic-ish directory swap for compaction rewrites: delete `dst`, then
+    * rename `src` onto it. Rename is metadata-only on HDFS-like stores
+    * (object stores fall back to copy — still correct, just not O(1)). */
+  private[graft] def swapPath(spark: SparkSession, src: String, dst: String): Unit = {
+    val s = new org.apache.hadoop.fs.Path(src)
+    val d = new org.apache.hadoop.fs.Path(dst)
+    val fs = s.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(d)) fs.delete(d, true)
+    require(fs.rename(s, d), s"swapPath: rename $src -> $dst failed")
+  }
+
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)

@@ -113,8 +113,13 @@ object Streams {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("overwrite").partitionBy("bucket")
-          .parquet(s"$indexDir/postings_inc/batch_$batchId")
+        // Empty-batch guard: partitionBy with zero rows writes a directory
+        // with no parquet part files, and the next readIndexPostings schema
+        // inference fails on it — breaking every subsequent query over the
+        // index. An empty micro-batch (idle trigger) simply writes nothing.
+        if (!batch.isEmpty)
+          batch.write.mode("overwrite").partitionBy("bucket")
+            .parquet(s"$indexDir/postings_inc/batch_$batchId")
       }
       .start()
   }
@@ -171,7 +176,17 @@ object Streams {
     * of near-identical docs): beyond the cap the bucket stops ACCUMULATING
     * but new arrivals still pair against the stored members — the same
     * role as the batch op's maxDf posting cap; duplicates of a saturated
-    * bucket are by construction already paired with its members. */
+    * bucket are by construction already paired with its members.
+    *
+    * SECOND state store — the cross-band pair dedup: the trailing
+    * `dropDuplicates(a_id, b_id)` keeps one row per EMITTED PAIR forever
+    * (no watermark exists to bound it), so its footprint is O(total pairs
+    * emitted) — worst case quadratic within a hot bucket up to `maxBucket`,
+    * i.e. potentially LARGER than the bucket store above. That is the price
+    * of the exact forever-contract (any doc may pair with any past doc, so
+    * no pair key is ever safely forgettable). When a time horizon is
+    * acceptable, [[nearDupCandidatesWithin]] bounds BOTH stores by the
+    * horizon via dropDuplicatesWithinWatermark. */
   def nearDupCandidates(docs: DataFrame, numPerms: Int = 128, bands: Int = 32,
                         maxBucket: Int = 4096): DataFrame = {
     val session = docs.sparkSession

@@ -104,7 +104,9 @@ class CurationR9Spec extends SparkSpecBase {
     }
     direct.collect().foreach { r =>
       val v = vecs(r.getLong(0))
-      val best = cs.indices.maxBy(i => (cos(v, cs(i)), -i))
+      // the shared assignment rule: round-6 cosine desc, index asc
+      val best = cs.indices.maxBy(i => (BigDecimal(cos(v, cs(i)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, -i))
       assert(r.getInt(1) == best, s"vec ${r.getLong(0)} not argmax-assigned")
     }
     // Lloyd rounds should tighten (or at least not worsen) the mean

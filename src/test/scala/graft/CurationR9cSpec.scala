@@ -88,7 +88,9 @@ class CurationR9cSpec extends SparkSpecBase {
     posts.filter(col("vec_id") >= 250)
       .select("vec_id", "embedding", "bucket").collect().foreach { r =>
         val v = r.getSeq[Float](1).toArray
-        val best = cents.indices.maxBy(i => (cos(v, cents(i)), -i))
+        // the shared assignment rule: round-6 cosine desc, index asc
+        val best = cents.indices.maxBy(i => (BigDecimal(cos(v, cents(i)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, -i))
         assert(r.getInt(2) == best, s"vec ${r.getLong(0)} misassigned")
       }
     // the query contract holds over the augmented index

@@ -79,8 +79,10 @@ class ScaleSoundnessSpec extends SparkSpecBase {
       if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
     }
     vecs.foreach { case (id, v) =>
+      // the shared assignment rule: round-6 cosine desc, index asc
       val want = centroids.indices
-        .sortBy(j => (-cos(v, centroids(j)), j)).take(2)
+        .sortBy(j => (-BigDecimal(cos(v, centroids(j)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, j)).take(2)
       assert(got(id) == want, s"vec $id: got ${got(id)} want $want")
     }
   }
