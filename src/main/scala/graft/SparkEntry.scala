@@ -49,6 +49,12 @@ object SparkEntry {
   val IvfIndexProbeDumpDir = s"$DumpBase/graft_ivf_index_probes"
   val MinhashStoreDir = s"$DumpBase/graft_minhash_store"
 
+  /** The committed contract-honoring ffmpeg fixture the gate's
+    * `video_frames_bridge` query streams payloads through (overridable so
+    * a host with a REAL ffmpeg can point the same gate query at it). */
+  val FfmpegFixtureBin = sys.env.getOrElse("SPARK_GRAFT_FFMPEG_FIXTURE",
+    "/root/repo/scripts/fake_ffmpeg.sh")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -378,6 +384,29 @@ object SparkEntry {
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
           col("width").cast("long").as("width"), col("height").cast("long").as("height"),
           round((col("mean_luma") - 16.0) / 16.0).cast("long").as("luma_level"))
+    }),
+    // External-decoder bridge IN THE GATE (r10): payloads stream through the
+    // committed contract-honoring fixture (scripts/fake_ffmpeg.sh — answers
+    // the -version probe, emits three 16x16 gray rasters whose constant
+    // fill is (payload_len + i) % 256), so the non-MJPEG bridge path
+    // (subprocess plumbing, writer thread, raw-raster arithmetic, frame_idx
+    // reconstruction) executes under Verify with a closed-form DuckDB
+    // oracle. doc_id < 200 bounds the subprocess count at any SF. A real
+    // ffmpeg honors the same rawvideo-gray byte contract.
+    "video_frames_bridge" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.functions.round
+      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .filter(_ < 200L)
+        .map(id => MultimodalOps.MediaRecord(id,
+          Array.tabulate(((id % 400) + 100).toInt)(i => (i * 7 + id).toByte), "video"))
+      MultimodalOps.decodeVideoFramesFfmpeg(s, media, bin = FfmpegFixtureBin,
+          everyK = 4, maxFramesPerVideo = 8, frameDim = 16).toDF()
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("frame_bytes").cast("long").as("frame_bytes"),
+          round(col("mean_luma"), 6).as("mean_luma"), col("real_decode"))
     }),
     // REAL pixel resize round trip: constant-gray PNGs of closed-form dims
     // → bomb-guarded decode → bilinear resample into the aspect-kept 64-box
@@ -1891,6 +1920,19 @@ object SparkEntry {
          (doc_id + u.frame_idx) % 13 AS luma_level
          FROM documents, UNNEST(range(0, (4 + doc_id % 5)::BIGINT, 2)) AS u(frame_idx)
          WHERE doc_id % 10 = 0""",
+    // The bridge fixture is a pure function of payload LENGTH (100 + id%400
+    // bytes by construction): three 16x16 frames, frame i filled with
+    // (len + i) % 256, frame_idx reconstructed at everyK = 4 spacing.
+    "video_frames_bridge" ->
+      """WITH f AS (SELECT doc_id, (100 + doc_id % 400)::BIGINT AS len
+           FROM documents WHERE doc_id < 200),
+         u AS (SELECT doc_id, len, unnest(range(0, 3)) AS i FROM f)
+         SELECT doc_id AS media_id, (i * 4)::BIGINT AS frame_idx,
+           16::BIGINT AS width, 16::BIGINT AS height,
+           256::BIGINT AS frame_bytes,
+           round(((len + i) % 256)::DOUBLE, 6) AS mean_luma,
+           TRUE AS real_decode
+         FROM u""",
     // Shrink-only aspect-kept box fit, same integer arithmetic as the Scala
     // path (// is floor division, as is Scala Int /); constant gray is
     // invariant under resampling so luma_level recovers id%13 exactly.

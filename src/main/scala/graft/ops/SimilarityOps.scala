@@ -489,10 +489,95 @@ object SimilarityOps {
     * same partials order — the gate therefore checks the ASSIGNMENT from
     * the materialized centroid relation (exact on both engines), and the
     * spec pins direct-vs-relation assignment parity. */
-  private[graft] def trainKmeans(emb: DataFrame, k: Int = 16, iters: Int = 5,
-                                 centroidStride: Int = 31): Array[Array[Float]] = {
+  /** kmeans||-style oversampled initialization (Bahmani et al. 2012,
+    * "Scalable K-Means++", adapted to the spherical metric): `rounds`
+    * distributed passes each sample points with probability
+    * min(1, over·k·d(x,C)/φ(C)), d = 1 − cos to the nearest current
+    * candidate, φ = Σ d — far-from-candidates points oversample, so a few
+    * passes land candidates in every real mode where the strided pick can
+    * miss small or adversarially-placed clusters. Repo determinism rules
+    * replace randomness: the sampling coin is the multiplicative md5 hash
+    * of (round, vec_id) — engine/run/retry-stable — and each round's
+    * accept set is hard-capped by coin priority (bounded collect:
+    * ≤ rounds · 4·over·k candidate vectors; the weight pass collects
+    * ≤ |candidates| counts). Candidates are weighted by assignment-cell
+    * size (one map-side argmax pass) and reduced DRIVER-SIDE by weighted
+    * spherical Lloyd over the candidate set (model-sized work) to k
+    * centers — the kmeans|| recluster step. */
+  private[graft] def kmeansParallelInit(emb: DataFrame, k: Int, rounds: Int = 4,
+                                        over: Int = 2): Array[Array[Float]] = {
     GraftFunctions.register(emb.sparkSession)
-    var cs = trainCentroids(emb, k, centroidStride)
+    def cosArr(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val first = emb.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    if (first.isEmpty) return Array.empty
+    var cands = first
+    val cap = 4 * over * k
+    val coinOf = (r: Int) => conv(substring(md5(concat_ws("-",
+      lit("kmpar"), lit(r), col("vec_id").cast("string"))), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val asg = nearestCentroids(col("embedding"), cands, 1)(0)
+      val dCol = lit(1.0) - cosToCentroid(col("embedding"), cands, asg)
+      val phi = emb.agg(sum(dCol)).collect()(0).getDouble(0)
+      if (phi <= 1e-12) done = true // every point coincides with a candidate
+      else {
+        val p = least(lit(1.0), lit(over.toDouble * k) * dCol / phi)
+        val picked = emb.withColumn("pri", coinOf(r))
+          .filter(col("pri") < p)
+          .orderBy(col("pri"), col("vec_id")).limit(cap)
+          .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+        cands = cands ++ picked
+      }
+      r += 1
+    }
+    if (cands.length <= k)
+      return (cands ++ trainCentroids(emb, k, 31)).distinctBy(_.toSeq).take(k)
+    // weight pass: candidate cell sizes from one map-side argmax
+    val counts = emb.select(nearestCentroids(col("embedding"), cands, 1)(0).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("n")).collect()
+      .map(row => row.getInt(0) -> row.getLong(1)).toMap
+    val w = cands.indices.map(i => counts.getOrElse(i, 0L).toDouble).toArray
+    // driver-side weighted spherical Lloyd over the candidate set: seed with
+    // the k heaviest candidates (deterministic: weight desc, index asc)
+    val dim = cands.head.length
+    var centers = cands.indices.sortBy(i => (-w(i), i)).take(k)
+      .map(i => cands(i).clone()).toArray
+    for (_ <- 1 to 10) {
+      val acc = Array.ofDim[Double](centers.length, dim)
+      val cw = new Array[Double](centers.length)
+      cands.indices.foreach { i =>
+        if (w(i) > 0) {
+          val best = centers.indices.maxBy(c => (cosArr(cands(i), centers(c)), -c))
+          var d = 0
+          while (d < dim) { acc(best)(d) += w(i) * cands(i)(d); d += 1 }
+          cw(best) += w(i)
+        }
+      }
+      centers = centers.zipWithIndex.map { case (old, c) =>
+        if (cw(c) == 0) old
+        else Array.tabulate(dim)(d => (acc(c)(d) / cw(c)).toFloat)
+      }
+    }
+    centers
+  }
+
+  private[graft] def trainKmeans(emb: DataFrame, k: Int = 16, iters: Int = 5,
+                                 centroidStride: Int = 31,
+                                 init: String = "strided"): Array[Array[Float]] = {
+    GraftFunctions.register(emb.sparkSession)
+    var cs = init match {
+      case "parallel" => kmeansParallelInit(emb, k)
+      case _ => trainCentroids(emb, k, centroidStride)
+    }
     if (cs.isEmpty) return cs
     val dim = cs.head.length
     for (_ <- 1 to iters) {
@@ -549,9 +634,9 @@ object SimilarityOps {
     * scan speed and only training's bounded partials shuffle. Output:
     * (vec_id, cluster, cos to the assigned centroid, round 6). */
   def kmeansCluster(spark: SparkSession, emb: DataFrame, k: Int = 16,
-                    iters: Int = 5): DataFrame = {
+                    iters: Int = 5, init: String = "strided"): DataFrame = {
     GraftFunctions.register(spark)
-    val cs = trainKmeans(emb, k, iters)
+    val cs = trainKmeans(emb, k, iters, init = init)
     if (cs.isEmpty)
       return emb.select(col("vec_id"), lit(0).as("cluster"),
         lit(0.0).as("cos")).limit(0)

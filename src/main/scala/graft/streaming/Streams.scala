@@ -54,14 +54,19 @@ object Streams {
         col("event_id").as("click_id")), "c_ts")
     // left_outer: an unmatched view emits (view, null click) only once the
     // watermark passes its join window — i.e. when a match is provably
-    // impossible — so null rows are final, never retracted
+    // impossible — so null rows are final, never retracted. full_outer
+    // completes the matrix symmetrically: an unmatched CLICK also emits
+    // (null view, click), and only once BOTH sides' watermarks prove no
+    // view can still arrive for it — outer rows are final on either side.
+    // user_id must coalesce across sides: an outer row has exactly one of
+    // v_user/c_user (they are equal on matches by the join condition).
     v.join(c,
       col("v_user") === col("c_user") &&
       col("c_ts") >= col("v_ts") &&
       col("c_ts") <= col("v_ts") + expr(s"INTERVAL $joinWindowSec SECONDS"),
       joinType)
-      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
-        col("v_ts"), col("c_ts"))
+      .select(coalesce(col("v_user"), col("c_user")).as("user_id"),
+        col("view_id"), col("click_id"), col("v_ts"), col("c_ts"))
   }
 
   /** Incremental rollup (the MR "re-run the job over a growing directory"

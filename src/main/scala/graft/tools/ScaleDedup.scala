@@ -550,14 +550,23 @@ object ScaleDedup {
       j.unpersist()
       val nearFrac = nearSame / math.max(1.0, nearTot.toDouble)
       val objTrained = assigned.agg(avg("cos")).collect()(0).getDouble(0)
-      val objInit = SimilarityOps.assignFromCentroidRelation(spark, emb,
-          SimilarityOps.kmeansCentroidRelation(spark,
-            SimilarityOps.trainKmeans(emb, k = 64, iters = 0)))
-        .agg(avg("cos")).collect()(0).getDouble(0)
+      def objOf(cs: Array[Array[Float]]): Double =
+        SimilarityOps.assignFromCentroidRelation(spark, emb,
+            SimilarityOps.kmeansCentroidRelation(spark, cs))
+          .agg(avg("cos")).collect()(0).getDouble(0)
+      val objInit = objOf(SimilarityOps.trainKmeans(emb, k = 64, iters = 0))
+      // r10: the kmeans||-style init comparison artifact — init objective
+      // and post-Lloyd objective for both inits; parallel's own Lloyd
+      // monotonicity is gated alongside strided's.
+      val objInitPar = objOf(
+        SimilarityOps.trainKmeans(emb, k = 64, iters = 0, init = "parallel"))
+      val objTrainedPar = objOf(
+        SimilarityOps.trainKmeans(emb, k = 64, iters = 5, init = "parallel"))
       checks("kmeans_cluster") =
-        if (exBad == 0 && objTrained >= objInit - 1e-6)
-          f"PASS: exact twins co-cluster 100%%, Lloyd objective $objInit%.4f -> $objTrained%.4f (near-twin co-cluster stat: $nearFrac%.4f at k=64)"
-        else f"FAIL: exact-split=$exBad obj $objInit%.4f -> $objTrained%.4f nearFrac=$nearFrac%.4f"
+        if (exBad == 0 && objTrained >= objInit - 1e-6 &&
+            objTrainedPar >= objInitPar - 1e-6)
+          f"PASS: exact twins co-cluster 100%%, Lloyd objective strided $objInit%.4f -> $objTrained%.4f, kmeans|| $objInitPar%.4f -> $objTrainedPar%.4f (near-twin co-cluster stat: $nearFrac%.4f at k=64)"
+        else f"FAIL: exact-split=$exBad obj strided $objInit%.4f -> $objTrained%.4f kmeans|| $objInitPar%.4f -> $objTrainedPar%.4f nearFrac=$nearFrac%.4f"
 
       // the rank IS the check: per-cluster ranks must be a 1..size
       // permutation and keeps = min(quota, size) — this exercises the

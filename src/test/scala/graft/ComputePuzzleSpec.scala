@@ -25,6 +25,44 @@ class ComputePuzzleSpec extends SparkSpecBase {
     assert(ComputeOps.piHex(spark, 128) == PiHex128)
   }
 
+  test("bbp far path: mulMod52 exact vs BigInteger across the 2^52 modulus range") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 2000) {
+      val n = (math.abs(rnd.nextLong()) % ((1L << 52) - 3)) + 2
+      val a = math.abs(rnd.nextLong()) % n
+      val b = math.abs(rnd.nextLong()) % n
+      val want = (BigInt(a) * BigInt(b) % BigInt(n)).toLong
+      assert(ComputeOps.mulMod52(a, b, n) == want, s"mulMod52($a, $b, $n)")
+    }
+  }
+
+  test("bbp far path: distributed long-modular digits == near path inside " +
+    "the near path's validity range, and == the known expansion") {
+    assert(ComputeOps.hexDigitsAtFar(spark, 0) == "243F")
+    assert(ComputeOps.hexDigitsAtFar(spark, 60) == PiHex128.substring(60, 64))
+    assert(ComputeOps.hexDigitsAtFar(spark, 124) == PiHex128.substring(124, 128))
+    // an offset large enough to exercise many-chunk distribution
+    val d = 100000L
+    assert(ComputeOps.hexDigitsAtFar(spark, d, chunk = 4096) ==
+      ComputeOps.hexDigitsAt(d))
+  }
+
+  test("bbp far path: overlap self-validation past the near path's " +
+    "double-accuracy regime (the exact-modulus arithmetic is separately " +
+    "BigInteger-proven across the full 2^52 range)") {
+    // two INDEPENDENT distributed summations at offsets d and d+2 share no
+    // state; their overlapping digits agreeing to 2 hex chars is a 1/256
+    // coincidence under error — the DistBbp self-check. Default offset
+    // 1.2e8 keeps the suite fast; tools/BbpFar runs the same check at
+    // beyond-Long offsets (4e8+, modulus^2 > Long.Max) as a committed
+    // scale artifact, and GRAFT_BBP_FAR_OFFSET overrides here.
+    val d = sys.env.getOrElse("GRAFT_BBP_FAR_OFFSET", "120000000").toLong
+    val a = ComputeOps.hexDigitsAtFar(spark, d)
+    val b = ComputeOps.hexDigitsAtFar(spark, d + 2)
+    assert(a.substring(2) == b.substring(0, 2),
+      s"overlap mismatch at $d: $a vs $b")
+  }
+
   test("bbp: overlapping independent extractions agree (self-validation)") {
     // digits (d+1..d+4) from offset d overlap digits from offset d+2 — the
     // TeraValidate idiom: adjacent independent computations must agree

@@ -81,6 +81,44 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("full-outer stream join: unmatched rows on BOTH sides emit null " +
+    "counterparts only after the watermark proves no match can arrive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = Streams.viewClickJoin(views.toDF(), clicks.toDF(),
+        joinWindowSec = 600L, watermark = "10 minutes", joinType = "full_outer")
+      .writeStream.format("memory").queryName("vc_full_t")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: matched; user 2: view with no click; user 3: click with no view
+      views.addData(Ev(1, ts(0), 1, "view", 0), Ev(2, ts(0), 2, "view", 0))
+      clicks.addData(Ev(10, ts(5), 1, "click", 0), Ev(30, ts(5), 3, "click", 0))
+      q.processAllAvailable()
+      val early = spark.table("vc_full_t").collect()
+      assert(!early.exists(r => r.getAs[Long]("user_id") == 2L),
+        s"view-side null row emitted before watermark finality: ${early.toList}")
+      assert(!early.exists(r => r.getAs[Long]("user_id") == 3L),
+        s"click-side null row emitted before watermark finality: ${early.toList}")
+      // advance BOTH watermarks far past both join windows, then one more
+      // batch to flush evicted state through the sink
+      views.addData(Ev(90, ts(120), 9, "view", 0))
+      clicks.addData(Ev(91, ts(120), 9, "click", 0))
+      q.processAllAvailable()
+      views.addData(Ev(92, ts(180), 9, "view", 0))
+      clicks.addData(Ev(93, ts(180), 9, "click", 0))
+      q.processAllAvailable()
+      val rows = spark.table("vc_full_t").collect()
+        .map(r => (r.getAs[Long]("user_id"),
+          Option(r.getAs[java.lang.Long]("view_id")),
+          Option(r.getAs[java.lang.Long]("click_id"))))
+      assert(rows.contains((1L, Some(1L), Some(10L))), s"matched pair: ${rows.toList}")
+      assert(rows.contains((2L, Some(2L), None)), s"view-side outer row: ${rows.toList}")
+      assert(rows.contains((3L, None, Some(30L))), s"click-side outer row: ${rows.toList}")
+    } finally q.stop()
+  }
+
   test("SpaceSaving sketch aggregates incrementally in a streaming query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
