@@ -201,6 +201,20 @@ object SparkEntry {
       PuzzleOps.sudokuSolveAll(PuzzleOps.sudokuPuzzlesUnique(s, 200, blanks = 40))),
     "streaming_pipe" -> ((s, d) => PipeOps.pipeThrough(
       s, Tables.documents(s, d), "doc_id", "text", Seq("tr", "a-z", "A-Z"))),
+    // hadoop-extras Logalyzer analog (r10): grep + column-wise sortSpec
+    // over synthesized log lines (ISO ts, event type, integer value from
+    // events — a pure function of the table, so the oracle rebuilds the
+    // corpus verbatim); pos is the two-phase global rank over the
+    // composite (sort column ++ line) key, replayed by the oracle's
+    // single-window row_number over the identical composite.
+    "log_grep_sort" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{concat_ws, date_format, floor}
+      val lines = Tables.events(s, d).select(concat_ws(" ",
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"),
+        col("event_type"),
+        floor(col("value")).cast("long").cast("string")).as("line"))
+      TextOps.logGrepSort(lines, pattern = "click|view", sortColumns = Seq(1))
+    }),
     // IO ops gate-checked for content preservation: the op materializes a
     // new layout, the query returns the re-read rows, and the oracle is the
     // SOURCE table itself — a copy that drops/duplicates/mangles any row
@@ -1233,6 +1247,19 @@ object SparkEntry {
          FROM c""",
     "streaming_pipe" ->
       """SELECT doc_id, upper(text) AS out FROM documents""",
+    // Logalyzer analog: the oracle rebuilds the synthesized log corpus
+    // verbatim, filters with the same regex, and ranks with a single
+    // global window over the IDENTICAL composite key (sort token ++ ' ' ++
+    // line) the two-phase Spark rank orders by. DuckDB list indexing is
+    // 1-based (the Spark side's sortSpec column 1 == [2] here).
+    "log_grep_sort" ->
+      """WITH l AS (SELECT strftime(ts, '%Y-%m-%dT%H:%M:%S') || ' ' ||
+             event_type || ' ' ||
+             CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS line FROM events),
+         f AS (SELECT line FROM l WHERE regexp_matches(line, 'click|view')),
+         k AS (SELECT line, string_split(line, ' ')[2] || ' ' || line AS k FROM f)
+         SELECT CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS pos, line
+         FROM k""",
     // closed-form literal oracles: pi's fractional hex expansion (any bignum
     // Machin evaluation reproduces it), the published pentomino tiling
     // counts (incl. symmetric duplicates), and sudoku's PLANTED solutions —

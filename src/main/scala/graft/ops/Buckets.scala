@@ -43,6 +43,27 @@ object Buckets {
     least(greatest(floor(log10(greatest(key.cast("double"), lit(0.0)) + 1.0) *
       perDecade), lit(0.0)), lit(maxBucket.toDouble)).cast("long")
 
+  /** Bucket id for an arbitrary STRING key — [[quantileBucket]]'s string
+    * twin: a deterministic hash-gated sample of keys (bounded collect,
+    * ≤ 64 k strings) is sorted driver-side and every (len/buckets)-th value
+    * becomes a literal bound baked into the plan; bucket = #bounds ≤ key,
+    * monotone in the key's binary order by construction. As with
+    * quantileBucket, ANY bound set yields correct two-phase results
+    * (monotone + shared literals is the whole contract) — sample quality
+    * affects balance, never output. */
+  def stringQuantileBucket(df: DataFrame, key: Column, buckets: Int): Column = {
+    val sample = df.select(key.as("k"))
+      .filter(conv(substring(md5(col("k")), 1, 4), 16, 10) % 16 === 0)
+      .limit(65536).collect().map(_.getString(0)).sorted
+    val bounds =
+      if (buckets <= 1 || sample.isEmpty) Array.empty[String]
+      else (1 until buckets)
+        .map(i => sample(math.min(sample.length - 1, i * sample.length / buckets)))
+        .distinct.toArray
+    if (bounds.isEmpty) lit(0)
+    else size(filter(typedLit(bounds.toSeq), b => key >= b))
+  }
+
   /** Bucket id for an arbitrary numeric key: bounds are computed ONCE here
     * (driver-side approxQuantile, `buckets-1` doubles) and baked into the
     * plan as a literal. bucket = #bounds ≤ key, monotone in the key by

@@ -21,6 +21,64 @@ object IO {
   def readOrc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
   def readText(spark: SparkSession, path: String): DataFrame = spark.read.text(path)
 
+  /** Distributed metadata batch change — the hadoop-extras DistCh analog
+    * (hadoop-tools/hadoop-extras/src/main/java/org/apache/hadoop/tools/
+    * DistCh.java:1: a recursive listing becomes FileOperation records that
+    * map tasks apply via fs.setPermission/setOwner). Spark-native form:
+    * the tree walk happens once driver-side (metadata only — the same role
+    * as DistCh's input-file generation), the path list is distributed, and
+    * each partition applies the requested changes through one FileSystem
+    * handle. The returned AUDIT relation (path, is_dir, per-op outcome,
+    * error) is the result — failures are rows, not thrown exceptions
+    * (DistCh's counter contract), so a 10^8-file sweep reports its
+    * stragglers instead of dying on the first ACL quirk. `mode` is octal
+    * ("644"); replication is skipped with replication_changed = false on
+    * FileSystems without the concept (local fs), mirroring DistCh. */
+  def distCh(spark: SparkSession, root: String,
+             mode: Option[String] = None,
+             owner: Option[String] = None, group: Option[String] = None,
+             replication: Option[Short] = None,
+             partitions: Int = 32): DataFrame = {
+    import spark.implicits._
+    require(mode.nonEmpty || owner.nonEmpty || group.nonEmpty || replication.nonEmpty,
+      "distCh: nothing to change")
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs0 = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val paths = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
+    def walk(p: org.apache.hadoop.fs.Path): Unit = {
+      val st = fs0.getFileStatus(p)
+      paths += ((p.toString, st.isDirectory))
+      if (st.isDirectory) fs0.listStatus(p).foreach(c => walk(c.getPath))
+    }
+    walk(rootP)
+    val rootUri = root
+    spark.createDataset(paths.toSeq)
+      .repartition(math.min(partitions, math.max(1, paths.size)))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val fs = new org.apache.hadoop.fs.Path(rootUri).getFileSystem(conf)
+        it.map { case (pStr, isDir) =>
+          val p = new org.apache.hadoop.fs.Path(pStr)
+          var err: String = null
+          def attempt(f: => Unit): Boolean =
+            try { f; true }
+            catch { case scala.util.control.NonFatal(e) =>
+              if (err == null) err = e.toString; false }
+          val permChanged = mode.exists(m => attempt(fs.setPermission(p,
+            new org.apache.hadoop.fs.permission.FsPermission(
+              Integer.parseInt(m, 8).toShort))))
+          val ownChanged = (owner.nonEmpty || group.nonEmpty) &&
+            attempt(fs.setOwner(p, owner.orNull, group.orNull))
+          val replChanged = replication.exists(r =>
+            !isDir && attempt { if (!fs.setReplication(p, r)) throw
+              new java.io.IOException("replication unsupported on this FileSystem") })
+          (pStr, isDir, permChanged, ownChanged, replChanged, err)
+        }
+      }
+      .toDF("path", "is_dir", "mode_changed", "owner_changed",
+        "replication_changed", "error")
+  }
+
   /** Recursive delete (no-op when absent) — the FileSystem plumbing shared
     * by index rebuilds and compaction passes. */
   private[graft] def deletePath(spark: SparkSession, path: String): Unit = {

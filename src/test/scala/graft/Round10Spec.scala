@@ -250,6 +250,66 @@ class Round10Spec extends SparkSpecBase {
       == rows(DedupOps.crossJaccardPairs(corpus, cleanRef, tau = 0.5)))
   }
 
+  test("distCh: distributed chmod/chown over a tree — every node changed, " +
+    "audit rows report outcomes, failures are rows not exceptions") {
+    val root = "/tmp/graft_test_distch"
+    wipe(root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 until 3).foreach { d =>
+      (0 until 4).foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(s"$root/dir$d/file$f.txt")
+        val out = fs.create(p); out.write(42); out.close()
+      }
+    }
+    val audit = graft.sources.IO.distCh(spark, root,
+      mode = Some("600"), owner = Some("root"), group = Some("root"))
+    val rows = audit.collect()
+    assert(rows.length == 16, s"3 dirs x 4 files + 3 dirs + root = 16, got ${rows.length}")
+    assert(rows.forall(_.getBoolean(2)), "every node's mode changed")
+    assert(rows.forall(_.getBoolean(3)), "every node's owner changed")
+    assert(rows.forall(_.isNullAt(5)), "no errors expected")
+    val perm = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$root/dir1/file2.txt")).getPermission
+    assert(perm.toString == "rw-------", s"chmod 600 must land, got $perm")
+    // a bad owner fails AS A ROW (the DistCh counter contract), and the
+    // other requested ops on the same node still apply
+    val audit2 = graft.sources.IO.distCh(spark, root,
+      mode = Some("644"), owner = Some("no_such_user_graft"))
+    val r2 = audit2.collect()
+    assert(r2.forall(r => r.getBoolean(2) && !r.getBoolean(3) && !r.isNullAt(5)),
+      "owner change must fail per-row while chmod still applies")
+  }
+
+  test("logGrepSort: grep + column sortSpec == a naive single-window rank, " +
+    "at 1, 3 and 32 buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lines = Seq(
+      "2024-01-01T10:00:00 view 3", "2024-01-01T09:00:00 click 7",
+      "2024-01-02T08:00:00 view 1", "2024-01-01T09:30:00 buy 2",
+      "2024-01-03T11:00:00 click 5", "2024-01-01T12:00:00 click 5",
+      "not a log line at all", "2024-01-02T23:00:00 view 9"
+    ).toDF("line")
+    val naive = lines.filter(col("line").rlike("click|view"))
+      .withColumn("k", concat_ws(" ",
+        coalesce(split(col("line"), " ").getItem(1), lit("")), col("line")))
+      .withColumn("pos", row_number().over(Window.orderBy(col("k"))).cast("long"))
+      .select("pos", "line").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sorted.toSeq
+    for (parts <- Seq(1, 3, 32)) {
+      val got = TextOps.logGrepSort(lines, "click|view",
+          sortColumns = Seq(1), partitions = parts)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(got == naive, s"two-phase rank at $parts buckets must equal the window")
+    }
+    assert(naive.length == 6 && naive.map(_._1) == (1L to 6L),
+      "grep keeps 6 of 8 lines with a 1..6 rank")
+    // sortSpec ordering: all clicks rank before all views
+    val types = naive.sortBy(_._1).map(_._2.split(" ")(1))
+    assert(types == Seq("click", "click", "click", "view", "view", "view"))
+  }
+
   test("NearestCentroids tie-break: round-6 cosine desc, index asc — " +
     "sub-1e-6 differences resolve by index, super-1e-6 by score") {
     import graft.functions.NearestCentroids
