@@ -27,6 +27,33 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSessions.local(cpus)
 
+    // Named observations (Dataset.observe counters inside operators — e.g.
+    // the PPJoin candidate-stage counters) are captured per execution and
+    // dumped under "observed", so a cost move on a candidate-generating
+    // operator is attributable to data vs filter-regression from the
+    // artifact alone. Accumulator-based: zero extra actions.
+    val observed = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      private def fmtVal(v: Any): String = v match {
+        case null => "null"
+        case n: Long => n.toString
+        case n: Int => n.toString
+        case n: Double => String.format(Locale.ROOT, "%.6g", Double.box(n))
+        case s => "\"" + s.toString.replace("\"", "'") + "\""
+      }
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (obsName, row) =>
+          val fields = row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+            "\"" + f + "\":" + fmtVal(row.get(i)) }.mkString("{", ",", "}")
+          observed.put(obsName, fields) // latest run wins — same query, same data
+        }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    })
+
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -36,6 +63,29 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
+
+    /** Corpus stamp: doc/row counts, total text bytes, and an
+      * order-invariant distributed fingerprint (sum of xxhash64(doc_id) —
+      * no collect, no sort) for the two driver-regenerated tables. Exists
+      * so a driver-side corpus regeneration is attributable from two BENCH
+      * artifacts alone (fingerprint flips ⇒ data moved), instead of
+      * costing a round of plan-hash forensics. */
+    def corpusStamp(): String =
+      try {
+        import org.apache.spark.sql.functions._
+        // hash sum in decimal(38,0): long-sum of 2^63-scale hashes overflows
+        // immediately under ANSI; 38 digits absorb ~10^19 rows
+        def fp(c: org.apache.spark.sql.Column) =
+          sum(xxhash64(c).cast("decimal(38,0)")).cast("string")
+        val d = Tables.documents(spark, sfDir)
+          .agg(count(lit(1)), sum(length(col("text"))), fp(col("doc_id"))).head()
+        val e = Tables.embeddings(spark, sfDir)
+          .agg(count(lit(1)), fp(col("vec_id"))).head()
+        s"""{"docs":${d.getLong(0)},"text_bytes":${d.getLong(1)},""" +
+        s""""docs_fp":"${d.getString(2)}","vecs":${e.getLong(0)},""" +
+        s""""vecs_fp":"${e.getString(1)}"}"""
+      } catch { case ex: Throwable =>
+        "\"err: " + ex.toString.replace("\"", "'") + "\"" }
 
     // Best-of-n per query: the best of n is the closest observable to the
     // true cost under steal noise. A transiently-failed sample is dropped,
@@ -98,9 +148,15 @@ object Bench {
     val ph = names.map(n => "\"" + n + "\":\"" + planHash(n) + "\"")
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val obs = {
+      import scala.jdk.CollectionConverters._
+      observed.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    }
     println(String.format(Locale.ROOT,
-      """{"metric":"total","value":%.3f,"unit":"sec","queries":%s,"samples":%s,"plans":%s,"sentinel":{"start_sec":%s,"end_sec":%s,"noisy":%b},"sf":"%s","runs":%d,"failed":%d}""",
-      Double.box(total), qs, ss, ph, fmt(sentinelStart), fmt(sentinelEnd),
+      """{"metric":"total","value":%.3f,"unit":"sec","queries":%s,"samples":%s,"plans":%s,"observed":%s,"corpus":%s,"sentinel":{"start_sec":%s,"end_sec":%s,"noisy":%b},"sf":"%s","runs":%d,"failed":%d}""",
+      Double.box(total), qs, ss, ph, obs, corpusStamp(),
+      fmt(sentinelStart), fmt(sentinelEnd),
       Boolean.box(noisy), sfDir, Int.box(runs), Int.box(nFailed)))
     spark.stop()
   }

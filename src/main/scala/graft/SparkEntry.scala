@@ -197,6 +197,10 @@ object SparkEntry {
     // gate proves the distributed computation lands exactly on it
     "bbp_pi_digits" -> ((s, _) => ComputeOps.piDigits(s, nDigits = 128)),
     "pentomino" -> ((s, _) => PuzzleOps.pentominoCounts(s)),
+    // one-sided game (no reflections; 18 pieces, 90-cell board) — reference
+    // analog dancing/OneSidedPentomino.java:1; published 3x30 count = 46
+    "pentomino_one_sided" -> ((s, _) =>
+      PuzzleOps.pentominoCounts(s, Seq((3, 30)), oneSided = true)),
     "sudoku" -> ((s, _) =>
       PuzzleOps.sudokuSolveAll(PuzzleOps.sudokuPuzzlesUnique(s, 200, blanks = 40))),
     "streaming_pipe" -> ((s, d) => PipeOps.pipeThrough(
@@ -1249,15 +1253,16 @@ object SparkEntry {
       """SELECT doc_id, upper(text) AS out FROM documents""",
     // Logalyzer analog: the oracle rebuilds the synthesized log corpus
     // verbatim, filters with the same regex, and ranks with a single
-    // global window over the IDENTICAL composite key (sort token ++ ' ' ++
-    // line) the two-phase Spark rank orders by. DuckDB list indexing is
+    // global window over the IDENTICAL composite key (sort token ++ NUL ++
+    // line, chr(0) here == the Scala side's explicit U+0000 joiner — NUL
+    // makes prefix tokens rank in tuple order). DuckDB list indexing is
     // 1-based (the Spark side's sortSpec column 1 == [2] here).
     "log_grep_sort" ->
       """WITH l AS (SELECT strftime(ts, '%Y-%m-%dT%H:%M:%S') || ' ' ||
              event_type || ' ' ||
              CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS line FROM events),
          f AS (SELECT line FROM l WHERE regexp_matches(line, 'click|view')),
-         k AS (SELECT line, string_split(line, ' ')[2] || ' ' || line AS k FROM f)
+         k AS (SELECT line, string_split(line, ' ')[2] || chr(0) || line AS k FROM f)
          SELECT CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS pos, line
          FROM k""",
     // closed-form literal oracles: pi's fractional hex expansion (any bignum
@@ -1277,6 +1282,13 @@ object SparkEntry {
     "pentomino" ->
       """SELECT board, CAST(solutions AS BIGINT) AS solutions FROM (VALUES
          ('3x20',8),('4x15',1472),('5x12',4040),('6x10',9356)) AS t(board, solutions)""",
+    // 184 = 4 x the published 46 distinct solutions: the published count is
+    // up to the rectangle's 4 symmetries (no 3x30 one-sided tiling is
+    // self-symmetric), and this suite counts symmetric duplicates included,
+    // same convention as the free family (6x10 = 9356 = 4 x 2339).
+    "pentomino_one_sided" ->
+      """SELECT board, CAST(solutions AS BIGINT) AS solutions FROM (VALUES
+         ('3x30',184)) AS t(board, solutions)""",
     "sudoku" -> {
       val rows = (0L until 200L).map { id =>
         val sol = graft.ops.PuzzleOps.puzzleAndSolutionForId(id, 40)._2

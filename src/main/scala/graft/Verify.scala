@@ -35,11 +35,21 @@ object Verify {
     * back, normalize every cell as check.py does, sort columns by name and
     * rows lexicographically, sha256 the whole relation. Emits
     * <outDir>/<name>.digest.json and the sorted rows as <name>.rows.tsv
-    * (flat files — invisible to check.py's directory glob). Bounded: skips
-    * the row dump (keeps the digest) above 200k rows. */
+    * (flat files — invisible to check.py's directory glob). Bounded: the
+    * whole path (collect included — a digest is triage for GATE-sized
+    * results, and an unbounded collect could OOM the driver on a large
+    * query) is skipped above 200k rows; the digest.json then records the
+    * skip + row count instead of a hash. */
   private def writeDigest(spark: org.apache.spark.sql.SparkSession,
                           outDir: String, name: String): Unit = {
     val df = spark.read.parquet(s"$outDir/$name")
+    val n = df.count()
+    if (n > 200000) {
+      Files.writeString(Paths.get(s"$outDir/$name.digest.json"),
+        s"""{"name": "$name", "rows": $n, "sha256": null, """ +
+        """"skipped": "digest bounded at 200k rows"}""" + "\n")
+      return
+    }
     val order = df.columns.zipWithIndex.sortBy(_._1)
     val cols = order.map(_._1)
     val rows = df.collect().map { r =>
@@ -94,6 +104,16 @@ object Verify {
       .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
+        // Plan-shape gate: these two queries are REQUIRED to hit the
+        // bounded-heap TopKRankedExec (plans/RowNumberTopKRewrite). The
+        // rewrite is spec-proven output-identical, so if it silently
+        // stopped matching the only symptom would be perf drift — throwing
+        // here turns that into a red gate row instead.
+        if (name == "window_topk_per_group" || name == "tfidf_top_terms") {
+          val phys = df.queryExecution.executedPlan.toString
+          require(phys.contains("TopKRanked"),
+            s"$name: RowNumberTopKRewrite did not fire (no TopKRankedExec in plan)")
+        }
         (if (noCoalesce) df else df.coalesce(1)).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         if (digestFor(name)) writeDigest(spark, outDir, name)

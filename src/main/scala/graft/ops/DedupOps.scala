@@ -297,11 +297,20 @@ object DedupOps {
     val ubound = least(col("a.rnk") - 1, col("b.rnk") - 1) + lit(1) +
       least(col("a.nsh") - col("a.rnk"), col("b.nsh") - col("b.rnk"))
     val needed = ceil((col("a.nsh") + col("b.nsh")) * lit(tauEff / (1.0 + tauEff)) - lit(1e-9))
+    // Stage counters ride the job as named observations (accumulator-based,
+    // zero extra actions): prefix-join output volume, positional-filter
+    // survivors, and deduped candidate pairs. They exist so a cost move on
+    // this operator is ATTRIBUTABLE — a corpus with more real near-dups
+    // moves all three together; a prefix/positional-filter regression moves
+    // their RATIOS (Bench dumps them under "observed").
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+      .observe("ppjoin_prefix_join", count(lit(1)).as("rows_pre_positional"))
       .filter(ubound >= needed)
+      .observe("ppjoin_positional", count(lit(1)).as("rows_post_positional"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+      .observe("ppjoin_pairs", count(lit(1)).as("candidate_pairs"))
     verifyPairs(cand, sh, tau)
   }
 
@@ -346,9 +355,28 @@ object DedupOps {
   /** MinHash + LSH near-dup pairs, verified with exact Jaccard ≥ tau.
     * bands × rowsPerBand must equal numPerms. Returns (a_id, b_id, jacc) —
     * identical schema/content to ngramJaccardPairs at tau when LSH recall
-    * is 1.0 (holds for near-dup thresholds ≥ ~0.8 with 32×4 bands). */
+    * is 1.0 (holds for near-dup thresholds ≥ ~0.8 with 32×4 bands).
+    *
+    * WORST-CASE BOUND: for honest MinHash the banded join is uniform by
+    * construction, but an adversarial near-constant corpus (all-identical
+    * docs) degenerates every band bucket to size N → N²/2 candidate rows.
+    * Two defenses: (1) the band-join output volume rides every run as a
+    * named observation ("lsh_band_join"/cand_rows_pre_dedup — Bench dumps
+    * it under "observed"), so degeneration is VISIBLE, not a silent OOM
+    * forensics session; (2) `maxBucket > 0` applies the streaming twin's
+    * saturation cap (Streams.nearDupCandidates maxBucket) in its batch
+    * form: bucket members are ranked by doc_id (deterministic arrival
+    * order) and only the first `maxBucket` act as the index side, so every
+    * doc still pairs with up to maxBucket earlier members — candidate rows
+    * drop from O(bucketN²) to O(bucketN × maxBucket), connected components
+    * over the output still group a saturated cluster (every later member
+    * pairs with the first ones), and the capped path also observes the
+    * measured max bucket size + overflow rows ("lsh_buckets"). Default 0 =
+    * exact uncapped (the oracle-checked gate shape). */
   def minhashLshPairs(docs: DataFrame, tau: Double = 0.8,
-                      numPerms: Int = 128, bands: Int = 32): DataFrame = {
+                      numPerms: Int = 128, bands: Int = 32,
+                      maxBucket: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(numPerms % bands == 0,
       s"minhashLshPairs: bands=$bands must divide numPerms=$numPerms")
     GraftFunctions.register(docs.sparkSession)
@@ -364,9 +392,18 @@ object DedupOps {
     val banded = bandSigs.select(col("doc_id"),
         posexplode(col("bsigs")).as(Seq("band", "band_sig")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = banded.as("x").join(banded.as("y"),
+    val xSide =
+      if (maxBucket <= 0) banded
+      else banded.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("band"), col("band_sig")).orderBy(col("doc_id"))))
+        .observe("lsh_buckets", max(col("rnk")).as("max_bucket_size"),
+          sum(when(col("rnk") > maxBucket, 1L).otherwise(0L)).as("overflow_rows"))
+        .filter(col("rnk") <= maxBucket)
+        .drop("rnk")
+    val cand = xSide.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.band_sig") === col("y.band_sig") &&
         col("x.doc_id") < col("y.doc_id"))
+      .observe("lsh_band_join", count(lit(1)).as("cand_rows_pre_dedup"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
     verifyPairs(cand, sh, tau)
@@ -1024,12 +1061,17 @@ object DedupOps {
       .groupBy(col("para")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs).select(col("para"))
     // Verified drop occurrences -> per-doc drop-index sets (narrow ints).
+    // Eager localCheckpoint, not persist: the returned plan references this
+    // relation lazily, and a persist would have no release point on the
+    // success path (session-lifetime leaked blocks — the same accumulation
+    // problem incrementalDedup fixes the same way). Checkpointing also
+    // truncates lineage, so cand's cache can be dropped immediately.
     val dropSets = cand.join(boiler, Seq("para"))
       .groupBy(col("doc_id")).agg(collect_set(col("idx")).as("drop_idx"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val nDirty = dropSets.count()
     cand.unpersist()
-    if (nDirty == 0) { dropSets.unpersist(); return cleanRebuild(framedArr) }
+    if (nDirty == 0) return cleanRebuild(framedArr)
     // Stage 3: map-side corpus split on a bloom over contaminated doc_ids.
     // FP docs take the join path, find no drop set, and rebuild in full —
     // output-exact either way; only the cost is probabilistic.

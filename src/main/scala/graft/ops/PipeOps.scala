@@ -88,6 +88,38 @@ object PipeOps {
     }.toDF(keyCol, "out")
   }
 
+  /** The streaming COMBINER stage (reference analog hadoop-streaming
+    * PipeCombiner.java:1: an external command run over each map task's
+    * sorted output BEFORE the shuffle). Stage 1 sorts each EXISTING
+    * partition locally — sortWithinPartitions, ZERO shuffle — and pipes it
+    * through `combinerCmd`, which therefore sees every key it receives
+    * contiguously and sorted (the reducer contract, scoped to one
+    * partition; a key split across partitions is partially aggregated in
+    * each — exactly MR combiner semantics). Stage 2 is the full
+    * [[pipeThroughSorted]] reducer over the combiner's output. Correct
+    * whenever combine-then-reduce equals reduce alone (the associative+
+    * commutative contract MR imposes on combiners); the payoff is shuffle
+    * volume: |distinct keys per partition| rows instead of |records| —
+    * the optimization knob that makes a 100 TB wordcount-via-pipes
+    * feasible. Same line framing and tolerance as [[pipeThrough]]. */
+  def pipeThroughCombined(spark: SparkSession, df: DataFrame, keyCol: String,
+                          textCol: String, combinerCmd: Seq[String],
+                          reducerCmd: Seq[String], numPartitions: Int = 0,
+                          sortKeys: Seq[SortKey] = Nil): DataFrame = {
+    import spark.implicits._
+    val combined = df
+      .sortWithinPartitions(col(keyCol)) // local sort, no exchange
+      .select(concat_ws("\t", col(keyCol).cast("string"), col(textCol)))
+      .as[String].rdd
+      .pipe(combinerCmd)
+      .flatMap { line =>
+        val i = line.indexOf('\t')
+        if (i < 0) None else Some((line.substring(0, i), line.substring(i + 1)))
+      }.toDF(keyCol, "out")
+    pipeThroughSorted(spark, combined, keyCol, "out", reducerCmd,
+      numPartitions, sortKeys = sortKeys)
+  }
+
   /** Typed-bytes pipe — the binary hadoop-streaming wire (public format,
     * reference hadoop-tools/hadoop-streaming/.../DumpTypedBytes.java and
     * TypedBytesInput/Output: 1-byte type code, big-endian payload; long=4,

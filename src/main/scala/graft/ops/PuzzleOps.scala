@@ -52,50 +52,91 @@ object PuzzleOps {
     cells.map { case (x, y) => (x - mx, y - my) }
   }
 
+  /** The four rotations of a cell set, normalized + deduped. */
+  private def rotationOrbit(cells: Set[(Int, Int)]): Seq[Set[(Int, Int)]] =
+    Iterator.iterate(normalize(cells), 4)(c => normalize(c.map { case (x, y) => (-y, x) }))
+      .toSeq.distinct
+
   /** All distinct orientations (rotations x reflection) of a cell set. */
   private def orientations(cells: Set[(Int, Int)]): Seq[Set[(Int, Int)]] = {
-    val rots = Iterator.iterate(cells, 4)(c => normalize(c.map { case (x, y) => (-y, x) })).toSeq
+    val rots = rotationOrbit(cells)
     val flips = rots.map(c => normalize(c.map { case (x, y) => (-x, y) }))
-    (rots ++ flips).map(normalize).distinct
+    (rots ++ flips).distinct
   }
+
+  /** Per-piece orientation lists for the FREE game (12 pieces, rotations +
+    * reflections — Pentomino.java's default flippable pieces). */
+  private lazy val freePieceOrients: Seq[Seq[Set[(Int, Int)]]] =
+    pentominoShapes.map { case (_, grid) => orientations(cellsOf(grid)) }
+
+  /** Per-piece orientation lists for the ONE-SIDED game (reference analog
+    * dancing/OneSidedPentomino.java:1: pieces may rotate but NOT flip, so
+    * each of the 6 chiral pentominoes — F L N P Y Z — contributes its
+    * mirror as a SEPARATE piece: 18 pieces, 90 cells). Chirality is
+    * detected, not hardcoded: a piece is chiral iff its mirror's rotation
+    * orbit differs from its own. */
+  private[graft] lazy val oneSidedPieceOrients: Seq[Seq[Set[(Int, Int)]]] =
+    pentominoShapes.flatMap { case (_, grid) =>
+      val c = normalize(cellsOf(grid))
+      val rots = rotationOrbit(c)
+      val mirror = normalize(c.map { case (x, y) => (-x, y) })
+      val mrots = rotationOrbit(mirror)
+      if (rots.toSet == mrots.toSet) Seq(rots) else Seq(rots, mrots)
+    }
 
   /** Placement table for a width x height board: every (piece, orientation,
     * offset) that fits, as (rowId -> covered 1-based columns). Columns:
-    * 1..12 pieces, then 12+1..12+w*h cells. Deterministic ordering. */
-  private[graft] def pentominoPlacements(width: Int, height: Int): Vector[Array[Int]] = {
-    require(width * height == 60, s"board ${width}x$height must have 60 cells")
+    * 1..nPieces pieces, then nPieces+1..nPieces+w*h cells. Deterministic
+    * ordering. One-sided boards need 90 cells (18 pieces); free need 60. */
+  private[graft] def pentominoPlacements(width: Int, height: Int,
+                                         oneSided: Boolean = false): Vector[Array[Int]] = {
+    val pieces = if (oneSided) oneSidedPieceOrients else freePieceOrients
+    val nP = pieces.size
+    require(width * height == nP * 5,
+      s"board ${width}x$height must have ${nP * 5} cells for $nP pieces")
     val out = Vector.newBuilder[Array[Int]]
     for {
-      ((_, grid), p) <- pentominoShapes.zipWithIndex
-      orient <- orientations(cellsOf(grid))
+      (orients, p) <- pieces.zipWithIndex
+      orient <- orients
       ow = orient.map(_._1).max + 1; oh = orient.map(_._2).max + 1
       oy <- 0 to height - oh
       ox <- 0 to width - ow
     } {
-      val cellCols = orient.toArray.map { case (x, y) => 13 + (oy + y) * width + (ox + x) }
+      val cellCols = orient.toArray.map { case (x, y) =>
+        nP + 1 + (oy + y) * width + (ox + x) }
       out += (Array(p + 1) ++ cellCols.sorted)
     }
     out.result()
   }
 
-  private[graft] def pentominoMatrix(width: Int, height: Int): ExactCover = {
-    val ec = new ExactCover(12 + width * height)
-    pentominoPlacements(width, height).zipWithIndex.foreach { case (cols, id) => ec.addRow(id, cols) }
+  private[graft] def pentominoMatrix(width: Int, height: Int,
+                                     oneSided: Boolean = false): ExactCover = {
+    val nP = (if (oneSided) oneSidedPieceOrients else freePieceOrients).size
+    val ec = new ExactCover(nP + width * height)
+    pentominoPlacements(width, height, oneSided).zipWithIndex
+      .foreach { case (cols, id) => ec.addRow(id, cols) }
     ec
   }
 
   /** Distributed full-tiling count per board. Boards as "WxH" labels.
-    * Known ground truth (all tilings, symmetric duplicates included):
-    * 3x20 = 8, 4x15 = 1472, 5x12 = 4040, 6x10 = 9356. */
+    * Known ground truth, free game (all tilings, symmetric duplicates
+    * included): 3x20 = 8, 4x15 = 1472, 5x12 = 4040, 6x10 = 9356.
+    * One-sided game (oneSided = true, 18 pieces on 90 cells — reference
+    * analog dancing/OneSidedPentomino.java:1): 3x30 = 184, i.e. 4 x the
+    * published 46 distinct-up-to-board-symmetry solutions (none is
+    * self-symmetric; duplicates-included is this suite's convention —
+    * 6x10 free = 9356 = 4 x 2339 the same way). The 5x18/6x15/9x10 boards
+    * run the same way but count in the 10^5–10^7 range. */
   def pentominoCounts(spark: SparkSession,
                       boards: Seq[(Int, Int)] = Seq((3, 20), (4, 15), (5, 12), (6, 10)),
                       splitDepth: Int = 3,
-                      numPartitions: Int = 32): DataFrame = {
+                      numPartitions: Int = 32,
+                      oneSided: Boolean = false): DataFrame = {
     import spark.implicits._
     // client-side prefix enumeration — bounded, cheap, the reference's input-
     // generation step (DistributedPentomino.java:128-140)
     val work = boards.flatMap { case (w, h) =>
-      val (prefs, shallow) = pentominoMatrix(w, h).prefixes(splitDepth)
+      val (prefs, shallow) = pentominoMatrix(w, h, oneSided).prefixes(splitDepth)
       val prefixRows = prefs.map(p => (s"${w}x$h", p.toSeq, 0L))
       // solutions completing above the split depth ride along as a count row
       prefixRows :+ ((s"${w}x$h", Seq.empty[Int], shallow))
@@ -109,7 +150,7 @@ object PuzzleOps {
             if (prefix.isEmpty) carried
             else {
               val Array(w, h) = board.split("x").map(_.toInt)
-              val ec = cache.getOrElseUpdate(board, pentominoMatrix(w, h))
+              val ec = cache.getOrElseUpdate(board, pentominoMatrix(w, h, oneSided))
               ec.countCompletions(prefix.toArray)
             }
           (board, n)

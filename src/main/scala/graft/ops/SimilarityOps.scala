@@ -743,18 +743,28 @@ object SimilarityOps {
     * unioned individually so each keeps its own partition discovery; a
     * compaction pass (IO.compaction over postings_inc into postings) folds
     * them back when the batch count grows. */
-  private[graft] def readIndexPostings(spark: SparkSession, dir: String): DataFrame = {
-    val base = spark.read.parquet(s"$dir/postings")
+  private[graft] def readIndexPostings(spark: SparkSession, dir: String): DataFrame =
+    readIndexPostingsBatched(spark, dir).drop("_batch")
+
+  /** Same merge, tagged with a `_batch` ordinal (base = 0, batch_N = N+1) so
+    * maintenance passes can resolve a vec_id present in several layers
+    * deterministically — LATEST WINS, not "whichever row dropDuplicates saw
+    * first". Ordinals come from the batch dir names ivfAppendStream writes
+    * (monotone per epoch), so re-ingested/updated vectors compact to their
+    * newest embedding on every run. */
+  private[graft] def readIndexPostingsBatched(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/postings").withColumn("_batch", lit(0L))
     val incRoot = new org.apache.hadoop.fs.Path(s"$dir/postings_inc")
     val fs = incRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(incRoot)) base
     else fs.listStatus(incRoot).filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith("batch_") &&
+        st.getPath.getName.matches("batch_\\d+") &&
         // a batch dir with no part files (an interrupted write, or an empty
         // micro-batch written by an older ivfAppendStream) has no schema to
         // infer — skipping it is the only correct read of "no rows"
         hasParquetFile(fs, st.getPath))
-      .map(st => spark.read.parquet(st.getPath.toString))
+      .map(st => spark.read.parquet(st.getPath.toString).withColumn("_batch",
+        lit(st.getPath.getName.stripPrefix("batch_").toLong + 1L)))
       .foldLeft(base)((acc, b) => acc.unionByName(b))
   }
 
@@ -784,13 +794,23 @@ object SimilarityOps {
     * folded and still present — which is why the merge dedups on vec_id (a
     * posting is one vector): re-running compactIndex heals that state
     * instead of materializing duplicates, and re-ingested vec_ids can no
-    * longer surface twice in a top-k. No-op when no increments exist. */
+    * longer surface twice in a top-k. The dedup is DETERMINISTIC
+    * latest-wins: each layer carries a batch ordinal
+    * ([[readIndexPostingsBatched]]) and max-ordinal wins per vec_id (ties
+    * broken on the row content hash), so a vector re-ingested with a new
+    * embedding compacts to the NEW embedding on every run — never
+    * "whichever partition dropDuplicates happened to see first". No-op
+    * when no increments exist. */
   def compactIndex(spark: SparkSession, dir: String): Unit = {
     val incRoot = new org.apache.hadoop.fs.Path(s"$dir/postings_inc")
     val fs = incRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(incRoot)) return
     val staging = s"$dir/postings_cmp"
-    readIndexPostings(spark, dir).dropDuplicates("vec_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+      .orderBy(col("_batch").desc, xxhash64(col("bucket"), col("embedding")))
+    readIndexPostingsBatched(spark, dir)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .drop("_rn", "_batch")
       .write.mode("overwrite").partitionBy("bucket").parquet(staging)
     graft.sources.IO.swapPath(spark, staging, s"$dir/postings")
     graft.sources.IO.deletePath(spark, s"$dir/postings_inc")

@@ -25,41 +25,75 @@ object IO {
     * (hadoop-tools/hadoop-extras/src/main/java/org/apache/hadoop/tools/
     * DistCh.java:1: a recursive listing becomes FileOperation records that
     * map tasks apply via fs.setPermission/setOwner). Spark-native form:
-    * the tree walk happens once driver-side (metadata only — the same role
-    * as DistCh's input-file generation), the path list is distributed, and
-    * each partition applies the requested changes through one FileSystem
-    * handle. The returned AUDIT relation (path, is_dir, per-op outcome,
-    * error) is the result — failures are rows, not thrown exceptions
-    * (DistCh's counter contract), so a 10^8-file sweep reports its
-    * stragglers instead of dying on the first ACL quirk. `mode` is octal
-    * ("644"); replication is skipped with replication_changed = false on
+    * the listing itself is DISTRIBUTED — the driver expands the tree
+    * breadth-first only until the frontier covers `partitions` (bounded by
+    * `maxDriverSeeds`, never the whole tree), then each task walks its
+    * assigned subtrees with a streaming per-task BFS (queue of pending
+    * entries, one listStatus per directory — the combineRead pattern) and
+    * applies the requested changes through one FileSystem handle built
+    * from the broadcast SESSION hadoop configuration (credentials,
+    * defaultFS, nameservices travel with the job). A directory's children
+    * are listed BEFORE its own metadata is changed, so a mode change that
+    * drops execute permission cannot orphan its subtree within a task. The
+    * returned AUDIT relation (path, is_dir, per-op outcome, error) is the
+    * result — failures (including a failed listStatus) are rows, not
+    * thrown exceptions (DistCh's counter contract), so a 10^8-file sweep
+    * reports its stragglers instead of dying on the first ACL quirk — and
+    * no longer OOMs the driver either, which at 10^8 paths the old
+    * whole-tree driver ArrayBuffer would. `mode` is octal ("644");
+    * replication is skipped with replication_changed = false on
     * FileSystems without the concept (local fs), mirroring DistCh. */
   def distCh(spark: SparkSession, root: String,
              mode: Option[String] = None,
              owner: Option[String] = None, group: Option[String] = None,
              replication: Option[Short] = None,
-             partitions: Int = 32): DataFrame = {
+             partitions: Int = 32,
+             maxDriverSeeds: Int = 4096): DataFrame = {
     import spark.implicits._
     require(mode.nonEmpty || owner.nonEmpty || group.nonEmpty || replication.nonEmpty,
       "distCh: nothing to change")
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs0 = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val paths = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean)]
-    def walk(p: org.apache.hadoop.fs.Path): Unit = {
-      val st = fs0.getFileStatus(p)
-      paths += ((p.toString, st.isDirectory))
-      if (st.isDirectory) fs0.listStatus(p).foreach(c => walk(c.getPath))
+    // Driver-side seed generation: expand breadth-first just far enough to
+    // spread subtrees across tasks. Seeds are (path, is_dir, expand): rows
+    // with expand=true are subtree roots the tasks walk; the rest are
+    // already-final entries (their children are other seeds).
+    val seeds = scala.collection.mutable.ArrayBuffer.empty[(String, Boolean, Boolean)]
+    val rootSt = fs0.getFileStatus(rootP)
+    // rootSt.getPath is fs-qualified (scheme + authority), matching what
+    // listStatus returns for children — one spelling per path in the audit
+    if (!rootSt.isDirectory) seeds += ((rootSt.getPath.toString, false, false))
+    else {
+      var frontier = List(rootSt.getPath)
+      var done = false
+      while (!done) {
+        val expanded = frontier.flatMap { d =>
+          seeds += ((d.toString, true, false))
+          fs0.listStatus(d).toSeq.map(c => (c.getPath, c.isDirectory))
+        }
+        val (dirs, files) = expanded.partition(_._2)
+        files.foreach { case (p, _) => seeds += ((p.toString, false, false)) }
+        if (dirs.isEmpty) { done = true; frontier = Nil }
+        else if (dirs.size >= partitions ||
+                 seeds.size + dirs.size > maxDriverSeeds) {
+          // hand the remaining subtrees to the executors
+          dirs.foreach { case (p, _) => seeds += ((p.toString, true, true)) }
+          done = true; frontier = Nil
+        } else frontier = dirs.map(_._1)
+      }
     }
-    walk(rootP)
+    val confB = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     val rootUri = root
-    spark.createDataset(paths.toSeq)
-      .repartition(math.min(partitions, math.max(1, paths.size)))
+    spark.createDataset(seeds.toSeq)
+      .repartition(math.min(partitions, math.max(1, seeds.size)))
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
-        val fs = new org.apache.hadoop.fs.Path(rootUri).getFileSystem(conf)
-        it.map { case (pStr, isDir) =>
+        val fs = new org.apache.hadoop.fs.Path(rootUri)
+          .getFileSystem(confB.value.value)
+        def applyOps(pStr: String, isDir: Boolean, listErr: String)
+            : (String, Boolean, Boolean, Boolean, Boolean, String) = {
           val p = new org.apache.hadoop.fs.Path(pStr)
-          var err: String = null
+          var err: String = listErr
           def attempt(f: => Unit): Boolean =
             try { f; true }
             catch { case scala.util.control.NonFatal(e) =>
@@ -73,6 +107,29 @@ object IO {
             !isDir && attempt { if (!fs.setReplication(p, r)) throw
               new java.io.IOException("replication unsupported on this FileSystem") })
           (pStr, isDir, permChanged, ownChanged, replChanged, err)
+        }
+        it.flatMap { case (pStr, isDir, expand) =>
+          if (!expand) Iterator.single(applyOps(pStr, isDir, null))
+          else {
+            // streaming per-task BFS: the queue holds only not-yet-emitted
+            // entries (bounded by directory fanout, not subtree size)
+            val q = scala.collection.mutable.Queue[(String, Boolean)]((pStr, isDir))
+            new scala.collection.AbstractIterator[
+                (String, Boolean, Boolean, Boolean, Boolean, String)] {
+              def hasNext: Boolean = q.nonEmpty
+              def next(): (String, Boolean, Boolean, Boolean, Boolean, String) = {
+                val (p, d) = q.dequeue()
+                var listErr: String = null
+                if (d) {
+                  try fs.listStatus(new org.apache.hadoop.fs.Path(p))
+                    .foreach(c => q.enqueue((c.getPath.toString, c.isDirectory)))
+                  catch { case scala.util.control.NonFatal(e) =>
+                    listErr = s"listStatus failed: $e" }
+                }
+                applyOps(p, d, listErr)
+              }
+            }
+          }
         }
       }
       .toDF("path", "is_dir", "mode_changed", "owner_changed",

@@ -67,4 +67,59 @@ class FfmpegBridgeSpec extends SparkSpecBase {
       bin = bin, frameDim = dim).collect()
     assert(rows.length == 1 && !rows.head.real_decode && rows.head.media_id == 9L)
   }
+
+  /** OPPORTUNISTIC real-codec exit criterion for the §5 stub story: on any
+    * host with a real ffmpeg, encode known gray frames to H.264, decode
+    * them back through the bridge, and cross-check per-frame luma against
+    * the JDK MJPEG path decoding the SAME frames — two independent
+    * decoders agreeing on arithmetic. Cancels cleanly (assume) where no
+    * binary exists (this sandbox), so the suite stays green everywhere
+    * while the real-codec path gets exercised the moment an environment
+    * provides one. */
+  test("real-ffmpeg opportunistic: H.264 via the bridge cross-checks the " +
+    "MJPEG path's luma arithmetic (skipped when no binary)") {
+    assume(MultimodalOps.ffmpegAvailable(), "no real ffmpeg on this host")
+    import spark.implicits._
+    val dim = 32; val nFrames = 6
+    // constant-gray frames 40, 60, …, 140 — distinct, codec-robust lumas
+    val raw = Array.tabulate[Byte](nFrames * dim * dim)(
+      i => (40 + 20 * (i / (dim * dim))).toByte)
+    def encode(codecArgs: Seq[String]): Array[Byte] = {
+      val cmd = Seq("ffmpeg", "-v", "error", "-f", "rawvideo", "-pix_fmt",
+        "gray", "-s", s"${dim}x$dim", "-r", "4", "-i", "pipe:0") ++
+        codecArgs ++ Seq("-f", "avi", "pipe:1")
+      val p = new ProcessBuilder(cmd: _*)
+        .redirectError(ProcessBuilder.Redirect.DISCARD).start()
+      val w = new Thread(() => {
+        try { p.getOutputStream.write(raw); p.getOutputStream.close() }
+        catch { case _: java.io.IOException => () }
+      })
+      w.setDaemon(true); w.start()
+      val out = p.getInputStream.readAllBytes(); w.join(); p.waitFor(); out
+    }
+    val h264 = encode(Seq("-c:v", "libx264", "-pix_fmt", "yuv420p", "-g", "1"))
+    assume(h264.nonEmpty, "this ffmpeg build lacks an H.264 encoder")
+    val mjpeg = encode(Seq("-c:v", "mjpeg", "-q:v", "2"))
+    assume(mjpeg.nonEmpty, "this ffmpeg build lacks an MJPEG encoder")
+    val expect = (0 until nFrames).map(i => 40.0 + 20 * i)
+    val viaBridge = MultimodalOps.decodeVideoFramesFfmpeg(spark,
+        Seq(MediaRecord(1L, h264, "video")).toDS(),
+        everyK = 1, maxFramesPerVideo = nFrames, frameDim = dim)
+      .collect().sortBy(_.frame_idx)
+    assert(viaBridge.nonEmpty && viaBridge.forall(_.real_decode),
+      "bridge must really decode H.264 on a real-ffmpeg host")
+    viaBridge.zip(expect).foreach { case (f, e) =>
+      assert(math.abs(f.mean_luma - e) < 6.0,
+        s"H.264 frame ${f.frame_idx} luma ${f.mean_luma}, want ~$e") }
+    val viaJdk = MultimodalOps.decodeVideoFrames(spark,
+        Seq(MediaRecord(2L, mjpeg, "video")).toDS(),
+        everyK = 1, maxFramesPerVideo = nFrames)
+      .collect().sortBy(_.frame_idx)
+    assert(viaJdk.nonEmpty && viaJdk.forall(_.real_decode),
+      "JDK MJPEG path must really decode ffmpeg-encoded MJPEG")
+    viaBridge.take(viaJdk.length).zip(viaJdk).foreach { case (b, j) =>
+      assert(math.abs(b.mean_luma - j.mean_luma) < 8.0,
+        s"decoders disagree on frame ${b.frame_idx}: bridge ${b.mean_luma} " +
+        s"vs JDK ${j.mean_luma}") }
+  }
 }

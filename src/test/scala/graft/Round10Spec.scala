@@ -292,7 +292,7 @@ class Round10Spec extends SparkSpecBase {
       "not a log line at all", "2024-01-02T23:00:00 view 9"
     ).toDF("line")
     val naive = lines.filter(col("line").rlike("click|view"))
-      .withColumn("k", concat_ws(" ",
+      .withColumn("k", concat_ws("\u0000",
         coalesce(split(col("line"), " ").getItem(1), lit("")), col("line")))
       .withColumn("pos", row_number().over(Window.orderBy(col("k"))).cast("long"))
       .select("pos", "line").collect().map(r => (r.getLong(0), r.getString(1)))

@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.ops._
+import graft.streaming.Streams
+
+/** Round-11: distCh's DISTRIBUTED listing (no whole-tree driver buffer —
+  * driver seeds are bounded, tasks walk subtrees), executor FileSystem
+  * built from the broadcast session configuration, and compactIndex's
+  * deterministic latest-wins dedup for re-ingested vectors. */
+class Round11Spec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def wipe(dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  test("distCh: deep synthetic tree (depth 12, wider than any driver seed " +
+    "level) is fully audited — every path exactly once, chmod applied") {
+    val root = "/tmp/graft_test_distch_deep"
+    wipe(root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // depth-12 chain with 3 files per level + a 20-dir fan at the top:
+    // the driver expansion stops well before the leaves, so correctness
+    // here proves the per-task BFS walks what the driver never saw.
+    val expected = scala.collection.mutable.Set.empty[String]
+    def touch(p: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(p)); out.write(1); out.close()
+      expected += s"file:$p"
+    }
+    var cur = root
+    fs.mkdirs(new org.apache.hadoop.fs.Path(cur)); expected += s"file:$cur"
+    for (d <- 1 to 12) {
+      cur = s"$cur/d$d"
+      fs.mkdirs(new org.apache.hadoop.fs.Path(cur)); expected += s"file:$cur"
+      for (f <- 1 to 3) touch(s"$cur/f$f.txt")
+    }
+    for (w <- 1 to 20) {
+      val dir = s"$root/wide$w"
+      fs.mkdirs(new org.apache.hadoop.fs.Path(dir)); expected += s"file:$dir"
+      touch(s"$dir/leaf.txt")
+    }
+    val audit = graft.sources.IO.distCh(spark, root, mode = Some("700"),
+      partitions = 8, maxDriverSeeds = 16).collect()
+    assert(audit.map(_.getString(0)).toSet == expected.toSet,
+      "audit covers exactly the tree")
+    assert(audit.length == expected.size, "every path audited exactly once")
+    assert(audit.forall(r => r.getBoolean(2) && r.isNullAt(5)),
+      "chmod landed everywhere with no error rows")
+    val aFile = new org.apache.hadoop.fs.Path(s"$root/d1/f1.txt")
+    assert(fs.getFileStatus(aFile).getPermission.toShort == Integer.parseInt("700", 8).toShort,
+      "mode actually changed on disk")
+    wipe(root)
+  }
+
+  test("distCh: executor-side FileSystem honors the SESSION hadoop conf " +
+    "(a session-only key is visible through the broadcast)") {
+    // the old code built executor FileSystems from `new Configuration()`;
+    // prove the broadcast carries session-level settings by checking the
+    // wrapper round-trips a custom key (the mechanism distCh now uses).
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("graft.test.session.key", "carried")
+    try {
+      val wrapped = new graft.sources.SerializableHadoopConf(conf)
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos); oos.writeObject(wrapped); oos.close()
+      val back = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+        .readObject().asInstanceOf[graft.sources.SerializableHadoopConf]
+      assert(back.value.get("graft.test.session.key") == "carried",
+        "session conf must survive serialization to executors")
+      // and the distributed op still works end-to-end with the broadcast
+      val root = "/tmp/graft_test_distch_conf"
+      wipe(root)
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/a"))
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$root/a/f.txt"))
+      out.write(1); out.close()
+      val audit = graft.sources.IO.distCh(spark, root, mode = Some("750")).collect()
+      assert(audit.length == 3 && audit.forall(_.getBoolean(2)))
+      wipe(root)
+    } finally conf.unset("graft.test.session.key")
+  }
+
+  test("pipeThroughCombined: combiner + reducer == reducer alone on a " +
+    "run-length sum workload (MR combiner contract)") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), lit("1").as("payload"))
+    // contiguous-key summing awk: correct per partition only if the
+    // combiner sees its partition sorted; correct globally only if the
+    // reducer sees each key's partials contiguously in one subprocess
+    val sumAwk = Seq("awk", "-F", "\t",
+      "{ if (NR>1 && $1!=k) print k\"\\t\"s; if ($1!=k) { k=$1; s=0 }; s+=$2 } " +
+      "END { if (NR>0) print k\"\\t\"s }")
+    val combined = PipeOps.pipeThroughCombined(spark, ev, "event_type",
+        "payload", sumAwk, sumAwk, numPartitions = 4)
+      .select(col("event_type"), col("out").cast("long").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val reducerOnly = PipeOps.pipeThroughSorted(spark, ev, "event_type",
+        "payload", sumAwk, numPartitions = 4)
+      .select(col("event_type"), col("out").cast("long").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = ev.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(combined == direct, s"combiner+reducer broke the sum: $combined vs $direct")
+    assert(reducerOnly == direct, s"reducer-alone baseline broke: $reducerOnly")
+  }
+
+  test("one-sided pentomino: 18 pieces (6 chiral mirrors), placements flip-" +
+    "free, and the 3x30 board counts 184 = 4 x the published 46") {
+    assert(PuzzleOps.oneSidedPieceOrients.size == 18,
+      "12 free pieces + 6 chiral mirrors")
+    // no one-sided piece's orientation list may contain its own mirror
+    // unless the mirror is a rotation (achiral)
+    PuzzleOps.oneSidedPieceOrients.foreach { orients =>
+      assert(orients.size <= 4, "rotations only: at most 4 orientations")
+    }
+    val counts = PuzzleOps.pentominoCounts(spark, Seq((3, 30)),
+      splitDepth = 3, oneSided = true).collect()
+    // published: 46 distinct up to the rectangle's 4 symmetries; this suite
+    // counts symmetric duplicates included (free-family convention:
+    // 6x10 = 9356 = 4 x 2339), and no 3x30 one-sided tiling is
+    // self-symmetric, so the full count is exactly 4 x 46 = 184
+    assert(counts.length == 1 && counts(0).getString(0) == "3x30" &&
+      counts(0).getLong(1) == 184L,
+      s"one-sided 3x30 full count is 184 (= 4 x published 46), got ${counts.toList}")
+  }
+
+  test("minhashLshPairs maxBucket cap: adversarial all-identical corpus is " +
+    "bounded, still fully grouped by CC, and the cap is a no-op on an " +
+    "honest corpus") {
+    import spark.implicits._
+    // adversarial: 60 identical docs — every band bucket degenerates
+    val adv = (0L until 60L).map(i =>
+      (i, "the same exact document text repeated for every row here")).toDF("doc_id", "text")
+    val capped = DedupOps.minhashLshPairs(adv, tau = 0.8, maxBucket = 8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // bound: each doc pairs only with the first 8 members ⇒ ≤ 8*N pairs,
+    // far under the uncapped N(N−1)/2 = 1770
+    assert(capped.nonEmpty && capped.length <= 8 * 60,
+      s"cap must bound candidate pairs, got ${capped.length}")
+    assert(capped.length < 1770, "cap must actually bite on the degenerate corpus")
+    // the capped pair set still connects all 60 docs into ONE component
+    val cc = DedupOps.connectedComponents(
+      capped.toSeq.toDF("a_id", "b_id")).collect()
+    assert(cc.map(_.getLong(1)).distinct.length == 1,
+      "saturation pairing must keep the duplicate cluster in one component")
+    // honest corpus: cap ≥ real bucket sizes ⇒ output identical to exact
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    def pairs(mb: Int) = DedupOps.minhashLshPairs(docs, tau = 0.8, maxBucket = mb)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(100000) == pairs(0),
+      "a cap larger than every bucket must not change the output")
+  }
+
+  test("compactIndex: a re-ingested vec_id with a CHANGED embedding " +
+    "compacts to the newest embedding (deterministic latest-wins)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/tmp/graft_test_ivf_latestwins"
+    wipe(dir)
+    val emb = Tables.embeddings(spark, sfDir)
+    SimilarityOps.ivfWriteIndex(spark, emb.filter(col("vec_id") < 200), dir)
+    // re-ingest vec_id 7 with a sentinel embedding via the streaming path
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val sentinel = Array.tabulate(dim)(i => if (i == 0) 9.5f else 0.01f).toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.ivfAppendStream(
+      input.toDF().toDF("vec_id", "embedding"), dir, s"$dir/ckpt")
+    try { input.addData((7L, sentinel)); q.processAllAvailable() }
+    finally q.stop()
+    SimilarityOps.compactIndex(spark, dir)
+    val rows = spark.read.parquet(s"$dir/postings")
+      .filter(col("vec_id") === 7L).collect()
+    assert(rows.length == 1, "one posting per vec_id after compaction")
+    assert(rows(0).getSeq[Float](rows(0).fieldIndex("embedding")) == sentinel,
+      "the NEWEST (re-ingested) embedding wins, not an arbitrary layer")
+    wipe(dir)
+  }
+}
