@@ -22,7 +22,10 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# 2m scan splits: the scaled corpora are one file per table; row-group-
+# granular splitting (see scaleup.py) needs maxPartitionBytes <= group size
 exec env SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} SPARK_GRAFT_NO_COALESCE=1 \
+  SPARK_GRAFT_MAX_PARTITION_BYTES=${SPARK_GRAFT_MAX_PARTITION_BYTES:-2m} \
   java $ADD_OPENS -Xmx"$MEM" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CLASSES:/opt/spark/jars/*" graft.Verify "$SF_DIR" "$OUT"

@@ -148,9 +148,16 @@ def main():
     for name in t:
         parts = [x for x in (replica(name, r) for r in range(factor)) if x is not None]
         big = pa.concat_tables(parts)
-        # ~64k-row row groups on the two fact tables so Spark's byte-range
-        # file splitting yields real scan parallelism from a single file
-        rg = 65536 if name in ("lineitem", "events") else 1 << 20
+        # small row groups so Spark's byte-range file splitting yields real
+        # scan parallelism from a single file: ~64k rows on the fact tables,
+        # ~4k on documents/embeddings (wide rows, and their per-row ops —
+        # media synth/decode, shingling — are CPU-heavy: a single row group
+        # serializes the whole family's scan stage, measured 10x on
+        # video_meta at sf1). Pair with spark.sql.files.maxPartitionBytes
+        # <= row-group bytes (SPARK_GRAFT_MAX_PARTITION_BYTES) to realize
+        # the parallelism.
+        rg = (65536 if name in ("lineitem", "events")
+              else 4096 if name in ("documents", "embeddings") else 1 << 20)
         pq.write_table(big, f"{out}/{name}.parquet", version="2.6",
                        coerce_timestamps=None, row_group_size=rg)
         print(f"{name}: {big.num_rows} rows -> {out}/{name}.parquet")

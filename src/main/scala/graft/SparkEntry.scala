@@ -205,6 +205,18 @@ object SparkEntry {
       PuzzleOps.sudokuSolveAll(PuzzleOps.sudokuPuzzlesUnique(s, 200, blanks = 40))),
     "streaming_pipe" -> ((s, d) => PipeOps.pipeThrough(
       s, Tables.documents(s, d), "doc_id", "text", Seq("tr", "a-z", "A-Z"))),
+    // hadoop-streaming combiner stage (r11, PipeCombiner.java analog):
+    // per-partition pre-shuffle awk partial sums -> shuffled awk reducer;
+    // the oracle is the plain GROUP BY count the two-stage pipe must equal
+    "streaming_pipe_combined" -> ((s, d) => {
+      val sumAwk = Seq("awk", "-F", "\t",
+        "{ if (NR>1 && $1!=k) print k\"\\t\"s; if ($1!=k) { k=$1; s=0 }; s+=$2 } " +
+        "END { if (NR>0) print k\"\\t\"s }")
+      PipeOps.pipeThroughCombined(s,
+        Tables.events(s, d).select(col("event_type"),
+          org.apache.spark.sql.functions.lit("1").as("one")),
+        "event_type", "one", sumAwk, sumAwk)
+    }),
     // hadoop-extras Logalyzer analog (r10): grep + column-wise sortSpec
     // over synthesized log lines (ISO ts, event type, integer value from
     // events — a pure function of the table, so the oracle rebuilds the
@@ -1251,6 +1263,9 @@ object SparkEntry {
          FROM c""",
     "streaming_pipe" ->
       """SELECT doc_id, upper(text) AS out FROM documents""",
+    "streaming_pipe_combined" ->
+      """SELECT event_type, CAST(count(*) AS VARCHAR) AS out
+         FROM events GROUP BY event_type""",
     // Logalyzer analog: the oracle rebuilds the synthesized log corpus
     // verbatim, filters with the same regex, and ranks with a single
     // global window over the IDENTICAL composite key (sort token ++ NUL ++
