@@ -318,10 +318,28 @@ object GraftFunctions {
       org.apache.spark.sql.functions.lit(k))
 
   /** Map-side membership test of a LONG hash column against a built blob
-    * (false positives possible — re-verify exactly; never false negatives). */
+    * (false positives possible — re-verify exactly; never false negatives).
+    *
+    * Blob transport is size-gated: a small blob rides the expression tree
+    * as a literal (codegen'd native probe, zero per-row boundary). A LARGE
+    * blob must NOT — an expression literal is serialized into EVERY task
+    * binary and deserialized per task, so a 134 MB filter (the 2^30-bit
+    * cap) became a ~300 MB task binary whose 32 concurrent
+    * ObjectInputStream graphs OOM'd a 24 GB heap (the r10/r11 500 k
+    * dedup_substring death). Large blobs ship ONCE per executor as a
+    * broadcast of the parsed model; the probe is a closure over the
+    * broadcast — the canonical Spark pattern for big read-only state. */
   def bloomMightContain(hash: Column, blob: Array[Byte]): Column =
-    call_function("bloom_might_contain", hash,
-      org.apache.spark.sql.functions.lit(blob))
+    if (blob.length <= (1 << 20))
+      call_function("bloom_might_contain", hash,
+        org.apache.spark.sql.functions.lit(blob))
+    else {
+      val sc = org.apache.spark.sql.SparkSession.active.sparkContext
+      val bc = sc.broadcast(GraftBloom.parse(blob))
+      val probe = org.apache.spark.sql.functions.udf(
+        (h: Long) => bc.value.mightContain(h))
+      probe(hash)
+    }
 
   /** Hamming distance between two 64-bit fingerprints (pure builtin combo —
     * bit_count is codegen'd). */

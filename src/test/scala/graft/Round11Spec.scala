@@ -159,6 +159,28 @@ class Round11Spec extends SparkSpecBase {
       "a cap larger than every bucket must not change the output")
   }
 
+  test("bloomMightContain: the large-blob broadcast path answers exactly " +
+    "like the parsed model (no false negatives, identical decisions)") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val hashes = (1L to 2000L).map(i => i * 0x9E3779B97F4A7C15L)
+    val df = hashes.toDF("h")
+    val numBits = 9000000 // ~1.1 MB blob — over the 1 MB literal gate
+    val blob = df.agg(GraftFunctions.bloomBuild(col("h"), numBits, 7).as("b"))
+      .head().getAs[Array[Byte]](0)
+    assert(blob.length > (1 << 20), "test must exercise the broadcast path")
+    assert(df.filter(GraftFunctions.bloomMightContain(col("h"), blob)).count() == 2000,
+      "no false negatives through the broadcast path")
+    val model = graft.functions.GraftBloom.parse(blob)
+    val probes = (1L to 5000L).map(i => i * 31L + 7L)
+    val viaCol = probes.toDF("h")
+      .filter(GraftFunctions.bloomMightContain(col("h"), blob))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaCol == probes.filter(model.mightContain).toSet,
+      "broadcast probe must be bit-identical to the model")
+  }
+
   test("compactIndex: a re-ingested vec_id with a CHANGED embedding " +
     "compacts to the newest embedding (deterministic latest-wins)") {
     implicit val sqlCtx = spark.sqlContext
