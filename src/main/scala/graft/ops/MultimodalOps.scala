@@ -126,6 +126,111 @@ object MultimodalOps {
                           duration_sec: Double, byte_len: Int, rms: Double,
                           real_decode: Boolean)
 
+  /** javax.sound SPI providers resolved ONCE per executor JVM. Every
+    * `AudioSystem.getAudioFileFormat/getAudioInputStream` call routes
+    * through `JDK13Services.getProviders`, which is a GLOBALLY SYNCHRONIZED
+    * static that re-runs the ServiceLoader scan on each call — three such
+    * calls per record make a 32-thread decode stage serialize on one
+    * monitor (measured at sf1: the 13-way-parallel scan ran 1.5× SLOWER
+    * than the same rows in a single task). Resolving the providers once and
+    * invoking them directly is exactly what AudioSystem does per call,
+    * minus the lock and the rescan. Empty arrays (an exotic classloader
+    * layout that hides the java.desktop providers) fall back to the
+    * AudioSystem path — slow but never silently stubbed. */
+  private lazy val audioFileReaders: Array[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val tccl = java.util.ServiceLoader.load(
+        classOf[javax.sound.sampled.spi.AudioFileReader]).asScala.toArray
+      val all =
+        if (tccl.nonEmpty) tccl
+        else java.util.ServiceLoader.load(
+          classOf[javax.sound.sampled.spi.AudioFileReader],
+          classOf[javax.sound.sampled.AudioSystem].getClassLoader).asScala.toArray
+      // MIDI-routing readers go LAST: the JDK's SoftMidiAudioFileReader
+      // sits FIRST in ServiceLoader order and probes payloads via
+      // MidiSystem.getSequence — which re-enters JDK13Services.getProviders
+      // (class-level lock + a FULL classpath ServiceLoader rescan) on EVERY
+      // call. With it first, each WAV record paid a classpath scan under a
+      // global monitor (thread-dump-attributed; the probe showed 32-thread
+      // decode SLOWER than 1-thread). Container magics are disjoint, so a
+      // reader permutation cannot change which reader ACCEPTS a payload —
+      // only how fast the rejections run; the AudioSystem-parity spec pins
+      // row-identity anyway.
+      val (midi, direct) = all.partition(_.getClass.getName.contains("Midi"))
+      direct ++ midi
+    } catch { case scala.util.control.NonFatal(_) =>
+      Array.empty[javax.sound.sampled.spi.AudioFileReader] }
+  }
+  private lazy val audioConverters: Array[javax.sound.sampled.spi.FormatConversionProvider] = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val tccl = java.util.ServiceLoader.load(
+        classOf[javax.sound.sampled.spi.FormatConversionProvider]).asScala.toArray
+      if (tccl.nonEmpty) tccl
+      else java.util.ServiceLoader.load(
+        classOf[javax.sound.sampled.spi.FormatConversionProvider],
+        classOf[javax.sound.sampled.AudioSystem].getClassLoader).asScala.toArray
+    } catch { case scala.util.control.NonFatal(_) =>
+      Array.empty[javax.sound.sampled.spi.FormatConversionProvider] }
+  }
+
+  /** Test hook: force the AudioSystem SPI-lookup path even when the cached
+    * providers resolved, so the fallback stays covered by the parity spec. */
+  @volatile private[graft] var forceAudioSystemSpi = false
+
+  /** `AudioSystem.getAudioFileFormat(stream)` without the global provider
+    * lock: first reader that accepts the payload wins (AudioSystem's own
+    * iteration order contract). Fresh stream per attempt — a provider that
+    * fails mid-read cannot leave a shifted position for the next. */
+  private def readAudioFileFormat(bytes: Array[Byte]): javax.sound.sampled.AudioFileFormat = {
+    if (forceAudioSystemSpi || audioFileReaders.isEmpty)
+      return javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+    var i = 0
+    while (i < audioFileReaders.length) {
+      try return audioFileReaders(i).getAudioFileFormat(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+      i += 1
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "file is not a supported file type")
+  }
+
+  private def openAudioStream(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    if (forceAudioSystemSpi || audioFileReaders.isEmpty)
+      return javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+    var i = 0
+    while (i < audioFileReaders.length) {
+      try return audioFileReaders(i).getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+      i += 1
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "file is not a supported file type")
+  }
+
+  /** `AudioSystem.getAudioInputStream(target, src)` minus the lock: pass
+    * the source through unchanged when it already matches (AudioSystem's
+    * own first check), else the first converter that supports the
+    * conversion. Failure throws (caught by the caller's degrade-to-stub). */
+  private def convertAudioStream(target: javax.sound.sampled.AudioFormat,
+                                 src: javax.sound.sampled.AudioInputStream)
+      : javax.sound.sampled.AudioInputStream = {
+    if (forceAudioSystemSpi || audioConverters.isEmpty)
+      return javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
+    val fmt = src.getFormat
+    if (fmt.matches(target)) return src
+    var i = 0
+    while (i < audioConverters.length) {
+      if (audioConverters(i).isConversionSupported(target, fmt))
+        return audioConverters(i).getAudioInputStream(target, src)
+      i += 1
+    }
+    throw new IllegalArgumentException("Unsupported conversion: " + target + " from " + fmt)
+  }
+
   /** REAL audio decode through the Dataset path: the JDK's
     * javax.sound.sampled codecs (WAV/AIFF/AU with PCM and ULAW/ALAW
     * encodings ship with every JVM — no external packages), mirroring the
@@ -134,6 +239,8 @@ object MultimodalOps {
     * file header; the representative extracted feature is RMS amplitude
     * over a bounded prefix of frames, computed after normalizing the stream
     * to 16-bit signed PCM so every source encoding measures on one scale.
+    * Codec lookup goes through the once-per-JVM provider cache above, not
+    * AudioSystem's globally-locked per-call scan.
     *
     * Bomb guard mirrors decodeImages: the header declares the frame count
     * BEFORE any sample bytes are read, so a tiny payload claiming hours of
@@ -146,72 +253,76 @@ object MultimodalOps {
                   maxDecodeFrames: Long = 1L << 32): Dataset[DecodedAudio] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      it.map { m =>
-        val real =
+      it.map(m => decodeOneAudio(m.media_id, m.bytes, maxSampledFrames, maxDecodeFrames))
+    }
+  }
+
+  /** Per-record body of [[decodeAudio]] (also driven directly by
+    * tools.AudioProbe, which is how the SPI-lock attribution was measured). */
+  private[graft] def decodeOneAudio(mediaId: Long, bytes: Array[Byte],
+                                    maxSampledFrames: Long = 1L << 20,
+                                    maxDecodeFrames: Long = 1L << 32): DecodedAudio = {
+    val real =
+      try {
+        val fileFmt = readAudioFileFormat(bytes)
+        val container = fileFmt.getType.toString.toLowerCase(java.util.Locale.ROOT)
+        val src = openAudioStream(bytes)
+        try {
+          val fmt = src.getFormat
+          val frames = src.getFrameLength // from the header, pre-read
+          if (frames > maxDecodeFrames)
+            throw new java.io.IOException(
+              s"declared $frames audio frames exceed bound $maxDecodeFrames")
+          // normalize to 16-bit signed little-endian PCM (same channel
+          // count/rate) so RMS is encoding-independent; ULAW/ALAW and
+          // 8/24-bit PCM all convert through the JDK's own converters
+          val target = new javax.sound.sampled.AudioFormat(
+            fmt.getSampleRate, 16, fmt.getChannels, true, false)
+          val pcm = convertAudioStream(target, src)
           try {
-            val fileFmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
-              new java.io.ByteArrayInputStream(m.bytes))
-            val container = fileFmt.getType.toString.toLowerCase(java.util.Locale.ROOT)
-            val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(m.bytes))
-            try {
-              val fmt = src.getFormat
-              val frames = src.getFrameLength // from the header, pre-read
-              if (frames > maxDecodeFrames)
-                throw new java.io.IOException(
-                  s"declared $frames audio frames exceed bound $maxDecodeFrames")
-              // normalize to 16-bit signed little-endian PCM (same channel
-              // count/rate) so RMS is encoding-independent; ULAW/ALAW and
-              // 8/24-bit PCM all convert through the JDK's own converters
-              val target = new javax.sound.sampled.AudioFormat(
-                fmt.getSampleRate, 16, fmt.getChannels, true, false)
-              val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, src)
-              try {
-                val frameBytes = target.getFrameSize // 2 * channels
-                val budget = math.min(if (frames >= 0) frames else Long.MaxValue,
-                  maxSampledFrames)
-                val buf = new Array[Byte](frameBytes * 4096)
-                var sumSq = 0.0; var n = 0L; var done = false
-                while (!done && n < budget) {
-                  val want = math.min(buf.length.toLong,
-                    (budget - n) * frameBytes).toInt
-                  val got = pcm.read(buf, 0, want)
-                  if (got <= 0) done = true
-                  else {
-                    var i = 0
-                    while (i + 1 < got) {
-                      val s = ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
-                      val v = s / 32768.0
-                      sumSq += v * v
-                      i += 2
-                    }
-                    n += got / frameBytes
-                  }
+            val frameBytes = target.getFrameSize // 2 * channels
+            val budget = math.min(if (frames >= 0) frames else Long.MaxValue,
+              maxSampledFrames)
+            val buf = new Array[Byte](frameBytes * 4096)
+            var sumSq = 0.0; var n = 0L; var done = false
+            while (!done && n < budget) {
+              val want = math.min(buf.length.toLong,
+                (budget - n) * frameBytes).toInt
+              val got = pcm.read(buf, 0, want)
+              if (got <= 0) done = true
+              else {
+                var i = 0
+                while (i + 1 < got) {
+                  val s = ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+                  val v = s / 32768.0
+                  sumSq += v * v
+                  i += 2
                 }
-                val samples = n * fmt.getChannels
-                Some(DecodedAudio(m.media_id, container,
-                  sample_rate = fmt.getSampleRate.toDouble,
-                  channels = fmt.getChannels,
-                  bits = fmt.getSampleSizeInBits,
-                  n_frames = frames,
-                  duration_sec = if (frames >= 0 && fmt.getSampleRate > 0)
-                    frames / fmt.getSampleRate.toDouble else -1.0,
-                  byte_len = m.bytes.length,
-                  rms = if (samples == 0) 0.0 else math.sqrt(sumSq / samples),
-                  real_decode = true))
-              } finally pcm.close()
-            } finally src.close()
-          } catch { case scala.util.control.NonFatal(_) => None }
-        real.getOrElse {
-          val b = m.bytes
-          def at(i: Int): Int = if (b.length > i) b(i) & 0xff else 0
-          DecodedAudio(m.media_id, "undecoded",
-            sample_rate = 8000.0 * (1 + at(0) % 6), channels = 1 + at(1) % 2,
-            bits = 8 * (1 + at(2) % 2), n_frames = b.length.toLong,
-            duration_sec = -1.0, byte_len = b.length, rms = 0.0,
-            real_decode = false)
-        }
-      }
+                n += got / frameBytes
+              }
+            }
+            val samples = n * fmt.getChannels
+            Some(DecodedAudio(mediaId, container,
+              sample_rate = fmt.getSampleRate.toDouble,
+              channels = fmt.getChannels,
+              bits = fmt.getSampleSizeInBits,
+              n_frames = frames,
+              duration_sec = if (frames >= 0 && fmt.getSampleRate > 0)
+                frames / fmt.getSampleRate.toDouble else -1.0,
+              byte_len = bytes.length,
+              rms = if (samples == 0) 0.0 else math.sqrt(sumSq / samples),
+              real_decode = true))
+          } finally pcm.close()
+        } finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    real.getOrElse {
+      val b = bytes
+      def at(i: Int): Int = if (b.length > i) b(i) & 0xff else 0
+      DecodedAudio(mediaId, "undecoded",
+        sample_rate = 8000.0 * (1 + at(0) % 6), channels = 1 + at(1) % 2,
+        bits = 8 * (1 + at(2) % 2), n_frames = b.length.toLong,
+        duration_sec = -1.0, byte_len = b.length, rms = 0.0,
+        real_decode = false)
     }
   }
 
@@ -637,6 +748,22 @@ object MultimodalOps {
     * so RMS == quantized amplitude exactly). amplitude must stay < 1.0:
     * round(1.0 * 32768) overflows Short. Encoded by the JDK's own WAV writer,
     * not by hand, so the decoder is exercised against an independent encoder. */
+  /** WAVE writer resolved once per JVM — `AudioSystem.write` routes through
+    * the same globally-synchronized per-call provider rescan as the reader
+    * side (see audioFileReaders above); a per-row synth under 32 threads
+    * serializes on that monitor. Falls back to AudioSystem when the
+    * ServiceLoader finds nothing. */
+  private lazy val wavWriter: Option[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    try java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .asScala.find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .orElse(java.util.ServiceLoader.load(
+          classOf[javax.sound.sampled.spi.AudioFileWriter],
+          classOf[javax.sound.sampled.AudioSystem].getClassLoader)
+        .asScala.find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE)))
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   private[graft] def synthWav(nFrames: Int, rateHz: Float, amplitude: Double): Array[Byte] = {
     import javax.sound.sampled._
     val s = math.round(amplitude * 32768.0).toShort
@@ -648,7 +775,9 @@ object MultimodalOps {
     val fmt = new AudioFormat(rateHz, 16, 1, true, false)
     val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    if (forceAudioSystemSpi || wavWriter.isEmpty)
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    else wavWriter.get.write(ais, AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 

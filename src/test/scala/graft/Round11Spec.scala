@@ -204,4 +204,26 @@ class Round11Spec extends SparkSpecBase {
       "the NEWEST (re-ingested) embedding wins, not an arbitrary layer")
     wipe(dir)
   }
+
+  test("decodeAudio SPI cache: cached-provider decode is row-identical to " +
+    "the AudioSystem lookup path, including the degrade-to-stub rows") {
+    import spark.implicits._
+    // mixed corpus: real WAVs (varying frames/amp) + garbage payloads that
+    // must degrade identically on both paths
+    val media = spark.range(0, 64).as[Long].map { id =>
+      if (id % 7 == 6)
+        MultimodalOps.MediaRecord(id, Array.tabulate(32)(i => (id + i).toByte), "audio")
+      else MultimodalOps.MediaRecord(id,
+        MultimodalOps.synthWav((100 + id % 400).toInt, 8000f, ((id % 9) + 1) / 10.0),
+        "audio")
+    }.cache()
+    def rows() = MultimodalOps.decodeAudio(spark, media)
+      .collect().sortBy(_.media_id).toSeq
+    val fast = rows()
+    assert(fast.count(_.real_decode) > 0, "fast path must really decode")
+    MultimodalOps.forceAudioSystemSpi = true
+    try assert(rows() == fast,
+      "cached-SPI decode must equal the AudioSystem path row-for-row")
+    finally MultimodalOps.forceAudioSystemSpi = false
+  }
 }
