@@ -249,15 +249,22 @@ object DedupOps {
         .filter(col("df") <= cap).select(col("sg"))
       ex0.join(rare, "sg")
     }
-    // self-join via alias: both sides are the same persisted relation
+    // self-join via alias: both sides are the same persisted relation.
+    // Stage counters as named observations (the ppjoin/lsh convention —
+    // accumulator-based, zero extra actions, dumped under "observed" by
+    // Bench): the inverted-index join volume IS Σ df·(df−1)/2, the quantity
+    // the r11 corpus profile sizes — at a saturated-vocabulary sf10 it hit
+    // 1.09 G rows, and this counter makes that visible per artifact.
     ex.as("a").join(ex.as("b"),
         col("a.sg") === col("b.sg") && col("a.doc_id") < col("b.doc_id"))
+      .observe("ngram_inverted_join", count(lit(1)).as("posting_pair_rows"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"),
            first(col("a.nsh")).as("na"), first(col("b.nsh")).as("nb"))
       .withColumn("jacc", round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jacc") >= tau)
       .select(col("a_id"), col("b_id"), col("jacc"))
+      .observe("ngram_pairs", count(lit(1)).as("qualifying_pairs"))
   }
 
   /** Exact n-gram Jaccard with PPJoin-style PREFIX FILTERING — the 100 TB
