@@ -34,6 +34,7 @@ object SparkEntry {
   val IvfProbeDumpDir = s"$DumpBase/graft_ivf_probes"
   val LshBucketDumpDir = s"$DumpBase/graft_lsh_buckets"
   val LshProbeDumpDir = s"$DumpBase/graft_lsh_probes"
+  val SemAnnBucketDumpDir = s"$DumpBase/graft_sem_ann_buckets"
   val RollingHashDumpDir = s"$DumpBase/graft_rolling_hashes"
   val HllRegDumpDir = s"$DumpBase/graft_hll_registers"
   val ApproxRegDumpDir = s"$DumpBase/graft_approx_registers"
@@ -354,7 +355,13 @@ object SparkEntry {
           .select(col("doc_id"), col("rh"), col("n_chars"))
       } else TextAnalysis.rollingFingerprint(docs)
     }),
-    "dedup_jaccard_ppjoin" -> ((s, d) => DedupOps.ngramJaccardPairsPrefix(Tables.documents(s, d))),
+    // SPARK_GRAFT_PPJOIN_BUDGET (candidate rows, 0/unset = off) arms the
+    // exact op's pre-flight volume guard for scale sweeps: a corpus too
+    // dense for the prefix join fails fast with the measured bound and the
+    // LSH/df-cap remediations instead of GC-killing the JVM (the sf10
+    // saturated-vocabulary skip, NOTES_PERF r11).
+    "dedup_jaccard_ppjoin" -> ((s, d) => DedupOps.ngramJaccardPairsPrefix(Tables.documents(s, d),
+      maxCandidates = sys.env.get("SPARK_GRAFT_PPJOIN_BUDGET").map(_.toLong).getOrElse(0L))),
     "multimodal_meta" -> ((s, d) => MultimodalOps.multimodalMeta(Tables.documents(s, d))),
     // REAL-decoder round trips: payloads are synthesized from closed-form
     // per-doc parameters, run through the actual JDK codecs / container
@@ -596,6 +603,20 @@ object SparkEntry {
       } else TextAnalysis.bpeTokenCount(docs, merges)
     }),
     "dedup_semantic" -> ((s, d) => SimilarityOps.semanticDedup(s, Tables.embeddings(s, d))),
+    // ANN (sign-LSH) scale path of dedup_semantic: candidates from the
+    // multi-table bucket self-join, exact-cosine verify, same CC tail.
+    // Under Verify the (vec_id, bucket) relation is dumped and both sides
+    // recover pairs FROM it (the ann_lsh_topk convention) — candidate
+    // join, verify, and grouping are oracle-checked; the bucketing
+    // function is the dumped relation itself (spec-covered).
+    "dedup_semantic_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      if (sys.props.contains("graft.fp.dump")) {
+        SimilarityOps.lshIndexRelation(s, emb)
+          .coalesce(1).write.mode("overwrite").parquet(SemAnnBucketDumpDir)
+        SimilarityOps.semanticDedupFromBuckets(s, emb, s.read.parquet(SemAnnBucketDumpDir))
+      } else SimilarityOps.semanticDedupAnn(s, emb)
+    }),
     // Unigram-LM (SentencePiece) twin of bpe_token_count — identical
     // dump-relation oracle pattern: the per-distinct-word Viterbi
     // segmentations are materialized and the per-doc counts recomputed
@@ -1872,6 +1893,28 @@ object SparkEntry {
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
              b.embedding::DOUBLE[]),5) >= 0.4),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         r AS (SELECT vec_id AS id, vec_id AS comp FROM embeddings
+           UNION SELECT e.src, r.comp FROM edges e JOIN r ON e.dst = r.id),
+         lab AS (SELECT id, min(comp) AS comp FROM r GROUP BY id)
+         SELECT v.vec_id, coalesce(l.comp, v.vec_id) AS group_id,
+           v.vec_id = coalesce(l.comp, v.vec_id) AS keep
+         FROM embeddings v LEFT JOIN lab l ON v.vec_id = l.id""",
+    // Same grouping recursion, but the pair graph is recovered from the
+    // dumped sign-LSH bucket relation (candidates = any shared table
+    // bucket) and verified by exact cosine — the whole ANN downstream
+    // replayed by an independent engine over the identical relation.
+    "dedup_semantic_ann" ->
+      s"""WITH RECURSIVE bk AS (
+           SELECT vec_id, bucket FROM read_parquet('$SemAnnBucketDumpDir/*.parquet')),
+         cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+           FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         pairs AS (SELECT c.a_id, c.b_id FROM cand c
+           JOIN embeddings ea ON ea.vec_id = c.a_id
+           JOIN embeddings eb ON eb.vec_id = c.b_id
+           WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+             eb.embedding::DOUBLE[]),5) >= 0.4),
          edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
            UNION SELECT b_id, a_id FROM pairs),
          r AS (SELECT vec_id AS id, vec_id AS comp FROM embeddings

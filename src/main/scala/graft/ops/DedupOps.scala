@@ -275,7 +275,8 @@ object DedupOps {
     * prefixes the RAREST shingles, so candidate-join posting lists shrink
     * dramatically versus the full inverted index — with zero recall loss
     * (verification computes exact Jaccard on the full shingle sets). */
-  def ngramJaccardPairsPrefix(docs: DataFrame, tau: Double = 0.5): DataFrame = {
+  def ngramJaccardPairsPrefix(docs: DataFrame, tau: Double = 0.5,
+                              maxCandidates: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = shingleDocs(docs)
     val ex = sh.select(col("doc_id"), explode(col("s")).as("sg"), size(col("s")).as("nsh"))
@@ -286,6 +287,33 @@ object DedupOps {
       .filter(col("rnk") <= col("nsh") - ceil(col("nsh") * tau) + 1)
       .select(col("doc_id"), col("sg"), col("rnk"), col("nsh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // PRE-FLIGHT BUDGET GUARD (off at 0 — the oracle-checked gate shape
+    // pays no extra job). PPJoin is EXACT and therefore unbounded by
+    // construction: on a saturated-vocabulary corpus (shingle df growing
+    // linearly with corpus size) the prefix join's output is Σ df_p·(df_p−1)/2
+    // over the PREFIX relation and grows ~quadratically — at the sf10 decade
+    // (155 k docs, 31-word vocab) it GC-killed a 64 GB JVM mid-shuffle. The
+    // guard computes that exact bound with one cheap aggregation over the
+    // already-persisted prefix relation and fails FAST and LOUD with the
+    // measured volume and the two remediations (the LSH twin is
+    // output-identical at τ ≥ ~0.8; the df-capped inverted index bounds
+    // postings at any τ) instead of an unattributable executor OOM an hour
+    // into a cluster job.
+    if (maxCandidates > 0L) {
+      val row = prefix.groupBy(col("sg")).agg(count(lit(1)).as("dfp"))
+        .agg(sum((col("dfp") * (col("dfp") - lit(1)) / lit(2)).cast("long")).as("b"))
+        .collect()(0)
+      val boundL = if (row.isNullAt(0)) 0L else row.getLong(0)
+      if (boundL > maxCandidates) {
+        prefix.unpersist()
+        throw new IllegalStateException(
+          s"ngramJaccardPairsPrefix: prefix-join candidate bound $boundL rows exceeds the " +
+          s"maxCandidates budget $maxCandidates — the corpus is too dense for the exact " +
+          "prefix-filtered join (saturated shingle vocabulary). Use minhashLshPairs " +
+          "(output-identical for tau >= ~0.8) or ngramJaccardPairs(maxDf = ...) " +
+          "(df-capped postings, any tau), or raise the budget.")
+      }
+    }
     // POSITIONAL filter (the second half of PPJoin, Xiao et al. 2008 §3.2):
     // for a token shared at positions (pa, pb) of the df-ordered shingle
     // lists, the intersection is bounded by tokens strictly before it in the

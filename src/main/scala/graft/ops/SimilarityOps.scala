@@ -240,6 +240,92 @@ object SimilarityOps {
       .withColumn("keep", col("vec_id") === col("group_id"))
   }
 
+  /** Multi-table sign-LSH index relation of the whole corpus: (vec_id,
+    * bucket) with table-namespaced bucket ids — the INDEX half of
+    * [[lshBucketRelations]] factored out so the ANN dedup path and the
+    * top-k path bucket identically (same plane family, same namespacing).
+    * Map-side only: one codegen'd column, no shuffle. */
+  def lshIndexRelation(spark: SparkSession, emb: DataFrame, tables: Int = 8,
+                       bits: Int = 4, seed: Long = 42L): DataFrame = {
+    GraftFunctions.register(spark)
+    val dimRow = emb.select(size(col("embedding"))).limit(1).collect()
+    if (dimRow.isEmpty)
+      return emb.select(col("vec_id"), lit(0).cast("int").as("bucket")).limit(0)
+    val planes = graft.functions.HyperplaneLsh.genPlanes(tables * bits, dimRow(0).getInt(0), seed)
+    emb.select(col("vec_id"),
+      explode(GraftFunctions.hyperplaneLsh(col("embedding"), planes, tables, bits)).as("bucket"))
+  }
+
+  /** Pair-recovery + exact-cosine verify + connected-components tail of
+    * [[semanticDedupAnn]], taking the bucket relation AS DATA — under
+    * Verify the dumped (vec_id, bucket) parquet feeds this directly and
+    * the DuckDB oracle replays the identical recovery, which makes the
+    * candidate join, the cosine verify, and the grouping oracle-checked
+    * (the bucketing function itself stays spec-covered: it IS the dumped
+    * relation — the ann_lsh_topk convention).
+    *
+    * `maxBucket > 0` applies the saturation cap of
+    * DedupOps.minhashLshPairs in identical form: bucket members ranked by
+    * vec_id, only the first maxBucket act as the index side, so candidate
+    * volume drops O(n_b²) → O(n_b·maxBucket) per bucket while a saturated
+    * cluster stays transitively connected (every later member pairs with
+    * the first ones). Default 0 = exact uncapped bucket join (the
+    * oracle-checked gate shape). */
+  def semanticDedupFromBuckets(spark: SparkSession, emb: DataFrame, buckets: DataFrame,
+                               tau: Double = 0.4, maxBucket: Int = 0): DataFrame = {
+    GraftFunctions.register(spark)
+    val aSide =
+      if (maxBucket <= 0) buckets
+      else buckets.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("bucket")).orderBy(col("vec_id"))))
+        .observe("sem_ann_buckets", max(col("rnk")).as("max_bucket_size"),
+          sum(when(col("rnk") > maxBucket, 1L).otherwise(0L)).as("overflow_rows"))
+        .filter(col("rnk") <= maxBucket)
+        .drop("rnk")
+    // candidate volume rides the run as a named observation (the
+    // lsh_band_join convention) so a degenerate bucket distribution is
+    // visible in the Bench artifact, never a silent OOM
+    val cand = aSide.as("a").join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .observe("sem_ann_bucket_join", count(lit(1)).as("cand_rows_pre_dedup"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    // exact verify at the same rounding as the exact path / oracle:
+    // precision is exact, only candidate RECALL is approximate
+    val pairs = cand
+      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("ea")), "a_id")
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")), "b_id")
+      .filter(round(cosineSim(col("ea"), col("eb")), 5) >= tau)
+      .select(col("a_id"), col("b_id"))
+    val comp = DedupOps.connectedComponents(pairs)
+    emb.select(col("vec_id"))
+      .join(comp.select(col("id").as("vec_id"), col("comp")), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("group_id"))
+      .withColumn("keep", col("vec_id") === col("group_id"))
+  }
+
+  /** The ANN scale path [[semanticDedup]]'s doc promises ("at 100 TB on a
+    * corpus too dense for the exact pair stage, swap in the ANN
+    * candidates"): candidate pairs come from the multi-table sign-LSH
+    * index — vectors sharing ANY table bucket — instead of the exact
+    * centroid-bucketed stage; every candidate is then verified by EXACT
+    * cosine at `tau` and grouped by the same connectedComponents tail.
+    * Output shape identical to semanticDedup: (vec_id, group_id, keep).
+    *
+    * Approximate ONLY in candidate recall: a pair at angle θ survives with
+    * 1 − (1 − (1 − θ/π)^bits)^tables (identical vectors always collide in
+    * every table, so exact duplicates are never missed); precision is
+    * exact. At scale the bucket self-join is the only pair stage —
+    * Σ_bucket n_b² rows, bounded by sizing `bits` to the corpus
+    * (autoTuneLsh's bits = log2(n/1000) rule) and, for degenerate
+    * near-constant corpora, by `maxBucket` (see
+    * [[semanticDedupFromBuckets]]). */
+  def semanticDedupAnn(spark: SparkSession, emb: DataFrame, tau: Double = 0.4,
+                       tables: Int = 8, bits: Int = 4, seed: Long = 42L,
+                       maxBucket: Int = 0): DataFrame =
+    semanticDedupFromBuckets(spark, emb,
+      lshIndexRelation(spark, emb, tables, bits, seed), tau, maxBucket)
+
   /** The quadratic all-pairs baseline (spec reference only — the bucketed
     * form above is the operator; this one exists to prove it exact). */
   def embeddingNearDupAllPairs(spark: SparkSession, emb: DataFrame, tau: Double = 0.4): DataFrame = {

@@ -373,6 +373,43 @@ object ScaleDedup {
         else s"FAIL: malformed=$malformed splitPairs=$split keeps=$keeps groups=$groups"
     }
 
+    // ---- SemDedup ANN scale path: same structural arithmetic; recall
+    // split by planted kind — EXACT pairs are identical vectors (sign-LSH
+    // collides in every table: recall MUST be 1.0), NEAR pairs ride the
+    // collision curve (1-(1-0.795^bits)^tables ≈ 0.98 at 8×4 for
+    // cos ≥ 0.8) so the check is a ≥0.9 floor plus the measured number in
+    // the artifact. Precision needs no sampling: the verify stage IS exact
+    // cosine, so only structure + recall are at stake. ----
+    if (enabled("dedup_semantic_ann")) {
+      val sa = recordAndDump("dedup_semantic_ann") {
+        SimilarityOps.semanticDedupAnn(spark, emb, tau = 0.8)
+      }
+      val malformed = sa.filter(col("group_id") > col("vec_id") ||
+        col("keep") =!= (col("vec_id") === col("group_id"))).count()
+      def groupedCount(kind: String) = {
+        val p = planted.filter(col("kind") === kind)
+          .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("ea")), "a_id")
+          .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")), "b_id")
+          .filter(round(GraftFunctions.cosineSim(col("ea"), col("eb")), 5) >= 0.8)
+          .select(col("a_id"), col("b_id"))
+        val together = p
+          .join(sa.select(col("vec_id").as("a_id"), col("group_id").as("ga")), "a_id")
+          .join(sa.select(col("vec_id").as("b_id"), col("group_id").as("gb")), "b_id")
+          .filter(col("ga") === col("gb")).count()
+        (together, p.count())
+      }
+      val (exTog, exAll) = groupedCount("exact")
+      val (nrTog, nrAll) = groupedCount("near")
+      val nearRecall = if (nrAll == 0) 1.0 else nrTog.toDouble / nrAll
+      val keeps = sa.filter(col("keep")).count()
+      val groups = sa.select(col("group_id")).distinct().count()
+      checks("dedup_semantic_ann") =
+        if (malformed == 0 && exTog == exAll && nearRecall >= 0.9 && keeps == groups)
+          f"PASS: $keeps survivors of $n, all $exAll exact planted grouped, near recall $nearRecall%.4f ($nrTog/$nrAll)"
+        else
+          f"FAIL: malformed=$malformed exact=$exTog/$exAll nearRecall=$nearRecall%.4f keeps=$keeps groups=$groups"
+    }
+
     // ---- quality classifier: distributed training at scale against a
     // corpus-derived planted rule. The synthetic corpus has per-doc hashed
     // topics (no shared stopword head — 98% of docs contain NONE of the

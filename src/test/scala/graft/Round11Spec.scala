@@ -226,4 +226,83 @@ class Round11Spec extends SparkSpecBase {
       "cached-SPI decode must equal the AudioSystem path row-for-row")
     finally MultimodalOps.forceAudioSystemSpi = false
   }
+
+  // ---- semanticDedupAnn (the ANN scale path of semanticDedup) ----
+
+  test("semanticDedupAnn: exactly-parallel cluster corpus — ANN output " +
+    "equals the exact path (recall structural: same-direction vectors " +
+    "share every LSH bucket; precision exact by the cosine verify)") {
+    import spark.implicits._
+    // 4 clusters of exactly-parallel vectors (scaled copies: cos = 1
+    // within, sign-LSH buckets identical by construction) on orthogonal-ish
+    // axes (cos = 0 across < tau — any accidental bucket collision is
+    // killed by the exact verify)
+    val dim = 8
+    val emb = (0L until 40L).map { i =>
+      val axis = (i % 4).toInt
+      val scale = 1.0f + (i / 4).toFloat
+      (i, Array.tabulate(dim)(d => if (d == axis * 2) scale else 0.0f))
+    }.toDF("vec_id", "embedding")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    val ann = norm(SimilarityOps.semanticDedupAnn(spark, emb))
+    val exact = norm(SimilarityOps.semanticDedup(spark, emb))
+    assert(exact.map(_._2).distinct.length == 4, "fixture must form 4 exact groups")
+    assert(ann == exact, "ANN path must equal the exact path on this corpus")
+  }
+
+  test("semanticDedupAnn: on the testdata corpus the ANN grouping REFINES " +
+    "the exact grouping (ANN pairs are a verified subset), shape invariants " +
+    "hold, and the dump-relation recovery is path-identical") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val ann = SimilarityOps.semanticDedupAnn(spark, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(ann.length == emb.count(), "one row per vector")
+    assert(ann.forall { case (id, g, k) => k == (id == g) && g <= id },
+      "keep <=> canonical, min-label group ids")
+    val exactGroup = SimilarityOps.semanticDedup(spark, emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ANN candidate pairs pass the same exact-cosine verify, so the ANN
+    // pair graph is a subgraph of the exact one: ANN components can only
+    // split exact components, never merge across them
+    val annGroups = ann.groupBy(_._2).values
+    assert(annGroups.forall(g => g.map(x => exactGroup(x._1)).distinct.length == 1),
+      "an ANN group must never span two exact groups")
+    assert(ann.exists { case (id, g, _) => id != g },
+      "testdata should contain semantic near-dups the ANN path finds")
+    // dump-relation recovery (the Verify shape) is the same computation
+    val viaDump = SimilarityOps.semanticDedupFromBuckets(spark, emb,
+      SimilarityOps.lshIndexRelation(spark, emb)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(viaDump == ann.sortBy(_._1).toSeq)
+  }
+
+  test("semanticDedupAnn maxBucket cap: degenerate all-identical corpus is " +
+    "bounded but still grouped into one component") {
+    import spark.implicits._
+    val emb = (0L until 50L).map(i =>
+      (i, Array.tabulate(8)(d => (d + 1).toFloat))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.semanticDedupAnn(spark, emb, maxBucket = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 50 && out.map(_._2).distinct.toSeq == Seq(0L),
+      "saturation pairing must keep the identical cluster in one component")
+  }
+
+  // ---- ppjoin pre-flight candidate budget ----
+
+  test("ngramJaccardPairsPrefix maxCandidates: a too-small budget fails " +
+    "fast with the measured bound; a generous budget changes nothing") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val ex = intercept[IllegalStateException] {
+      DedupOps.ngramJaccardPairsPrefix(docs, maxCandidates = 1L).count()
+    }
+    assert(ex.getMessage.contains("candidate bound") &&
+      ex.getMessage.contains("minhashLshPairs"),
+      s"guard message must carry the bound and the remediation: ${ex.getMessage}")
+    def pairs(budget: Long) =
+      DedupOps.ngramJaccardPairsPrefix(docs, maxCandidates = budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Long.MaxValue) == pairs(0L),
+      "an ample budget must be invisible in the output")
+  }
 }
