@@ -315,16 +315,34 @@ object SimilarityOps {
     * Approximate ONLY in candidate recall: a pair at angle θ survives with
     * 1 − (1 − (1 − θ/π)^bits)^tables (identical vectors always collide in
     * every table, so exact duplicates are never missed); precision is
-    * exact. At scale the bucket self-join is the only pair stage —
-    * Σ_bucket n_b² rows, bounded by sizing `bits` to the corpus
-    * (autoTuneLsh's bits = log2(n/1000) rule) and, for degenerate
-    * near-constant corpora, by `maxBucket` (see
-    * [[semanticDedupFromBuckets]]). */
+    * exact.
+    *
+    * SIZING — a SELF-join needs a different bits rule than top-k probing:
+    * candidate volume is tables·n²/2^(bits+1), so 2^bits must grow ∝ n to
+    * keep it LINEAR (the top-k rule bits = log2(n/1000) bounds candidates
+    * per QUERY and leaves the self-join quadratic — at 500 k vectors the
+    * 4-bit default spilled > 79 GB before dying; measured, not theory).
+    * `bits = 0` (default) auto-sizes to log2(n/32) clamped [4, 20]:
+    * ~32-member buckets ⇒ ~31·tables candidate partners per vector at any
+    * corpus size. Recall stays put for the dedup regime: at cos 0.99
+    * (θ ≈ 8.5°, p = 0.95/bit) 14 bits × 8 tables ⇒ 0.996; corpora whose
+    * duplicates sit at lower cosine need explicit (tables, bits) from the
+    * published curve. Pass bits > 0 to pin (the 0-arg gate shape at
+    * sf0.01 resolves to the same 4 bits either way). */
   def semanticDedupAnn(spark: SparkSession, emb: DataFrame, tau: Double = 0.4,
-                       tables: Int = 8, bits: Int = 4, seed: Long = 42L,
-                       maxBucket: Int = 0): DataFrame =
+                       tables: Int = 8, bits: Int = 0, seed: Long = 42L,
+                       maxBucket: Int = 0): DataFrame = {
+    val b = if (bits > 0) bits else selfJoinBits(emb.count())
     semanticDedupFromBuckets(spark, emb,
-      lshIndexRelation(spark, emb, tables, bits, seed), tau, maxBucket)
+      lshIndexRelation(spark, emb, tables, b, seed), tau, maxBucket)
+  }
+
+  /** The self-join bits rule (see [[semanticDedupAnn]] SIZING): ~32-member
+    * buckets ⇒ linear candidate volume. Public so the Verify dump path and
+    * harnesses bucket identically to the operator. */
+  def selfJoinBits(n: Long): Int =
+    math.max(4, math.min(20,
+      math.ceil(math.log(math.max(2.0, n / 32.0)) / math.log(2.0)).toInt))
 
   /** The quadratic all-pairs baseline (spec reference only — the bucketed
     * form above is the operator; this one exists to prove it exact). */

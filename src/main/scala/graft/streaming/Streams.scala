@@ -231,6 +231,58 @@ object Streams {
       .dropDuplicates("a_id", "b_id")
   }
 
+  /** Streaming sign-LSH SEMANTIC near-dup candidates over an embedding
+    * stream — the ingest-time twin of SimilarityOps.semanticDedupAnn's
+    * candidate stage, exactly as [[nearDupCandidates]] twins the MinHash
+    * batch op. Each arriving vector is bucketed MAP-SIDE by the same
+    * multi-table hyperplane family as the batch path
+    * (SimilarityOps.lshIndexRelation: same genPlanes(tables·bits, dim,
+    * seed), same table namespacing — candidates found by one are
+    * candidates under the other), then flatMapGroupsWithState keyed by
+    * bucket pairs it against every vector previously seen there.
+    *
+    * Emits CANDIDATES; exact-cosine verification joins the pair stream
+    * against the vector store per micro-batch (`foreachBatch`), for the
+    * same reason the MinHash twin defers Jaccard: embeddings belong in a
+    * store, not in per-bucket state × tables. `dim` is explicit — a
+    * streaming source cannot be sampled for it, and the plane family is a
+    * pure function of (tables·bits, dim, seed). State: one Long per vector
+    * per table; `maxBucket` saturation identical to the MinHash twin
+    * (stop accumulating, keep pairing). */
+  def semanticNearDupCandidates(vecs: DataFrame, dim: Int, tables: Int = 8,
+                                bits: Int = 4, seed: Long = 42L,
+                                maxBucket: Int = 4096): DataFrame = {
+    val session = vecs.sparkSession
+    import session.implicits._
+    graft.functions.GraftFunctions.register(session)
+    val planes = graft.functions.HyperplaneLsh.genPlanes(tables * bits, dim, seed)
+    val bucketed = vecs.select(col("vec_id"),
+        explode(graft.functions.GraftFunctions.hyperplaneLsh(
+          col("embedding"), planes, tables, bits)).as("bucket"))
+      .as[(Long, Int)]
+    bucketed
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[(Long, Int)], state: GroupState[List[Long]]) =>
+          val stored = state.getOption.getOrElse(Nil)
+          val fresh = rows.map(_._1).toSeq.distinct.sorted.filterNot(stored.contains)
+          val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+          var members = stored
+          fresh.foreach { id =>
+            members.foreach { m =>
+              out += (if (m < id) (m, id) else (id, m))
+            }
+            if (members.size < maxBucket) members ::= id
+          }
+          if (members ne stored) state.update(members)
+          out.iterator
+      }
+      .toDF("a_id", "b_id")
+      // cross-TABLE pair dedup — same forever-contract/footprint trade as
+      // the MinHash twin's cross-band dedup (see nearDupCandidates doc)
+      .dropDuplicates("a_id", "b_id")
+  }
+
   /** Horizon-bounded [[nearDupCandidates]]: pairs only docs whose event
     * times lie within `horizon` of each other, in exchange for BOUNDED
     * state — bucket members older than `watermark + horizon` can never

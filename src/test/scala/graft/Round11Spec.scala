@@ -272,7 +272,8 @@ class Round11Spec extends SparkSpecBase {
       "testdata should contain semantic near-dups the ANN path finds")
     // dump-relation recovery (the Verify shape) is the same computation
     val viaDump = SimilarityOps.semanticDedupFromBuckets(spark, emb,
-      SimilarityOps.lshIndexRelation(spark, emb)).collect()
+      SimilarityOps.lshIndexRelation(spark, emb,
+        bits = SimilarityOps.selfJoinBits(emb.count()))).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
     assert(viaDump == ann.sortBy(_._1).toSeq)
   }

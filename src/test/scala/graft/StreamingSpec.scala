@@ -500,6 +500,40 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming semantic near-dup candidates == batch sign-LSH bucket " +
+    "self-join; pairs form within and across micro-batches") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sfDir)
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding")))
+      .limit(1).collect()(0).getInt(0)
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = Streams.semanticNearDupCandidates(
+        input.toDF().toDF("vec_id", "embedding"), dim)
+      .writeStream.format("memory").queryName("sem_cand_t")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toSeq: _*); q.processAllAvailable()
+      input.addData(b2.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("sem_cand_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(spark.table("sem_cand_t").count() == streamed.size,
+        "stateful pair dedup must emit each pair exactly once")
+      val buckets = graft.ops.SimilarityOps.lshIndexRelation(spark, emb)
+      val batchCand = buckets.as("a").join(buckets.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id"), col("b.vec_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batchCand,
+        s"stream ${streamed.size} pairs vs batch ${batchCand.size}")
+      assert(streamed.nonEmpty, "testdata must collide somewhere")
+    } finally q.stop()
+  }
+
   test("streaming decontamination candidates == batch cross banding; " +
     "batch verified cross pairs are a subset; plan is stateless") {
     import org.apache.spark.sql.functions.col
