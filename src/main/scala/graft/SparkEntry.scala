@@ -612,10 +612,10 @@ object SparkEntry {
     "dedup_semantic_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       if (sys.props.contains("graft.fp.dump")) {
-        // same auto-sized bits as the operator, so the dumped relation IS
-        // the one the direct path buckets with
+        // same measured-walk bits as the operator, so the dumped relation
+        // IS the one the direct path buckets with
         SimilarityOps.lshIndexRelation(s, emb,
-            bits = SimilarityOps.selfJoinBits(emb.count()))
+            bits = SimilarityOps.selfJoinBitsMeasured(s, emb, 100000000L)._1)
           .coalesce(1).write.mode("overwrite").parquet(SemAnnBucketDumpDir)
         SimilarityOps.semanticDedupFromBuckets(s, emb, s.read.parquet(SemAnnBucketDumpDir))
       } else SimilarityOps.semanticDedupAnn(s, emb)

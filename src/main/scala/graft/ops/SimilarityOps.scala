@@ -318,31 +318,69 @@ object SimilarityOps {
     * exact.
     *
     * SIZING — a SELF-join needs a different bits rule than top-k probing:
-    * candidate volume is tables·n²/2^(bits+1), so 2^bits must grow ∝ n to
-    * keep it LINEAR (the top-k rule bits = log2(n/1000) bounds candidates
-    * per QUERY and leaves the self-join quadratic — at 500 k vectors the
-    * 4-bit default spilled > 79 GB before dying; measured, not theory).
-    * `bits = 0` (default) auto-sizes to log2(n/32) clamped [4, 20]:
-    * ~32-member buckets ⇒ ~31·tables candidate partners per vector at any
-    * corpus size. Recall stays put for the dedup regime: at cos 0.99
-    * (θ ≈ 8.5°, p = 0.95/bit) 14 bits × 8 tables ⇒ 0.996; corpora whose
-    * duplicates sit at lower cosine need explicit (tables, bits) from the
-    * published curve. Pass bits > 0 to pin (the 0-arg gate shape at
-    * sf0.01 resolves to the same 4 bits either way). */
+    * candidate volume is Σ_b n_b·(n_b−1)/2 summed over tables, so 2^bits
+    * must grow ∝ n to keep it LINEAR (the top-k rule bits = log2(n/1000)
+    * bounds candidates per QUERY and leaves the self-join quadratic — at
+    * 500 k vectors the 4-bit default spilled > 79 GB before dying;
+    * measured, not theory). And the uniform log2(n/32) seed is not enough
+    * on its own: real corpora bucket-skew (cluster-correlated occupancy —
+    * 3.3× the uniform bound at 5 M vectors, tools/SemAnnProbe), so
+    * `bits = 0` (default) sizes by MEASUREMENT: [[selfJoinBitsMeasured]]
+    * walks bits up from the seed until the exact bound fits
+    * `maxCandidatePairs` (one cheap aggregate per step — the operator
+    * never discovers its volume by spilling it). Recall falls as bits
+    * rise (per-table collision p^bits; at cos 0.99, p ≈ 0.95): the
+    * budget's recall price is the measured check, not a silent loss.
+    * Pass bits > 0 to pin (the 0-arg gate shape at sf0.01 resolves to the
+    * same 4 bits either way). */
   def semanticDedupAnn(spark: SparkSession, emb: DataFrame, tau: Double = 0.4,
                        tables: Int = 8, bits: Int = 0, seed: Long = 42L,
-                       maxBucket: Int = 0): DataFrame = {
-    val b = if (bits > 0) bits else selfJoinBits(emb.count())
+                       maxBucket: Int = 0,
+                       maxCandidatePairs: Long = 100000000L): DataFrame = {
+    val b = if (bits > 0) bits
+      else selfJoinBitsMeasured(spark, emb, maxCandidatePairs, tables, seed)._1
     semanticDedupFromBuckets(spark, emb,
       lshIndexRelation(spark, emb, tables, b, seed), tau, maxBucket)
   }
 
-  /** The self-join bits rule (see [[semanticDedupAnn]] SIZING): ~32-member
-    * buckets ⇒ linear candidate volume. Public so the Verify dump path and
-    * harnesses bucket identically to the operator. */
+  /** The self-join bits SEED rule (see [[semanticDedupAnn]] SIZING):
+    * ~32-member buckets under a uniformity assumption. Public so the
+    * Verify dump path and harnesses bucket identically to the operator. */
   def selfJoinBits(n: Long): Int =
     math.max(4, math.min(20,
       math.ceil(math.log(math.max(2.0, n / 32.0)) / math.log(2.0)).toInt))
+
+  /** MEASURED self-join sizing: the uniform seed rule underestimates real
+    * corpora — bucket occupancy is cluster-correlated, and the exact join
+    * bound Σ_b n_b·(n_b−1)/2 is whatever the corpus says it is (measured
+    * on the 5 M-vector synthetic corpus: 306 M pairs at 20 bits where
+    * uniform math predicts 92 M; max bucket 344 vs the uniform 4.8 —
+    * tools/SemAnnProbe). So size by MEASUREMENT: walk bits up from the
+    * seed until the bound fits `maxPairs`, each step one cheap
+    * count-aggregate over the map-side bucket relation (seconds), so the
+    * operator never discovers its candidate volume by spilling it to disk
+    * (the r11 5 M first attempt: > 80 GB of verify-sort spill, dead box).
+    * Deterministic — no sampling; same (tables, seed) as the join itself.
+    * Returns (bits, measuredBound). Recall falls as bits rise (per-table
+    * collision p^bits), so `maxPairs` is a THROUGHPUT budget whose recall
+    * price is visible: pick it per deployment (executor-disk aggregate),
+    * and let the measured-recall gate (ScaleDedup check line) be the
+    * arbiter. Walk cap 24 bits. */
+  def selfJoinBitsMeasured(spark: SparkSession, emb: DataFrame,
+                           maxPairs: Long, tables: Int = 8,
+                           seed: Long = 42L): (Int, Long) = {
+    def bound(bits: Int): Long = {
+      val row = lshIndexRelation(spark, emb, tables, bits, seed)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("nb"))
+        .agg(sum((col("nb") * (col("nb") - lit(1)) / lit(2)).cast("long")).as("b"))
+        .collect()(0)
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+    var bits = selfJoinBits(emb.count())
+    var b = bound(bits)
+    while (b > maxPairs && bits < 24) { bits += 2; b = bound(bits) }
+    (bits, b)
+  }
 
   /** The quadratic all-pairs baseline (spec reference only — the bucketed
     * form above is the operator; this one exists to prove it exact). */

@@ -381,6 +381,12 @@ object ScaleDedup {
     // the artifact. Precision needs no sampling: the verify stage IS exact
     // cosine, so only structure + recall are at stake. ----
     if (enabled("dedup_semantic_ann")) {
+      // default measured sizing: the walk charges its bound-measurement
+      // aggregates to the recorded op time — honest, the sizing IS part
+      // of the op at scale (see selfJoinBitsMeasured; the 100 M-pair
+      // default budget ≈ 55 GB through the verify sort, sized to a
+      // single-box harness disk; a cluster raises it per aggregate
+      // executor disk)
       val sa = recordAndDump("dedup_semantic_ann") {
         SimilarityOps.semanticDedupAnn(spark, emb, tau = 0.8)
       }

@@ -273,7 +273,7 @@ class Round11Spec extends SparkSpecBase {
     // dump-relation recovery (the Verify shape) is the same computation
     val viaDump = SimilarityOps.semanticDedupFromBuckets(spark, emb,
       SimilarityOps.lshIndexRelation(spark, emb,
-        bits = SimilarityOps.selfJoinBits(emb.count()))).collect()
+        bits = SimilarityOps.selfJoinBitsMeasured(spark, emb, 100000000L)._1)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
     assert(viaDump == ann.sortBy(_._1).toSeq)
   }
