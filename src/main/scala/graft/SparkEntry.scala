@@ -35,6 +35,11 @@ object SparkEntry {
   val LshBucketDumpDir = s"$DumpBase/graft_lsh_buckets"
   val LshProbeDumpDir = s"$DumpBase/graft_lsh_probes"
   val SemAnnBucketDumpDir = s"$DumpBase/graft_sem_ann_buckets"
+
+  /** SPARK_GRAFT_PPJOIN_BUDGET, accepting both integer and the
+    * scientific-notation form the docs use (2e8); 0/unset = guard off. */
+  private def ppjoinBudget: Long =
+    sys.env.get("SPARK_GRAFT_PPJOIN_BUDGET").map(_.trim.toDouble.toLong).getOrElse(0L)
   val RollingHashDumpDir = s"$DumpBase/graft_rolling_hashes"
   val HllRegDumpDir = s"$DumpBase/graft_hll_registers"
   val ApproxRegDumpDir = s"$DumpBase/graft_approx_registers"
@@ -361,7 +366,7 @@ object SparkEntry {
     // LSH/df-cap remediations instead of GC-killing the JVM (the sf10
     // saturated-vocabulary skip, NOTES_PERF r11).
     "dedup_jaccard_ppjoin" -> ((s, d) => DedupOps.ngramJaccardPairsPrefix(Tables.documents(s, d),
-      maxCandidates = sys.env.get("SPARK_GRAFT_PPJOIN_BUDGET").map(_.toLong).getOrElse(0L))),
+      maxCandidates = ppjoinBudget)),
     "multimodal_meta" -> ((s, d) => MultimodalOps.multimodalMeta(Tables.documents(s, d))),
     // REAL-decoder round trips: payloads are synthesized from closed-form
     // per-doc parameters, run through the actual JDK codecs / container
@@ -612,10 +617,11 @@ object SparkEntry {
     "dedup_semantic_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       if (sys.props.contains("graft.fp.dump")) {
-        // same measured-walk bits as the operator, so the dumped relation
-        // IS the one the direct path buckets with
+        // same measured-walk bits AND budget as the operator, so the
+        // dumped relation IS the one the direct path buckets with
         SimilarityOps.lshIndexRelation(s, emb,
-            bits = SimilarityOps.selfJoinBitsMeasured(s, emb, 100000000L)._1)
+            bits = SimilarityOps.selfJoinBitsMeasured(s, emb,
+              SimilarityOps.DefaultSemAnnPairBudget)._1)
           .coalesce(1).write.mode("overwrite").parquet(SemAnnBucketDumpDir)
         SimilarityOps.semanticDedupFromBuckets(s, emb, s.read.parquet(SemAnnBucketDumpDir))
       } else SimilarityOps.semanticDedupAnn(s, emb)

@@ -273,6 +273,21 @@ object SimilarityOps {
     * oracle-checked gate shape). */
   def semanticDedupFromBuckets(spark: SparkSession, emb: DataFrame, buckets: DataFrame,
                                tau: Double = 0.4, maxBucket: Int = 0): DataFrame = {
+    val pairs = semAnnCandidatePairs(spark, emb, buckets, tau, maxBucket)
+    val comp = DedupOps.connectedComponents(pairs)
+    emb.select(col("vec_id"))
+      .join(comp.select(col("id").as("vec_id"), col("comp")), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("group_id"))
+      .withColumn("keep", col("vec_id") === col("group_id"))
+  }
+
+  /** Candidate recovery + exact-cosine verify of [[semanticDedupFromBuckets]],
+    * factored so plan audits can assert on the OPERATOR's join (not a
+    * re-implementation): bucket equi-self-join (capped per `maxBucket`),
+    * stateless dedup, exact verify at `tau`. Returns verified (a_id, b_id). */
+  private[graft] def semAnnCandidatePairs(spark: SparkSession, emb: DataFrame,
+                                          buckets: DataFrame, tau: Double,
+                                          maxBucket: Int): DataFrame = {
     GraftFunctions.register(spark)
     val aSide =
       if (maxBucket <= 0) buckets
@@ -292,16 +307,11 @@ object SimilarityOps {
       .dropDuplicates("a_id", "b_id")
     // exact verify at the same rounding as the exact path / oracle:
     // precision is exact, only candidate RECALL is approximate
-    val pairs = cand
+    cand
       .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("ea")), "a_id")
       .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")), "b_id")
       .filter(round(cosineSim(col("ea"), col("eb")), 5) >= tau)
       .select(col("a_id"), col("b_id"))
-    val comp = DedupOps.connectedComponents(pairs)
-    emb.select(col("vec_id"))
-      .join(comp.select(col("id").as("vec_id"), col("comp")), Seq("vec_id"), "left")
-      .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("group_id"))
-      .withColumn("keep", col("vec_id") === col("group_id"))
   }
 
   /** The ANN scale path [[semanticDedup]]'s doc promises ("at 100 TB on a
@@ -336,12 +346,21 @@ object SimilarityOps {
   def semanticDedupAnn(spark: SparkSession, emb: DataFrame, tau: Double = 0.4,
                        tables: Int = 8, bits: Int = 0, seed: Long = 42L,
                        maxBucket: Int = 0,
-                       maxCandidatePairs: Long = 100000000L): DataFrame = {
+                       maxCandidatePairs: Long = DefaultSemAnnPairBudget): DataFrame = {
+    // with a maxBucket cap the join volume is bounded by the cap itself,
+    // so an over-budget measured bound is survivable — size best-effort
     val b = if (bits > 0) bits
-      else selfJoinBitsMeasured(spark, emb, maxCandidatePairs, tables, seed)._1
+      else selfJoinBitsMeasured(spark, emb, maxCandidatePairs, tables, seed,
+        allowOverBudget = maxBucket > 0)._1
     semanticDedupFromBuckets(spark, emb,
       lshIndexRelation(spark, emb, tables, b, seed), tau, maxBucket)
   }
+
+  /** Default candidate-pair budget for [[semanticDedupAnn]]'s measured
+    * sizing (~55 GB through the verify sort — a single-box disk; clusters
+    * raise it). Shared with the Verify dump path so the dumped bucket
+    * relation is sized exactly like the direct operator's. */
+  val DefaultSemAnnPairBudget: Long = 100000000L
 
   /** The self-join bits SEED rule (see [[semanticDedupAnn]] SIZING):
     * ~32-member buckets under a uniformity assumption. Public so the
@@ -365,10 +384,15 @@ object SimilarityOps {
     * collision p^bits), so `maxPairs` is a THROUGHPUT budget whose recall
     * price is visible: pick it per deployment (executor-disk aggregate),
     * and let the measured-recall gate (ScaleDedup check line) be the
-    * arbiter. Walk cap 24 bits. */
+    * arbiter. Walk cap 24 bits (the HyperplaneLsh limit); a corpus whose
+    * bound exceeds the budget even there (e.g. one giant identical-vector
+    * cluster — same-bucket in EVERY table at any bits) fails LOUDLY with
+    * the measured bound unless `allowOverBudget` (the maxBucket-capped
+    * caller, whose join volume the cap bounds regardless). */
   def selfJoinBitsMeasured(spark: SparkSession, emb: DataFrame,
                            maxPairs: Long, tables: Int = 8,
-                           seed: Long = 42L): (Int, Long) = {
+                           seed: Long = 42L,
+                           allowOverBudget: Boolean = false): (Int, Long) = {
     def bound(bits: Int): Long = {
       val row = lshIndexRelation(spark, emb, tables, bits, seed)
         .groupBy(col("bucket")).agg(count(lit(1)).as("nb"))
@@ -378,7 +402,14 @@ object SimilarityOps {
     }
     var bits = selfJoinBits(emb.count())
     var b = bound(bits)
-    while (b > maxPairs && bits < 24) { bits += 2; b = bound(bits) }
+    while (b > maxPairs && bits < 24) { bits = math.min(24, bits + 2); b = bound(bits) }
+    if (b > maxPairs && !allowOverBudget)
+      throw new IllegalStateException(
+        s"selfJoinBitsMeasured: candidate bound $b rows still exceeds the maxCandidatePairs " +
+        s"budget $maxPairs at the $bits-bit cap — the corpus has bucket mass no bit count " +
+        "subdivides (duplicate-heavy clusters collide in every table). Pass maxBucket > 0 " +
+        "to cap per-bucket pairing (connectivity survives transitively), raise the budget " +
+        "to your deployment's aggregate spill capacity, or pre-shard the corpus.")
     (bits, b)
   }
 

@@ -205,9 +205,16 @@ object ScaleDedup {
           s"surv=$surv want=${nCorpus - flagged}"
     }
 
-    // ---- ppjoin @ tau=0.5 (same claim, prefix+positional+sketch path) ----
+    // ---- ppjoin @ tau=0.5 (same claim, prefix+positional+sketch path).
+    // The pre-flight candidate budget is ARMED here like the sweep script
+    // (default 2e9, SPARK_GRAFT_PPJOIN_BUDGET overrides, 0 disarms): a
+    // too-dense corpus fails this one stage loudly with the measured
+    // bound instead of GC-killing the whole harness JVM. ----
     if (enabled("dedup_jaccard_ppjoin")) {
-      val pp = recordAndDump("dedup_jaccard_ppjoin") { DedupOps.ngramJaccardPairsPrefix(docs, tau = 0.5) }
+      val ppBudget = sys.env.get("SPARK_GRAFT_PPJOIN_BUDGET")
+        .map(_.trim.toDouble.toLong).getOrElse(2000000000L)
+      val pp = recordAndDump("dedup_jaccard_ppjoin") {
+        DedupOps.ngramJaccardPairsPrefix(docs, tau = 0.5, maxCandidates = ppBudget) }
       val ppMissed = plantedJ.filter(col("jacc") >= 0.5)
         .join(pp, Seq("a_id", "b_id"), "left_anti").count()
       val ppUnsound = pp

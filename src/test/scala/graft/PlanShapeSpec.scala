@@ -58,16 +58,15 @@ class PlanShapeSpec extends SparkSpecBase {
 
   test("semanticDedupAnn candidate stage is an equi-join on bucket — never " +
     "a nested loop (the pair graph feeding CC is checkpointed, so the plan " +
-    "to audit is the candidate/verify stage itself)") {
+    "to audit is the OPERATOR's candidate/verify stage, pre-CC)") {
     val emb = Tables.embeddings(spark, sfDir)
     val buckets = graft.ops.SimilarityOps.lshIndexRelation(spark, emb,
       bits = graft.ops.SimilarityOps.selfJoinBits(emb.count()))
-    import org.apache.spark.sql.functions.col
-    val cand = buckets.as("a").join(buckets.as("b"),
-      col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-    val plan = formatted(cand)
+    val pairs = graft.ops.SimilarityOps.semAnnCandidatePairs(
+      spark, emb, buckets, tau = 0.4, maxBucket = 0)
+    val plan = formatted(pairs)
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
-      s"bucket self-join must be an equi-join:\n$plan")
+      s"operator candidate/verify stage must stay equi-join bucketed:\n$plan")
   }
 
   test("q19: per-side bounds of the OR-of-ANDs predicate push into BOTH scans") {

@@ -273,7 +273,8 @@ class Round11Spec extends SparkSpecBase {
     // dump-relation recovery (the Verify shape) is the same computation
     val viaDump = SimilarityOps.semanticDedupFromBuckets(spark, emb,
       SimilarityOps.lshIndexRelation(spark, emb,
-        bits = SimilarityOps.selfJoinBitsMeasured(spark, emb, 100000000L)._1)).collect()
+        bits = SimilarityOps.selfJoinBitsMeasured(spark, emb,
+          SimilarityOps.DefaultSemAnnPairBudget)._1)).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
     assert(viaDump == ann.sortBy(_._1).toSeq)
   }
@@ -287,6 +288,26 @@ class Round11Spec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(out.length == 50 && out.map(_._2).distinct.toSeq == Seq(0L),
       "saturation pairing must keep the identical cluster in one component")
+  }
+
+  test("semanticDedupAnn budget: a duplicate-heavy corpus no bit count can " +
+    "subdivide fails LOUDLY at the walk cap; maxBucket > 0 is the escape " +
+    "hatch (cap-bounded join, best-effort sizing)") {
+    import spark.implicits._
+    // 400 identical vectors: same bucket in EVERY table at ANY bits —
+    // bound ~8*400*399/2 ≈ 638k pairs regardless of the walk
+    val emb = (0L until 400L).map(i =>
+      (i, Array.tabulate(8)(d => (d + 1).toFloat))).toDF("vec_id", "embedding")
+    val ex = intercept[IllegalStateException] {
+      SimilarityOps.semanticDedupAnn(spark, emb, maxCandidatePairs = 1000L).count()
+    }
+    assert(ex.getMessage.contains("candidate bound") && ex.getMessage.contains("maxBucket"),
+      s"must carry the measured bound and the remediation: ${ex.getMessage}")
+    // with the cap the same corpus completes and still groups fully
+    val out = SimilarityOps.semanticDedupAnn(spark, emb,
+        maxBucket = 5, maxCandidatePairs = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 400 && out.map(_._2).distinct.toSeq == Seq(0L))
   }
 
   // ---- ppjoin pre-flight candidate budget ----
