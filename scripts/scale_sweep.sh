@@ -24,14 +24,15 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
 done
 # 2m scan splits: the scaled corpora are one file per table; row-group-
 # granular splitting (see scaleup.py) needs maxPartitionBytes <= group size.
-# The ppjoin pre-flight budget is ARMED by default at sweep scale (2e9
-# candidate rows — comfortably above any honest corpus, far below the
-# saturated-vocabulary 64 GB GC-death regime): a too-dense corpus fails
+# The ppjoin pre-flight budget is ARMED by default at sweep scale (2e8
+# candidate rows — measured calibration: honest corpora bound well under
+# it at these scales (13.9M at 500k CorpusGen, 47.4M at the sf1 driver
+# corpus) while the saturated-vocabulary GC-death regime measured 492M): a too-dense corpus fails
 # the one query loudly with the measured bound instead of killing the
 # sweep JVM. Export SPARK_GRAFT_PPJOIN_BUDGET=0 to disarm.
 exec env SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} SPARK_GRAFT_NO_COALESCE=1 \
   SPARK_GRAFT_MAX_PARTITION_BYTES=${SPARK_GRAFT_MAX_PARTITION_BYTES:-2m} \
-  SPARK_GRAFT_PPJOIN_BUDGET=${SPARK_GRAFT_PPJOIN_BUDGET:-2000000000} \
+  SPARK_GRAFT_PPJOIN_BUDGET=${SPARK_GRAFT_PPJOIN_BUDGET:-200000000} \
   java $ADD_OPENS -Xmx"$MEM" \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CLASSES:/opt/spark/jars/*" graft.Verify "$SF_DIR" "$OUT"

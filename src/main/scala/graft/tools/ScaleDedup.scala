@@ -207,12 +207,15 @@ object ScaleDedup {
 
     // ---- ppjoin @ tau=0.5 (same claim, prefix+positional+sketch path).
     // The pre-flight candidate budget is ARMED here like the sweep script
-    // (default 2e9, SPARK_GRAFT_PPJOIN_BUDGET overrides, 0 disarms): a
-    // too-dense corpus fails this one stage loudly with the measured
-    // bound instead of GC-killing the whole harness JVM. ----
+    // (default 2e8, SPARK_GRAFT_PPJOIN_BUDGET overrides, 0 disarms) —
+    // calibrated by MEASUREMENT: honest corpora bound 13.9 M (500 k
+    // CorpusGen, probed budget=1) / 47.4 M (sf1 driver corpus, bench
+    // counter) while the saturated-vocabulary GC-death regime measured
+    // 492 M — a too-dense corpus fails this one stage loudly with the
+    // measured bound instead of GC-killing the whole harness JVM. ----
     if (enabled("dedup_jaccard_ppjoin")) {
       val ppBudget = sys.env.get("SPARK_GRAFT_PPJOIN_BUDGET")
-        .map(_.trim.toDouble.toLong).getOrElse(2000000000L)
+        .map(_.trim.toDouble.toLong).getOrElse(200000000L)
       val pp = recordAndDump("dedup_jaccard_ppjoin") {
         DedupOps.ngramJaccardPairsPrefix(docs, tau = 0.5, maxCandidates = ppBudget) }
       val ppMissed = plantedJ.filter(col("jacc") >= 0.5)
