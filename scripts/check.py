@@ -85,6 +85,21 @@ def main():
         print(f"ROWS-ONLY {name}: {n} rows")
         record(name, srows=n, err="no_oracle")
     if json_out:
+        # corpus stamp (the BENCH convention, judge r11 #10): counts, text
+        # bytes, and an order-invariant id fingerprint, so every re-record
+        # is attributable to a corpus generation without forensics. DuckDB's
+        # hash() differs from Spark's xxhash64, so the fields are suffixed —
+        # compare CORRECTNESS stamps with CORRECTNESS stamps.
+        try:
+            d = con.sql(f"SELECT count(*), sum(length(text)), sum(hash(doc_id))::hugeint"
+                        f" FROM read_parquet('{sf}/documents.parquet')").fetchone()
+            e = con.sql(f"SELECT count(*), sum(hash(vec_id))::hugeint"
+                        f" FROM read_parquet('{sf}/embeddings.parquet')").fetchone()
+            report["_corpus"] = {"docs": d[0], "text_bytes": int(d[1]),
+                                 "docs_fp_duckdb": str(d[2]),
+                                 "vecs": e[0], "vecs_fp_duckdb": str(e[1]), "sf_dir": sf}
+        except Exception as e:
+            report["_corpus"] = {"err": str(e)[:200]}
         json.dump(report, open(json_out, "w"), indent=2, sort_keys=True)
         print(f"report -> {json_out}")
     print(f"\n{n_pass} pass, {n_fail} fail")

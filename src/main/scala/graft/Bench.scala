@@ -153,11 +153,23 @@ object Bench {
       observed.asScala.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     }
-    println(String.format(Locale.ROOT,
+    val json = String.format(Locale.ROOT,
       """{"metric":"total","value":%.3f,"unit":"sec","queries":%s,"samples":%s,"plans":%s,"observed":%s,"corpus":%s,"sentinel":{"start_sec":%s,"end_sec":%s,"noisy":%b},"sf":"%s","runs":%d,"failed":%d}""",
       Double.box(total), qs, ss, ph, obs, corpusStamp(),
       fmt(sentinelStart), fmt(sentinelEnd),
-      Boolean.box(noisy), sfDir, Int.box(runs), Int.box(nFailed)))
+      Boolean.box(noisy), sfDir, Int.box(runs), Int.box(nFailed))
+    // The result JSON is printed BETWEEN fixed sentinel lines and also
+    // written to a stable file path: the consuming driver scrapes stdout,
+    // and trailing build-tool noise ("[success] Total time ...") made two
+    // consecutive round artifacts unparseable (parsed: null). The sentinels
+    // make the scrape unambiguous; the file makes it unnecessary.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_last.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] file dump failed: $e") }
+    println("GRAFT_BENCH_JSON_BEGIN")
+    println(json)
+    println("GRAFT_BENCH_JSON_END")
     spark.stop()
   }
 }

@@ -37,9 +37,16 @@ object SparkEntry {
   val SemAnnBucketDumpDir = s"$DumpBase/graft_sem_ann_buckets"
 
   /** SPARK_GRAFT_PPJOIN_BUDGET, accepting both integer and the
-    * scientific-notation form the docs use (2e8); 0/unset = guard off. */
+    * scientific-notation form the docs use (2e8). DEFAULT ARMED at the
+    * sweep scripts' measured calibration (2e8 candidate rows — honest
+    * corpora bound 13.9 M/47.4 M at 500 k/sf1 while the saturated-
+    * vocabulary GC-death regime measured 492 M): the gate corpus is tiny,
+    * so the pre-flight bound costs one cheap aggregate there, and the
+    * guard stays exercised on every Verify/Bench run instead of rotting
+    * sweep-only. Explicit 0 disarms. */
   private def ppjoinBudget: Long =
-    sys.env.get("SPARK_GRAFT_PPJOIN_BUDGET").map(_.trim.toDouble.toLong).getOrElse(0L)
+    sys.env.get("SPARK_GRAFT_PPJOIN_BUDGET").map(_.trim.toDouble.toLong)
+      .getOrElse(200000000L)
   val RollingHashDumpDir = s"$DumpBase/graft_rolling_hashes"
   val HllRegDumpDir = s"$DumpBase/graft_hll_registers"
   val ApproxRegDumpDir = s"$DumpBase/graft_approx_registers"
@@ -360,11 +367,11 @@ object SparkEntry {
           .select(col("doc_id"), col("rh"), col("n_chars"))
       } else TextAnalysis.rollingFingerprint(docs)
     }),
-    // SPARK_GRAFT_PPJOIN_BUDGET (candidate rows, 0/unset = off) arms the
-    // exact op's pre-flight volume guard for scale sweeps: a corpus too
-    // dense for the prefix join fails fast with the measured bound and the
-    // LSH/df-cap remediations instead of GC-killing the JVM (the sf10
-    // saturated-vocabulary skip, NOTES_PERF r11).
+    // The exact op's pre-flight volume guard is ARMED BY DEFAULT (2e8
+    // candidate rows; SPARK_GRAFT_PPJOIN_BUDGET overrides, 0 disarms): a
+    // corpus too dense for the prefix join fails fast with the measured
+    // bound and the LSH/df-cap remediations instead of GC-killing the JVM
+    // (the sf10 saturated-vocabulary skip, NOTES_PERF r11).
     "dedup_jaccard_ppjoin" -> ((s, d) => DedupOps.ngramJaccardPairsPrefix(Tables.documents(s, d),
       maxCandidates = ppjoinBudget)),
     "multimodal_meta" -> ((s, d) => MultimodalOps.multimodalMeta(Tables.documents(s, d))),

@@ -53,7 +53,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("synthetic_doc_text",
       exprs => SyntheticDocText(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].longValue()), "built-in")
+        exprs(2).eval().asInstanceOf[Number].longValue(),
+        if (exprs.length > 3) exprs(3).eval().asInstanceOf[Number].doubleValue()
+        else 0.0), "built-in")
     reg.createOrReplaceTempFunction("synthetic_embedding",
       exprs => SyntheticEmbedding(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),
@@ -170,10 +172,14 @@ object GraftFunctions {
     call_function("sorted_intersect_count", a, b)
 
   /** Deterministic synthetic-corpus text of doc `id` (planted-duplicate
-    * generation — see SyntheticCorpus). */
-  def syntheticDocText(id: Column, vocab: Int, seed: Long): Column =
+    * generation — see SyntheticCorpus; `stopFrac` > 0 adds the global
+    * stopword head, default bit-identical to the historical stream). */
+  def syntheticDocText(id: Column, vocab: Int, seed: Long,
+                       stopFrac: Double = 0.0): Column =
     call_function("synthetic_doc_text", id,
-      org.apache.spark.sql.functions.lit(vocab), org.apache.spark.sql.functions.lit(seed))
+      org.apache.spark.sql.functions.lit(vocab),
+      org.apache.spark.sql.functions.lit(seed),
+      org.apache.spark.sql.functions.lit(stopFrac))
 
   /** Deterministic synthetic embedding of vec `id` (planted clusters). */
   def syntheticEmbedding(id: Column, dim: Int, nClusters: Int, seed: Long): Column =

@@ -103,7 +103,24 @@ object SyntheticCorpus {
     * drop to the same-topic coin-flip tail. The FIRST token stays a draw
     * from the global head range so first-token blocking keeps natural
     * block sizes. */
-  def baseTokens(baseId: Long, vocab: Int, seed: Long): Array[String] = {
+  /** Size of the GLOBAL stopword head (see `stopFrac`). */
+  val StopVocab = 200
+
+  /** `stopFrac` > 0 adds a GLOBAL STOPWORD HEAD: each non-title token is,
+    * with that probability, drawn Zipf(1) from the first [[StopVocab]]
+    * vocabulary ranks WITHOUT the topic remap — shared by every document,
+    * like real text's "the/of/and" mass. This is the regime prefix-filtered
+    * similarity joins exist for: stopword shingles have corpus-scale df
+    * (the raw inverted-index pair bound grows ~quadratically with n) while
+    * content shingles stay per-topic rare (the df-ascending prefix selects
+    * them, so the prefix bound stays ~linear). The default 0.0 is
+    * BIT-IDENTICAL to the historical stream (the branch consumes no RNG
+    * draws), so every recorded artifact and reusable corpus dir stands.
+    * Planted ground truth is unaffected either way — roles copy/edit the
+    * realized base tokens, and the scale checks recompute per-pair
+    * similarity from the text. */
+  def baseTokens(baseId: Long, vocab: Int, seed: Long,
+                 stopFrac: Double = 0.0): Array[String] = {
     val rng = new Rng(mix(seed) ^ baseId * 0x2545f4914f6cdd1dL)
     val topicSeed = mix(seed * 131 + baseId)
     def mapRank(r: Int): Int = ((mix(topicSeed ^ r.toLong) >>> 33) % vocab).toInt
@@ -112,15 +129,21 @@ object SyntheticCorpus {
     // first token: uniform over the first vocab/10 ranks (title-key idiom)
     out(0) = word((rng.nextLong() >>> 33).toInt % math.max(1, vocab / 10))
     var i = 1
-    while (i < n) { out(i) = word(mapRank(zipfRank(rng.nextDouble(), vocab))); i += 1 }
+    while (i < n) {
+      out(i) =
+        if (stopFrac > 0 && rng.nextDouble() < stopFrac)
+          word(zipfRank(rng.nextDouble(), StopVocab)) // global head, unmapped
+        else word(mapRank(zipfRank(rng.nextDouble(), vocab)))
+      i += 1
+    }
     out
   }
 
   /** Full text of doc `id` with its role applied. */
-  def docText(id: Long, vocab: Int, seed: Long): String = {
+  def docText(id: Long, vocab: Int, seed: Long, stopFrac: Double = 0.0): String = {
     val role = (id % 10).toInt
     val base = if (role <= 2) id - role else id
-    val toks = baseTokens(base, vocab, seed)
+    val toks = baseTokens(base, vocab, seed, stopFrac)
     if (role == 2) {
       var t = 13
       while (t < toks.length) { toks(t) = uniqueToken(id, t); t += 67 }
@@ -180,14 +203,17 @@ object SyntheticCorpus {
 
 /** text of synthetic doc `id` (see SyntheticCorpus). CodegenFallback: runs
   * once at generation time, not in query hot paths. */
-case class SyntheticDocText(child: Expression, vocab: Int, seed: Long)
+case class SyntheticDocText(child: Expression, vocab: Int, seed: Long,
+                            stopFrac: Double = 0.0)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
   require(vocab >= 30, s"vocab=$vocab too small for distinct-doc guarantees")
+  require(stopFrac >= 0.0 && stopFrac < 1.0, s"stopFrac=$stopFrac out of [0,1)")
   override def inputTypes = Seq(LongType)
   override def dataType: DataType = StringType
   override def prettyName: String = "synthetic_doc_text"
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(SyntheticCorpus.docText(input.asInstanceOf[Long], vocab, seed))
+    UTF8String.fromString(
+      SyntheticCorpus.docText(input.asInstanceOf[Long], vocab, seed, stopFrac))
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -18,13 +18,16 @@ object CorpusGen {
 
   /** n synthetic documents with planted duplicate groups (see
     * SyntheticCorpus: per group of 10 ids — base, exact copy, near copy,
-    * 7 independents). */
+    * 7 independents). `stopFrac` > 0 adds the global stopword head (real-
+    * text df shape — the prefix-filter benchmarking regime); the default
+    * 0.0 is bit-identical to the historical corpora. */
   def documents(spark: SparkSession, n: Long, vocab: Int = 50000,
-                seed: Long = 6L, numPartitions: Int = 64): DataFrame = {
+                seed: Long = 6L, numPartitions: Int = 64,
+                stopFrac: Double = 0.0): DataFrame = {
     GraftFunctions.register(spark)
     spark.range(0, n, 1, numPartitions)
       .select(col("id").as("doc_id"),
-        GraftFunctions.syntheticDocText(col("id"), vocab, seed).as("text"))
+        GraftFunctions.syntheticDocText(col("id"), vocab, seed, stopFrac).as("text"))
       .withColumn("lang", lit("en"))
       .withColumn("source", concat(lit("synth"), pmod(col("doc_id"), lit(20))))
       .withColumn("n_chars", length(col("text")).cast("long"))

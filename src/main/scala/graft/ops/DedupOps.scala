@@ -267,6 +267,24 @@ object DedupOps {
       .observe("ngram_pairs", count(lit(1)).as("qualifying_pairs"))
   }
 
+  /** Exact self-join pair bound Σ c·(c−1)/2 over a per-key count relation,
+    * in INTEGER arithmetic end to end: the product runs in decimal(38,0)
+    * (a Long product silently overflows past c ≈ 3e9, and double division
+    * drops low bits past c ≈ 9.5e7 — exactly the saturated-df regime the
+    * budget guards exist for), the halving happens driver-side in BigInt,
+    * and a bound beyond Long range clamps to Long.MaxValue (any budget it
+    * is compared against fails anyway). Shared by the ppjoin pre-flight
+    * guard and SimilarityOps.selfJoinBitsMeasured. */
+  private[graft] def pairBound(counts: DataFrame, c: String): Long = {
+    val dec = col(c).cast("decimal(38,0)")
+    val row = counts.agg(sum(dec * (dec - lit(1))).as("b2")).collect()(0)
+    if (row.isNullAt(0)) 0L
+    else {
+      val half = BigInt(row.getDecimal(0).toBigInteger) / 2
+      if (half > Long.MaxValue) Long.MaxValue else half.toLong
+    }
+  }
+
   /** Exact n-gram Jaccard with PPJoin-style PREFIX FILTERING — the 100 TB
     * shape of the exact op (Xiao et al. 2008, "Efficient Similarity Joins
     * for Near Duplicate Detection"). Theorem: if J(a,b) ≥ τ, the
@@ -300,10 +318,7 @@ object DedupOps {
     // postings at any τ) instead of an unattributable executor OOM an hour
     // into a cluster job.
     if (maxCandidates > 0L) {
-      val row = prefix.groupBy(col("sg")).agg(count(lit(1)).as("dfp"))
-        .agg(sum((col("dfp") * (col("dfp") - lit(1)) / lit(2)).cast("long")).as("b"))
-        .collect()(0)
-      val boundL = if (row.isNullAt(0)) 0L else row.getLong(0)
+      val boundL = pairBound(prefix.groupBy(col("sg")).agg(count(lit(1)).as("dfp")), "dfp")
       if (boundL > maxCandidates) {
         prefix.unpersist()
         throw new IllegalStateException(

@@ -393,16 +393,23 @@ object SimilarityOps {
                            maxPairs: Long, tables: Int = 8,
                            seed: Long = 42L,
                            allowOverBudget: Boolean = false): (Int, Long) = {
-    def bound(bits: Int): Long = {
-      val row = lshIndexRelation(spark, emb, tables, bits, seed)
-        .groupBy(col("bucket")).agg(count(lit(1)).as("nb"))
-        .agg(sum((col("nb") * (col("nb") - lit(1)) / lit(2)).cast("long")).as("b"))
-        .collect()(0)
-      if (row.isNullAt(0)) 0L else row.getLong(0)
-    }
+    def bound(bits: Int): Long = DedupOps.pairBound(
+      lshIndexRelation(spark, emb, tables, bits, seed)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("nb")), "nb")
     var bits = selfJoinBits(emb.count())
     var b = bound(bits)
-    while (b > maxPairs && bits < 24) { bits = math.min(24, bits + 2); b = bound(bits) }
+    // Advisory mode (allowOverBudget — the maxBucket-capped caller, whose
+    // join volume the cap bounds regardless): keep walking only while each
+    // +2-bit step still HALVES the bound. Random bucket mass quarters per
+    // step (buckets ×4, E[pairs] ∝ n_b²); duplicate-heavy mass is
+    // irreducible (identical vectors collide at any bits), so a plateau
+    // means the walk cannot fit the budget and every further step is a
+    // wasted full-corpus aggregate — stop there instead of walking to the
+    // cap. Strict mode is unchanged: walk to the cap, then fail loud.
+    var prev = Long.MaxValue
+    while (b > maxPairs && bits < 24 && (!allowOverBudget || b <= prev / 2)) {
+      prev = b; bits = math.min(24, bits + 2); b = bound(bits)
+    }
     if (b > maxPairs && !allowOverBudget)
       throw new IllegalStateException(
         s"selfJoinBitsMeasured: candidate bound $b rows still exceeds the maxCandidatePairs " +
@@ -754,15 +761,22 @@ object SimilarityOps {
     if (cs.isEmpty) return cs
     val dim = cs.head.length
     for (_ <- 1 to iters) {
+      // The driver pull per iteration is the MODEL ITSELF (k×dim summed
+      // partials — irreducible for a driver-held model), but it is
+      // STREAMED, not collected: toLocalIterator fills the dense arrays
+      // one partition at a time, so the driver's peak is the k×dim double
+      // arrays plus one partition of rows — at k=65k, dim=1024 that is
+      // ~0.5 GB of model versus the ~6 GB of Row-object overhead a
+      // collect() of 67 M rows would add on top of it.
       val partials = emb.select(
           nearestCentroids(col("embedding"), cs, 1)(0).as("cluster"),
           posexplode(col("embedding")).as(Seq("d", "v")))
         .groupBy(col("cluster"), col("d"))
         .agg(sum(col("v").cast("double")).as("sv"), count(lit(1)).as("cnt"))
-        .collect()
+        .toLocalIterator()
       val acc = Array.ofDim[Double](cs.length, dim)
       val cnt = new Array[Long](cs.length)
-      partials.foreach { r =>
+      partials.forEachRemaining { r =>
         acc(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
         cnt(r.getInt(0)) = r.getLong(3)
       }

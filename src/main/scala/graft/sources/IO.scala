@@ -64,22 +64,45 @@ object IO {
     // listStatus returns for children — one spelling per path in the audit
     if (!rootSt.isDirectory) seeds += ((rootSt.getPath.toString, false, false))
     else {
-      var frontier = List(rootSt.getPath)
-      var done = false
-      while (!done) {
-        val expanded = frontier.flatMap { d =>
-          seeds += ((d.toString, true, false))
-          fs0.listStatus(d).toSeq.map(c => (c.getPath, c.isDirectory))
+      // Breadth-first, one directory at a time, each listed through
+      // listStatusIterator (RemoteIterator — HDFS-like stores stream the
+      // listing in pages). The children are buffered only up to the
+      // remaining seed budget: a directory whose listing pages past it is
+      // ABANDONED mid-stream and handed to the executors as an expand
+      // seed, so one flat directory with 10^7 direct children costs the
+      // driver one page past the budget — never an array of all children
+      // (the exact pathology HAR/compaction tooling exists for; the old
+      // listStatus call materialized it in the driver heap).
+      val frontier = scala.collection.mutable.Queue(rootSt.getPath)
+      var handOff = false // frontier already covers `partitions` subtrees
+      while (frontier.nonEmpty) {
+        val d = frontier.dequeue()
+        if (handOff) seeds += ((d.toString, true, true))
+        else {
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(org.apache.hadoop.fs.Path, Boolean)]
+          var overflow = false
+          try {
+            val it = fs0.listStatusIterator(d)
+            while (!overflow && it.hasNext) {
+              val c = it.next()
+              buf += ((c.getPath, c.isDirectory))
+              if (seeds.size + frontier.size + buf.size > maxDriverSeeds)
+                overflow = true
+            }
+          } catch { case scala.util.control.NonFatal(_) =>
+            overflow = true // let the task relist it and row the failure
+          }
+          if (overflow) seeds += ((d.toString, true, true))
+          else {
+            seeds += ((d.toString, true, false))
+            buf.foreach { case (p, isDir) =>
+              if (isDir) frontier.enqueue(p)
+              else seeds += ((p.toString, false, false))
+            }
+            if (frontier.size >= partitions) handOff = true
+          }
         }
-        val (dirs, files) = expanded.partition(_._2)
-        files.foreach { case (p, _) => seeds += ((p.toString, false, false)) }
-        if (dirs.isEmpty) { done = true; frontier = Nil }
-        else if (dirs.size >= partitions ||
-                 seeds.size + dirs.size > maxDriverSeeds) {
-          // hand the remaining subtrees to the executors
-          dirs.foreach { case (p, _) => seeds += ((p.toString, true, true)) }
-          done = true; frontier = Nil
-        } else frontier = dirs.map(_._1)
       }
     }
     val confB = spark.sparkContext.broadcast(
@@ -110,23 +133,49 @@ object IO {
         }
         it.flatMap { case (pStr, isDir, expand) =>
           if (!expand) Iterator.single(applyOps(pStr, isDir, null))
+          else if (!isDir) Iterator.single(applyOps(pStr, false, null))
           else {
-            // streaming per-task BFS: the queue holds only not-yet-emitted
-            // entries (bounded by directory fanout, not subtree size)
-            val q = scala.collection.mutable.Queue[(String, Boolean)]((pStr, isDir))
+            // Streaming POST-ORDER DFS over a stack of OPEN directory
+            // listings (listStatusIterator — one RemoteIterator per
+            // ancestor, O(tree depth) memory, pages streamed by the
+            // FileSystem). The old queue-BFS enqueued a directory's whole
+            // child array before emitting anything, so one flat directory
+            // with 10^7 children materialized in this task's heap. A
+            // directory's own ops are applied only after its listing is
+            // fully drained (post-order), which preserves the
+            // children-before-parent-metadata contract PAGE BY PAGE: a
+            // mode change dropping execute permission cannot break the
+            // directory's own in-flight listing or orphan its subtree
+            // within this task. A listing failure (open or mid-page) is
+            // recorded on the directory's audit row, per the contract.
+            class Frame(val path: String) {
+              var err: String = _
+              val lst: org.apache.hadoop.fs.RemoteIterator[
+                  org.apache.hadoop.fs.FileStatus] =
+                try fs.listStatusIterator(new org.apache.hadoop.fs.Path(path))
+                catch { case scala.util.control.NonFatal(e) =>
+                  err = s"listStatus failed: $e"; null }
+              /** next child, or null when drained / failed (failure is
+                * recorded once and the listing treated as exhausted). */
+              def fetch(): org.apache.hadoop.fs.FileStatus =
+                try { if (lst != null && lst.hasNext) lst.next() else null }
+                catch { case scala.util.control.NonFatal(e) =>
+                  if (err == null) err = s"listStatus failed: $e"; null }
+            }
+            val stack = scala.collection.mutable.Stack(new Frame(pStr))
             new scala.collection.AbstractIterator[
                 (String, Boolean, Boolean, Boolean, Boolean, String)] {
-              def hasNext: Boolean = q.nonEmpty
+              def hasNext: Boolean = stack.nonEmpty
               def next(): (String, Boolean, Boolean, Boolean, Boolean, String) = {
-                val (p, d) = q.dequeue()
-                var listErr: String = null
-                if (d) {
-                  try fs.listStatus(new org.apache.hadoop.fs.Path(p))
-                    .foreach(c => q.enqueue((c.getPath.toString, c.isDirectory)))
-                  catch { case scala.util.control.NonFatal(e) =>
-                    listErr = s"listStatus failed: $e" }
+                var out: (String, Boolean, Boolean, Boolean, Boolean, String) = null
+                while (out == null) {
+                  val top = stack.top
+                  val c = top.fetch()
+                  if (c == null) { stack.pop(); out = applyOps(top.path, true, top.err) }
+                  else if (c.isDirectory) stack.push(new Frame(c.getPath.toString))
+                  else out = applyOps(c.getPath.toString, false, null)
                 }
-                applyOps(p, d, listErr)
+                out
               }
             }
           }

@@ -205,16 +205,22 @@ object Streams {
         (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
          state: GroupState[List[Long]]) =>
           val stored = state.getOption.getOrElse(Nil)
+          // membership probes go through a Set built ONCE per invocation —
+          // per-arrival List.contains is O(|bucket|), i.e. ~16 M comparisons
+          // per micro-batch for one saturated 4096-member bucket; the state
+          // stays a List (schema-stable, cheap to persist)
+          val storedSet = stored.toSet
           // distinct+sorted: a doc re-sent in the same batch pairs once
-          val fresh = rows.map(_._1).toSeq.distinct.sorted.filterNot(stored.contains)
+          val fresh = rows.map(_._1).toSeq.distinct.sorted.filterNot(storedSet)
           val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
           var members = stored
+          var nMembers = stored.size // List.size is O(n) — track it once
           fresh.foreach { id =>
             members.foreach { m =>
               out += (if (m < id) (m, id) else (id, m))
             }
             // saturated buckets stop growing but keep pairing (see doc)
-            if (members.size < maxBucket) members ::= id
+            if (nMembers < maxBucket) { members ::= id; nMembers += 1 }
           }
           if (members ne stored) state.update(members)
           out.iterator
@@ -265,14 +271,17 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Int, rows: Iterator[(Long, Int)], state: GroupState[List[Long]]) =>
           val stored = state.getOption.getOrElse(Nil)
-          val fresh = rows.map(_._1).toSeq.distinct.sorted.filterNot(stored.contains)
+          // O(1) membership + tracked size — see nearDupCandidates
+          val storedSet = stored.toSet
+          val fresh = rows.map(_._1).toSeq.distinct.sorted.filterNot(storedSet)
           val out = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
           var members = stored
+          var nMembers = stored.size
           fresh.foreach { id =>
             members.foreach { m =>
               out += (if (m < id) (m, id) else (id, m))
             }
-            if (members.size < maxBucket) members ::= id
+            if (nMembers < maxBucket) { members ::= id; nMembers += 1 }
           }
           if (members ne stored) state.update(members)
           out.iterator
@@ -336,18 +345,21 @@ object Streams {
             }
             Iterator.empty
           } else {
+            // O(1) membership + tracked size — see nearDupCandidates
+            val keptIds = kept.iterator.map(_._1).toSet
             val fresh = rows.map(r => (r._1, r._4.getTime)).toSeq
               .distinct.sortBy(r => (r._2, r._1))
-              .filterNot { case (id, _) => kept.exists(_._1 == id) }
+              .filterNot { case (id, _) => keptIds(id) }
             val out = scala.collection.mutable.ListBuffer.empty[(Long, Long, Timestamp)]
             var members = kept
+            var nMembers = kept.size
             fresh.foreach { case (id, t) =>
               members.foreach { case (m, mt) =>
                 if (math.abs(t - mt) <= hMs)
                   out += (if (m < id) (m, id, new Timestamp(math.max(t, mt)))
                           else (id, m, new Timestamp(math.max(t, mt))))
               }
-              if (members.size < maxBucket) members ::= ((id, t))
+              if (nMembers < maxBucket) { members ::= ((id, t)); nMembers += 1 }
             }
             state.update(members)
             state.setTimeoutTimestamp(math.max(members.map(_._2).max + hMs, wm + 1))

@@ -65,6 +65,33 @@ object ScaleDedup {
     GraftFunctions.register(spark)
     import spark.implicits._
 
+    // Named observations (Dataset.observe counters inside operators — the
+    // ppjoin candidate-stage counters, lsh_band_join, sem_ann_bucket_join)
+    // captured per execution and dumped under "observed", exactly as Bench
+    // does: the scale artifact carries the prefix-filter's measured
+    // selectivity, not just wall time. Accumulator-based, zero extra jobs.
+    val observed = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      private def fmtVal(v: Any): String = v match {
+        case null => "null"
+        case n: Long => n.toString
+        case n: Int => n.toString
+        case n: Double => String.format(java.util.Locale.ROOT, "%.6g", Double.box(n))
+        case s => "\"" + s.toString.replace("\"", "'") + "\""
+      }
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (obsName, row) =>
+          val fields = row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+            "\"" + f + "\":" + fmtVal(row.get(i)) }.mkString("{", ",", "}")
+          observed.put(obsName, fields)
+        }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    })
+
     // ---- generate once, materialize to parquet, re-read (ops must scan
     // real files, not re-run the generator inside their plans) ----
     val reuse = sys.env.get("SPARK_GRAFT_SCALE_REUSE").contains("1") &&
@@ -120,6 +147,16 @@ object ScaleDedup {
       System.gc()
       out
     }
+    /** Budget-guarded stages throw IllegalStateException by design (the
+      * pre-flight volume guards fail LOUD); containing the failure to the
+      * one stage — FAIL check line, remaining ops still run — is this
+      * wrapper's job, not the guard's. Without it a too-dense corpus
+      * aborts the harness JVM and loses every downstream op's evidence. */
+    def guarded(name: String)(body: => Unit): Unit =
+      try body catch { case scala.util.control.NonFatal(e) =>
+        checks(name) = s"FAIL: ${e.toString.replace("\n", " ").take(400)}"
+        System.err.println(s"[scale] $name FAILED (contained): $e")
+      }
 
     // ---- dedup_exact: planted arithmetic is the full ground truth ----
     if (enabled("dedup_exact")) {
@@ -213,7 +250,7 @@ object ScaleDedup {
     // counter) while the saturated-vocabulary GC-death regime measured
     // 492 M — a too-dense corpus fails this one stage loudly with the
     // measured bound instead of GC-killing the whole harness JVM. ----
-    if (enabled("dedup_jaccard_ppjoin")) {
+    if (enabled("dedup_jaccard_ppjoin")) guarded("dedup_jaccard_ppjoin") {
       val ppBudget = sys.env.get("SPARK_GRAFT_PPJOIN_BUDGET")
         .map(_.trim.toDouble.toLong).getOrElse(200000000L)
       val pp = recordAndDump("dedup_jaccard_ppjoin") {
@@ -229,6 +266,41 @@ object ScaleDedup {
       checks("dedup_jaccard_ppjoin") =
         if (ppMissed == 0 && ppUnsound == 0) s"PASS: ${pp.count()} pairs sound, planted recall 1.0"
         else s"FAIL: missed=$ppMissed unsound=$ppUnsound"
+      // The prefix filter's SELECTION, measured: the raw inverted-index
+      // pair bound Σ df·(df−1)/2 over the FULL shingle relation — compare
+      // against the prefix join's actual output rows in the artifact's
+      // "observed" block (ppjoin_prefix_join; the listener fills it
+      // asynchronously, so the comparison lives in the dumped JSON, not
+      // here). On a realistic-vocabulary corpus the ratio is the filter's
+      // whole value proposition.
+      checks("ppjoin_selectivity") = "raw_inverted_pair_bound=" +
+        DedupOps.pairBound(
+          hvRel.select(explode(col("hv")).as("sg"))
+            .groupBy(col("sg")).agg(count(lit(1)).as("df")), "df") +
+        " (vs observed.ppjoin_prefix_join)"
+    }
+
+    // ---- exact inverted-index n-gram Jaccard @ tau=0.5 — the prefix op's
+    // UNFILTERED sibling (gate query dedup_ngram_jaccard, uncapped df as
+    // in the gate shape): posting-join volume is the raw Σ df·(df−1)/2
+    // with no prefix selection, so green here means the exact token-level
+    // pair family scales on this corpus WITHOUT the cap crutch; the
+    // ppjoin_selectivity line above prices what the prefix filter saves. ----
+    if (enabled("dedup_ngram_jaccard")) guarded("dedup_ngram_jaccard") {
+      val ng = recordAndDump("dedup_ngram_jaccard") {
+        DedupOps.ngramJaccardPairs(docs, tau = 0.5) }
+      val ngMissed = plantedJ.filter(col("jacc") >= 0.5)
+        .join(ng, Seq("a_id", "b_id"), "left_anti").count()
+      val ngUnsound = ng
+        .join(hvRel.select(col("doc_id").as("a_id"), col("hv").as("ha")), "a_id")
+        .join(hvRel.select(col("doc_id").as("b_id"), col("hv").as("hb")), "b_id")
+        .withColumn("inter", GraftFunctions.sortedIntersectCount(col("ha"), col("hb")))
+        .withColumn("j2", round(col("inter") / (size(col("ha")) + size(col("hb")) - col("inter")), 6))
+        .filter(col("j2") < 0.5 || col("j2") =!= col("jacc")).count()
+      checks("dedup_ngram_jaccard") =
+        if (ngMissed == 0 && ngUnsound == 0)
+          s"PASS: ${ng.count()} pairs sound, planted recall 1.0"
+        else s"FAIL: missed=$ngMissed unsound=$ngUnsound"
     }
 
     lazy val fps = DedupOps.simhashFingerprints(docs)
@@ -390,7 +462,7 @@ object ScaleDedup {
     // cos ≥ 0.8) so the check is a ≥0.9 floor plus the measured number in
     // the artifact. Precision needs no sampling: the verify stage IS exact
     // cosine, so only structure + recall are at stake. ----
-    if (enabled("dedup_semantic_ann")) {
+    if (enabled("dedup_semantic_ann")) guarded("dedup_semantic_ann") {
       // default measured sizing: the walk charges its bound-measurement
       // aggregates to the recorded op time — honest, the sizing IS part
       // of the op at scale (see selfJoinBitsMeasured; the 100 M-pair
@@ -661,12 +733,32 @@ object ScaleDedup {
         s"lev worst block=$levBlock (nsub=${math.max(1L, (levBlock + 511) / 512)})"
     }
 
+    // corpus stamp (the Bench convention): counts, text bytes, and an
+    // order-invariant id fingerprint, so every number in the artifact is
+    // attributable to a corpus fingerprint without forensics
+    val corpus = try {
+      def fp(c: org.apache.spark.sql.Column) =
+        sum(xxhash64(c).cast("decimal(38,0)")).cast("string")
+      val d = docs.agg(count(lit(1)), sum(length(col("text"))), fp(col("doc_id"))).head()
+      val e = emb.agg(count(lit(1)), fp(col("vec_id"))).head()
+      s"""{"docs":${d.getLong(0)},"text_bytes":${d.getLong(1)},""" +
+      s""""docs_fp":"${d.getString(2)}","vecs":${e.getLong(0)},""" +
+      s""""vecs_fp":"${e.getString(1)}"}"""
+    } catch { case ex: Throwable =>
+      "\"err: " + ex.toString.replace("\"", "'") + "\"" }
+    val obsJson = {
+      import scala.jdk.CollectionConverters._
+      observed.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    }
     val total = times.values.filter(_ >= 0).sum
     val json = new StringBuilder
     json.append("{\"metric\":\"scale_dedup\",\"value\":")
       .append(f"$total%.3f")
       .append(",\"unit\":\"sec\",\"n_docs\":").append(n)
       .append(",\"generate_sec\":").append(f"$genSec%.3f")
+      .append(",\"corpus\":").append(corpus)
+      .append(",\"observed\":").append(obsJson)
       .append(",\"runs\":").append(runs)
       .append(",\"oracle\":\"planted ground truth + per-pair recomputation (DuckDB all-pairs oracle deliberately skipped: quadratic in the oracle, not the operator)\"")
       .append(",\"queries\":{")
