@@ -29,7 +29,13 @@ object CorpusGen {
       .select(col("id").as("doc_id"),
         GraftFunctions.syntheticDocText(col("id"), vocab, seed, stopFrac).as("text"))
       .withColumn("lang", lit("en"))
-      .withColumn("source", concat(lit("synth"), pmod(col("doc_id"), lit(20))))
+      // source VALUES follow the driver corpus's "src<N>" naming, not just
+      // its schema: mixture/curation operators (and their oracles) parse
+      // the source index at a fixed offset (TextAnalysis.mixtureKeep,
+      // substr(source, 4)) — the old "synth<N>" spelling made every
+      // source-parsing query fail on generated corpora (found by the r12
+      // sf10 sweep: CAST_INVALID_INPUT on 'th15').
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20))))
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
