@@ -120,11 +120,24 @@ object Bench {
       } catch { case _: Throwable => "err" }
 
     // JVM/codegen warmup on the configured dataset (not reported) — the
-    // flagship entry() hardcodes its own dir, which may not exist here
+    // flagship entry() hardcodes its own dir, which may not exist here.
+    // Warm until the sentinel STABILIZES (two consecutive samples within
+    // 1.5×, cap 6 runs): a fresh 32-thread JVM spends its first ~minute
+    // JIT-compiling the scan/codegen stack (measured: 45 s for a q1 whose
+    // warm cost is 1.2 s, sf10 r12), and a sentinel sampled during that
+    // infancy reads as "host load shifted mid-suite" — a false noisy flag
+    // on an idle host. Extra warm runs cost seconds once actually warm.
     val sentinelName = "q1_pricing_summary"
-    runOnce(sentinelName)
-    // sentinel sample AFTER warmup: the comparable start-of-suite number
-    val sentinelStart = runOnce(sentinelName)
+    var warmPrev = runOnce(sentinelName)
+    var sentinelStart = runOnce(sentinelName)
+    var warmTries = 0
+    while (warmTries < 4 && warmPrev > 0 && sentinelStart > 0 &&
+           math.max(warmPrev, sentinelStart) /
+             math.min(warmPrev, sentinelStart) > 1.5) {
+      warmPrev = sentinelStart
+      sentinelStart = runOnce(sentinelName)
+      warmTries += 1
+    }
 
     // Same subset knobs as Verify — the sf10 sweep benches the TPC-H/events
     // families only (documents/embeddings can't scale past the
