@@ -25,6 +25,11 @@ object SparkEntry {
     * path is baked into the static SQL, so it must be stable across runs). */
   val SimhashFpDumpDir = s"$DumpBase/graft_simhash_fp"
 
+  /** dedup_simhash_idf's Verify-mode fingerprint dump — same contract as
+    * [[SimhashFpDumpDir]], separate path so the two simhash gate queries
+    * never clobber each other's dumps within one Verify run. */
+  val SimhashIdfFpDumpDir = s"$DumpBase/graft_simhash_idf_fp"
+
   /** Verify-mode bucket/probe relation dumps for the two bucketed ANN
     * variants — same materialize-and-reread pattern as the simhash dump:
     * the Spark result is recomputed FROM these relations and the oracle
@@ -283,6 +288,18 @@ object SparkEntry {
           .write.mode("overwrite").parquet(SimhashFpDumpDir)
         DedupOps.simhashPairsFromFingerprints(s.read.parquet(SimhashFpDumpDir))
       } else DedupOps.simhashPairs(docs)
+    }),
+    // Idf-weighted twin: same dump pattern, the oracle brute-forces
+    // all-pairs hamming over the WEIGHTED fingerprint relation (weight
+    // computation itself is spec-covered; what the oracle proves is that
+    // the banding stage recalls every within-radius pair of these fps).
+    "dedup_simhash_idf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      if (sys.props.contains("graft.fp.dump")) {
+        DedupOps.simhashIdfFingerprints(docs).coalesce(1)
+          .write.mode("overwrite").parquet(SimhashIdfFpDumpDir)
+        DedupOps.simhashPairsFromFingerprints(s.read.parquet(SimhashIdfFpDumpDir))
+      } else DedupOps.simhashIdfPairs(docs)
     }),
     "embedding_neardup" -> ((s, d) => SimilarityOps.embeddingNearDup(s, Tables.embeddings(s, d))),
     "ann_bruteforce_topk" -> ((s, d) => SimilarityOps.bruteForceTopK(s, Tables.embeddings(s, d))),
@@ -2131,6 +2148,13 @@ object SparkEntry {
     "dedup_simhash" ->
       s"""WITH fp AS (SELECT doc_id, fp
            FROM read_parquet('$SimhashFpDumpDir/*.parquet'))
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.fp, b.fp)) AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.fp, b.fp)) <= 6""",
+    "dedup_simhash_idf" ->
+      s"""WITH fp AS (SELECT doc_id, fp
+           FROM read_parquet('$SimhashIdfFpDumpDir/*.parquet'))
          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            bit_count(xor(a.fp, b.fp)) AS hamming
          FROM fp a JOIN fp b ON a.doc_id < b.doc_id

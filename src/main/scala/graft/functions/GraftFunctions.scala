@@ -28,6 +28,10 @@ object GraftFunctions {
         exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("simhash64_weighted",
+      exprs => SimHashWeighted(exprs(0), evalStrings(exprs(1)),
+        evalDoubles(exprs(2)).toSeq,
+        exprs(3).eval().asInstanceOf[Number].doubleValue()), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",
       exprs => MinHashSignature(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
@@ -315,6 +319,18 @@ object GraftFunctions {
 
   /** 64-bit SimHash fingerprint of an array<string> token column. */
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  /** WEIGHTED 64-bit SimHash: token t votes ±weight(t) per bit lane; tokens
+    * absent from the table vote ±defaultWeight. The (word, weight) table
+    * folds into the expression's model state at resolution (bounded-model
+    * pattern — see SimHashWeighted). Empty table + default 1.0 is
+    * bit-identical to [[simhash64]]. */
+  def simhash64Weighted(tokens: Column, words: Seq[String],
+                        weights: Seq[Double], defaultWeight: Double): Column =
+    call_function("simhash64_weighted", tokens,
+      org.apache.spark.sql.functions.typedlit(words),
+      org.apache.spark.sql.functions.typedlit(weights),
+      org.apache.spark.sql.functions.lit(defaultWeight))
 
   /** Distributed bloom-filter build over a LONG hash column (one blob out;
     * see BloomBuildAgg). Pair with [[bloomMightContain]]. */

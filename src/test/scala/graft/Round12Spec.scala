@@ -151,4 +151,72 @@ class Round12Spec extends SparkSpecBase {
     * (/tmp/graft_scale/n500000, generated before the stopFrac branch
     * landed); the branch must not consume RNG draws when stopFrac == 0. */
   private val StreamPin = 1710657010
+
+  test("weighted simhash is a strict generalization: empty table + default " +
+    "1.0 is bit-identical to simhash64") {
+    val docs = CorpusGen.documents(spark, 300, numPartitions = 2,
+      stopFrac = 0.25)
+    val diff = docs.select(
+        graft.functions.GraftFunctions.simhash64(
+          TextOps.tokens(col("text"))).as("a"),
+        graft.functions.GraftFunctions.simhash64Weighted(
+          TextOps.tokens(col("text")), Nil, Nil, 1.0).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0, s"$diff docs fingerprint differently under ±1.0 votes")
+  }
+
+  test("idf-weighted simhash on a stopword-head corpus: unrelated docs " +
+    "DECORRELATE (the 300s sf10 artifact), planted pairs stay recalled") {
+    val n = 2000L
+    val docs = CorpusGen.documents(spark, n, numPartitions = 4,
+      stopFrac = 0.25).persist()
+    val un = DedupOps.simhashFingerprints(docs).withColumnRenamed("fp", "fp_un")
+    val wt = DedupOps.simhashIdfFingerprints(docs).withColumnRenamed("fp", "fp_wt")
+    val both = un.join(wt, "doc_id").persist()
+    // independent probe pairs: group positions 3..9 are mutual independents;
+    // (g+3, g+4) samples one independent pair per group
+    val a = both.filter(pmod(col("doc_id"), lit(10)) === 3)
+      .select((col("doc_id") + 1).as("doc_id"),
+        col("fp_un").as("ua"), col("fp_wt").as("wa"))
+    val indep = a.join(both, "doc_id").select(
+      graft.functions.GraftFunctions.hamming64(col("ua"), col("fp_un")).as("h_un"),
+      graft.functions.GraftFunctions.hamming64(col("wa"), col("fp_wt")).as("h_wt"))
+      .agg(avg(col("h_un")).as("mu_un"), avg(col("h_wt")).as("mu_wt"))
+      .head()
+    val (muUn, muWt) = (indep.getDouble(0), indep.getDouble(1))
+    // the failure mode being fixed: the shared stopword head drags
+    // unrelated fingerprints together (mean hamming well under the ~32 of
+    // independent 64-bit words); idf weighting must restore separation
+    assert(muWt > muUn,
+      s"idf weighting did not decorrelate independents: un=$muUn wt=$muWt")
+    assert(muWt >= 24,
+      s"weighted independent-pair mean hamming too low: $muWt (un=$muUn)")
+    // planted recall through the same banding machinery (radius 6):
+    // exact copies are fp-identical by construction; near copies share
+    // their content mass so idf weighting must keep them in-radius
+    val planted = CorpusGen.plantedPairs(spark, n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val found = DedupOps.simhashPairsFromFingerprints(
+        wt.withColumnRenamed("fp_wt", "fp"), maxHamming = 6)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exacts = planted.filter(_._3 == "exact")
+    assert(exacts.forall(p => found.contains((p._1, p._2))),
+      "every planted exact pair must be found (hamming 0)")
+    val nears = planted.filter(_._3 == "near")
+    val nearRecall = nears.count(p => found.contains((p._1, p._2))).toDouble /
+      math.max(1, nears.length)
+    assert(nearRecall >= 0.9, s"near planted recall $nearRecall < 0.9")
+    // and the cost claim: at the same radius the weighted fingerprints
+    // yield FEWER total pairs (the unweighted false cross-topic mass is
+    // exactly what made the sf10 hamming-ball stage quadratic)
+    val unPairs = DedupOps.simhashPairsFromFingerprints(
+      un.withColumnRenamed("fp_un", "fp"), maxHamming = 6).count()
+    assert(found.size * 2 <= unPairs,
+      s"weighted pair volume ${found.size} should undercut unweighted " +
+        s"$unPairs by at least 2x (measured 3x at this n/stopFrac)")
+    info(f"indep mean hamming: un=$muUn%.1f wt=$muWt%.1f; " +
+      f"near recall=$nearRecall%.4f; pairs: wt=${found.size} un=$unPairs")
+    both.unpersist(); docs.unpersist()
+  }
 }
