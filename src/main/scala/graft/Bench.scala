@@ -65,22 +65,29 @@ object Bench {
     }
 
     /** Corpus stamp: doc/row counts, total text bytes, and an
-      * order-invariant distributed fingerprint (sum of xxhash64(doc_id) —
-      * no collect, no sort) for the two driver-regenerated tables. Exists
-      * so a driver-side corpus regeneration is attributable from two BENCH
-      * artifacts alone (fingerprint flips ⇒ data moved), instead of
-      * costing a round of plan-hash forensics. */
+      * order-invariant distributed fingerprint (sum of xxhash64 over id AND
+      * content — no collect, no sort) for the two driver-regenerated
+      * tables. Exists so a driver-side corpus regeneration is attributable
+      * from two BENCH artifacts alone (fingerprint flips ⇒ data moved),
+      * instead of costing a round of plan-hash forensics. CONTENT is part
+      * of the hash since r12: the original id-only form collided across
+      * corpora that shared ids 0..n-1 but differed in every text byte (the
+      * suite-dir and ScaleDedup 500 k corpora — caught comparing their
+      * artifacts), which is precisely the flip the stamp exists to show.
+      * Stamps are comparable to pre-r12 artifacts only via counts +
+      * text_bytes. */
     def corpusStamp(): String =
       try {
         import org.apache.spark.sql.functions._
         // hash sum in decimal(38,0): long-sum of 2^63-scale hashes overflows
         // immediately under ANSI; 38 digits absorb ~10^19 rows
-        def fp(c: org.apache.spark.sql.Column) =
-          sum(xxhash64(c).cast("decimal(38,0)")).cast("string")
+        def fp(cs: org.apache.spark.sql.Column*) =
+          sum(xxhash64(cs: _*).cast("decimal(38,0)")).cast("string")
         val d = Tables.documents(spark, sfDir)
-          .agg(count(lit(1)), sum(length(col("text"))), fp(col("doc_id"))).head()
+          .agg(count(lit(1)), sum(length(col("text"))),
+            fp(col("doc_id"), col("text"))).head()
         val e = Tables.embeddings(spark, sfDir)
-          .agg(count(lit(1)), fp(col("vec_id"))).head()
+          .agg(count(lit(1)), fp(col("vec_id"), col("embedding"))).head()
         s"""{"docs":${d.getLong(0)},"text_bytes":${d.getLong(1)},""" +
         s""""docs_fp":"${d.getString(2)}","vecs":${e.getLong(0)},""" +
         s""""vecs_fp":"${e.getString(1)}"}"""

@@ -329,6 +329,41 @@ object ScaleDedup {
       else s"FAIL: missed=$simMissed unsound=$simUnsound"
     }
 
+    // ---- idf-weighted simhash (r12): same banding soundness against the
+    // WEIGHTED fingerprint relation — recall is defined w.r.t. the pairs
+    // within radius of these fps (the banding claim), hammings recomputed
+    // per pair; exact planted copies are fp-identical so their recall is a
+    // hard 1.0 under any weighting ----
+    if (enabled("dedup_simhash_idf")) {
+      val fpw = DedupOps.simhashIdfFingerprints(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val simw = record("dedup_simhash_idf") {
+        DedupOps.simhashPairsFromFingerprints(fpw)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val plantedHw = planted
+        .join(fpw.select(col("doc_id").as("a_id"), col("fp").as("fa")), "a_id")
+        .join(fpw.select(col("doc_id").as("b_id"), col("fp").as("fb")), "b_id")
+        .withColumn("h", GraftFunctions.hamming64(col("fa"), col("fb")))
+      val withinW = plantedHw.filter(col("h") <= 6)
+      val missedW = withinW.select(col("a_id"), col("b_id"))
+        .join(simw, Seq("a_id", "b_id"), "left_anti").count()
+      val unsoundW = simw
+        .join(fpw.select(col("doc_id").as("a_id"), col("fp").as("fa")), "a_id")
+        .join(fpw.select(col("doc_id").as("b_id"), col("fp").as("fb")), "b_id")
+        .filter(GraftFunctions.hamming64(col("fa"), col("fb")) =!= col("hamming") ||
+          col("hamming") > 6).count()
+      val exactMissedW = planted.filter(col("kind") === "exact")
+        .select(col("a_id"), col("b_id"))
+        .join(simw, Seq("a_id", "b_id"), "left_anti").count()
+      val pwW = withinW.count()
+      checks("dedup_simhash_idf") =
+        if (missedW == 0 && unsoundW == 0 && exactMissedW == 0)
+          s"PASS: ${simw.count()} pairs, all $pwW planted-within-radius found " +
+            "(exact planted all at hamming 0), hammings recomputed"
+        else s"FAIL: missed=$missedW unsound=$unsoundW exactMissed=$exactMissedW"
+      fpw.unpersist()
+    }
+
     // ---- levenshtein prefix dedup: planted share identical 48-char
     // prefixes AND first tokens → all planted pairs must appear at dist 0 ----
     if (enabled("dedup_levenshtein")) {
@@ -734,13 +769,16 @@ object ScaleDedup {
     }
 
     // corpus stamp (the Bench convention): counts, text bytes, and an
-    // order-invariant id fingerprint, so every number in the artifact is
-    // attributable to a corpus fingerprint without forensics
+    // order-invariant id+CONTENT fingerprint, so every number in the
+    // artifact is attributable to a corpus fingerprint without forensics
+    // (content in the hash since r12 — the id-only form collided across
+    // same-id corpora with different text, see Bench.corpusStamp)
     val corpus = try {
-      def fp(c: org.apache.spark.sql.Column) =
-        sum(xxhash64(c).cast("decimal(38,0)")).cast("string")
-      val d = docs.agg(count(lit(1)), sum(length(col("text"))), fp(col("doc_id"))).head()
-      val e = emb.agg(count(lit(1)), fp(col("vec_id"))).head()
+      def fp(cs: org.apache.spark.sql.Column*) =
+        sum(xxhash64(cs: _*).cast("decimal(38,0)")).cast("string")
+      val d = docs.agg(count(lit(1)), sum(length(col("text"))),
+        fp(col("doc_id"), col("text"))).head()
+      val e = emb.agg(count(lit(1)), fp(col("vec_id"), col("embedding"))).head()
       s"""{"docs":${d.getLong(0)},"text_bytes":${d.getLong(1)},""" +
       s""""docs_fp":"${d.getString(2)}","vecs":${e.getLong(0)},""" +
       s""""vecs_fp":"${e.getString(1)}"}"""
