@@ -398,7 +398,13 @@ object SparkEntry {
     "audio_decode" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.functions.round
+      // repartition the 8-byte ids BEFORE the synth+decode map: the corpus
+      // is a single parquet row group (unsplittable — the scan is ONE task
+      // at any core count, guide §2.5 "input skew"), and the decode cost is
+      // per-row CPU that must spread; the shuffle moves ids only, never
+      // payloads (§8: decide/spread on light rows, move heavy bytes once).
       val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
         .map(id => MultimodalOps.MediaRecord(id,
           MultimodalOps.synthWav((100 + id % 400).toInt, 8000f, ((id % 9) + 1) / 10.0),
           "audio"))
@@ -410,7 +416,10 @@ object SparkEntry {
     "video_meta" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.functions.round
+      // id-only repartition before the synth+parse map — single-row-group
+      // input, one scan task otherwise (§2.5); ids are 8 bytes/row
       val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
         .map { id =>
           val w = 160 + 16 * (id % 20).toInt
           val h = 120 + 16 * (id % 15).toInt
@@ -437,8 +446,12 @@ object SparkEntry {
       // bound — 1/10 of the docs keeps hundreds of decoded frames of
       // coverage without the suite paying ~30k JPEG encodes (oracle filter
       // matches)
-      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
-        .filter(_ % 10 == 0)
+      // column-level filter (codegen, no typed deserialization) + id-only
+      // repartition before the JPEG encode+decode map (§2.5 — the scan is
+      // one task on this single-row-group corpus)
+      val media = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 0).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
         .map { id =>
           val w = 48 + 16 * (id % 4).toInt
           val h = 32 + 16 * (id % 3).toInt
@@ -462,8 +475,14 @@ object SparkEntry {
     "video_frames_bridge" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.functions.round
-      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
-        .filter(_ < 200L)
+      // doc_id < 200 as a COLUMN predicate (pushes into the parquet scan —
+      // PushedFilters row-group skipping at scale, §6) and an id-only
+      // repartition so the 200 subprocess spawns run across every core
+      // instead of serially in the single scan task (§2.5): measured 2.56 s
+      // → the spawn cost /= cores
+      val media = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 200L).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
         .map(id => MultimodalOps.MediaRecord(id,
           Array.tabulate(((id % 400) + 100).toInt)(i => (i * 7 + id).toByte), "video"))
       MultimodalOps.decodeVideoFramesFfmpeg(s, media, bin = FfmpegFixtureBin,
@@ -482,8 +501,11 @@ object SparkEntry {
     "image_resize" -> ((s, d) => {
       import s.implicits._
       import org.apache.spark.sql.functions.round
-      val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
-        .filter(_ % 10 == 0)
+      // same shape as video_frames: column filter + id-only repartition
+      // before the PNG encode/decode map (§2.5)
+      val media = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 0).as[Long]
+        .repartition(s.sparkContext.defaultParallelism)
         .map { id =>
           val w = 40 + 16 * (id % 7).toInt
           val h = 24 + 16 * (id % 5).toInt

@@ -174,21 +174,24 @@ object DedupOps {
     // (doc_id, pos, h, text): text rides along UNSHUFFLED (whole-stage
     // codegen keeps it a per-input-row local) so the verify stage can slice
     // the window string for candidates only, after the bloom filter.
-    val winsAscii = longEnough
-      .filter(octet_length(col("text")) === length(col("text")))
+    // ASCII docs (byte==char positions) take the byte-rolling hash;
+    // multibyte docs take the rolling CHAR-window hash (one pass over the
+    // bytes, no per-window substr allocation) — each char-window hash
+    // equals poly_hash64 of the window substring by construction, so both
+    // paths land in one dup-detection hash space (spec-pinned in
+    // SubstringDedupSpec). The two paths are ONE conditional expression in
+    // ONE scan branch (CaseWhen evaluates lazily per row), not a
+    // union of two filtered scans: this relation is consumed twice
+    // (dup-hash detection, then the bloom-gated candidate pass), so the
+    // union shape paid FOUR corpus scans per query where two suffice —
+    // at 100 TB each scan is a full corpus pass.
+    val winHashes = when(octet_length(col("text")) === length(col("text")),
+        GraftFunctions.rollingWindowHashes(col("text"), L))
+      .otherwise(GraftFunctions.rollingCharWindowHashes(col("text"), L))
+    val wins = longEnough
       .select(col("doc_id"), col("text"),
-        posexplode(GraftFunctions.rollingWindowHashes(col("text"), L)).as(Seq("pos0", "h")))
+        posexplode(winHashes).as(Seq("pos0", "h")))
       .select(col("doc_id"), col("text"), (col("pos0") + 1).as("pos"), col("h"))
-    // multibyte docs: rolling CHAR-window hashes (one pass over the bytes,
-    // no per-window substr allocation) — each hash equals poly_hash64 of
-    // the window substring by construction, so both paths land in one
-    // dup-detection hash space (spec-pinned in SubstringDedupSpec)
-    val winsMb = longEnough
-      .filter(octet_length(col("text")) =!= length(col("text")))
-      .select(col("doc_id"), col("text"),
-        posexplode(GraftFunctions.rollingCharWindowHashes(col("text"), L)).as(Seq("pos0", "h")))
-      .select(col("doc_id"), col("text"), (col("pos0") + 1).as("pos"), col("h"))
-    val wins = winsAscii.unionByName(winsMb)
     val cand =
       if (bloomPrefilter) {
         val dupH = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
@@ -714,7 +717,8 @@ object DedupOps {
     * Convergence test is a scalar isEmpty — no data is collected to the
     * driver. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          localEdgeMax: Long = DefaultCcLocalEdges): DataFrame = {
     // setCheckpointDir is SESSION-GLOBAL: blindly setting it would silently
     // redirect reliable checkpoints of every other job sharing this
     // SparkSession. Only set when none is configured; otherwise keep the
@@ -742,6 +746,52 @@ object DedupOps {
     val edges = truncate(
       pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
         .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
+    // SMALL-GRAPH FAST PATH: "the minimum id reachable through the pair
+    // graph" is algorithm-independent, so when the (already-checkpointed)
+    // edge relation fits a bounded driver budget, a driver-side union-find
+    // produces the IDENTICAL labelling in one collect instead of ~10
+    // propagate rounds × (join + agg + checkpoint + check) driver actions
+    // — at bench SF that was ~90 of dedup_semantic's 97 Spark jobs. The
+    // budget is edges-count-gated (default 2 M directed edge rows ≈ tens
+    // of MB on the driver, SPARK_GRAFT_CC_LOCAL_EDGES overrides; the count
+    // itself is a one-stage scan of the checkpoint) with the distributed
+    // loop below as the unchanged any-scale fallback — the same
+    // bounded-collect-or-distributed split as dedupParagraphs'
+    // broadcastDropMax. Long-id graphs only (every in-repo pair relation);
+    // anything else takes the loop.
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && localEdgeMax > 0 && edges.count() <= localEdgeMax) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      // one collect job (toLocalIterator would pay one fetch job per
+      // checkpoint partition); bounded by the edge-count gate above
+      edges.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      // two passes: root → component minimum, then id → that minimum
+      val compMin = new java.util.HashMap[Long, Long]()
+      parent.forEach { (id, _) =>
+        val r = find(id)
+        val m = compMin.getOrDefault(r, Long.MaxValue)
+        if (id < m) compMin.put(r, id)
+      }
+      val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.forEach { (id, _) => rows += ((id, compMin.get(find(id)))) }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return rows.toSeq.toDF("id", "comp")
+    }
     var labels = truncate(edges.select(col("src").as("id"))
       .distinct()
       .withColumn("comp", col("id")))
@@ -768,33 +818,70 @@ object DedupOps {
       l.join(parent, col("comp") === col("p_id"), "left")
         .select(col("id"), coalesce(col("p_comp"), col("comp")).as("comp"))
     }
+    // Convergence via a MONOTONE CHECKSUM instead of a next-vs-old join:
+    // labels are non-increasing per id (propagate takes min including the
+    // own label; shortcut replaces a label by that label's own label, which
+    // is ≤ it) and the id set is constant across rounds, so Σ comp strictly
+    // decreases on any change and is constant exactly at the fixpoint. The
+    // check is then one single-stage aggregate over the just-checkpointed
+    // relation (decimal(38,0) — exact at any id magnitude / corpus size)
+    // instead of a 2-sided join+filter action: measured at sf0.1 this and
+    // the per-round loop below cut dedup_semantic's driver round trips
+    // ~2-3× (the old shape ran 2 propagate+shortcut rounds per check to
+    // amortize the join; with a ~free check, checking EVERY round converges
+    // shallow near-clique graphs — the common case, diameter 1-3 — in
+    // 2 rounds instead of 4).
+    def compSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    var prev = compSum(labels)
     var iter = 0
+    var batch = 1
     var converged = false
     while (!converged && iter < maxIter) {
-      // two propagate+shortcut rounds per convergence check: halves the
-      // blocking driver actions (each one pays scheduling latency), and a
-      // converged labelling is a fixed point so the extra round is a no-op.
-      // No-change of the composite implies no change from propagate alone
-      // (both steps are monotone non-increasing), and a propagate fixpoint
-      // is full convergence — labels constant across every edge.
-      val next = truncate(shortcut(propagate(shortcut(propagate(labels)))))
-      converged = next.as("n")
-        .join(labels.as("o"), "id")
-        .filter(col("n.comp") =!= col("o.comp"))
-        .isEmpty
-      labels = next
-      iter += 2
+      // `batch` propagate+shortcut rounds per checkpoint+check: the FIRST
+      // check comes after ONE round — near-dup pair graphs are near-cliques
+      // (diameter 1-3), so the common case converges in two driver actions
+      // — and every later check after TWO rounds, which bounds the
+      // overshoot past the fixpoint to one round on deep chained graphs
+      // (low-τ semantic graphs run ~10+ rounds; at scale an overshoot
+      // round is a real edge-shuffle, so unbounded batching would trade
+      // driver latency for wasted cluster work). No-change of the
+      // composite implies no change from propagate alone (both steps are
+      // monotone non-increasing), and a propagate fixpoint is full
+      // convergence — labels constant across every edge.
+      var next = labels
+      var r = 0
+      while (r < batch && iter + r < maxIter) {
+        next = shortcut(propagate(next)); r += 1
+      }
+      val t = truncate(next)
+      val s = compSum(t)
+      converged =
+        if (prev == null || s == null) prev == null && s == null
+        else prev.compareTo(s) == 0
+      labels = t
+      prev = s
+      iter += r
+      batch = 2
     }
     // a silently partial labelling would split one true component into
     // several groups with no signal — convergence is part of the contract.
-    // maxIter is a ROUND BUDGET including the ~2 confirmation rounds that
+    // maxIter is a ROUND BUDGET including the confirmation round(s) that
     // observe no change; with pointer jumping a component of diameter d
-    // needs ~log2(d) + 2 rounds (rounds run in pairs, budget an even
-    // number), so the default 50 covers any graph that fits on disk.
+    // needs ~log2(d) + 1 rounds, so the default 50 covers any graph that
+    // fits on disk.
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within the $maxIter-round budget — raise maxIter")
     labels
   }
+
+  /** Default edge budget for [[connectedComponents]]'s driver union-find
+    * fast path (0 disarms; SPARK_GRAFT_CC_LOCAL_EDGES overrides): 2 M
+    * directed edge rows ≈ tens of MB on the driver — the bounded-collect-
+    * or-distributed split of dedupParagraphs' broadcastDropMax, sized per
+    * deployment. */
+  def DefaultCcLocalEdges: Long = sys.env.get("SPARK_GRAFT_CC_LOCAL_EDGES")
+    .map(_.trim.toLong).getOrElse(2000000L)
 
   /** "Rooted at" = equal or a proper child PATH after URI normalization —
     * never a raw substring match, which would let requested /tmp/a match an
@@ -1172,18 +1259,7 @@ object DedupOps {
     val nDirty = dropSets.count()
     cand.unpersist()
     if (nDirty == 0) return cleanRebuild(framedArr)
-    // Stage 3: map-side corpus split on a bloom over contaminated doc_ids.
-    // FP docs take the join path, find no drop set, and rebuild in full —
-    // output-exact either way; only the cost is probabilistic.
-    val docBits = math.min(1L << 30, math.max(1024L, nDirty * bitsPerKey)).toInt
-    val docBlob = dropSets
-      .agg(GraftFunctions.bloomBuild(xxhash64(col("doc_id")), docBits, numHashes)
-        .as("blob"))
-      .head().getAs[Array[Byte]](0)
-    val isDirty = GraftFunctions.bloomMightContain(xxhash64(col("doc_id")), docBlob)
-    val clean = cleanRebuild(framedArr.filter(!isDirty))
-    val dropRel = if (nDirty <= broadcastDropMax) broadcast(dropSets) else dropSets
-    val dirty = framedArr.filter(isDirty)
+    def rebuildWithDrops(docs0: DataFrame, dropRel: DataFrame): DataFrame = docs0
       .join(dropRel, Seq("doc_id"), "left")
       .withColumn("di", coalesce(col("drop_idx"), array().cast("array<int>")))
       .withColumn("kept", filter(col("paras"),
@@ -1191,7 +1267,29 @@ object DedupOps {
       .select(col("doc_id"), size(col("paras")).cast("long").as("n_paras"),
         (size(col("paras")) - size(col("kept"))).cast("long").as("n_dropped"),
         array_join(col("kept"), " ").as("text_clean"))
-    clean.unionByName(dirty)
+    if (nDirty <= broadcastDropMax) {
+      // Stage 3, broadcast shape: ONE corpus pass — every doc left-joins
+      // the broadcast drop-set relation map-side (a doc with no drop set
+      // keeps all paragraphs, which is row-identical to the clean-branch
+      // rebuild). The previous bloom-split form cost an extra driver
+      // action (the doc-id bloom build) and a SECOND corpus scan for the
+      // clean branch, to avoid a join the broadcast makes map-side anyway.
+      rebuildWithDrops(framedArr, broadcast(dropSets))
+    } else {
+      // Stage 3, big-drop-set shape: map-side corpus split on a bloom over
+      // contaminated doc_ids, so only the (bloom-FP-inflated) dirty slice
+      // pays the shuffle join against the non-broadcastable drop relation.
+      // FP docs take the join path, find no drop set, and rebuild in full —
+      // output-exact either way; only the cost is probabilistic.
+      val docBits = math.min(1L << 30, math.max(1024L, nDirty * bitsPerKey)).toInt
+      val docBlob = dropSets
+        .agg(GraftFunctions.bloomBuild(xxhash64(col("doc_id")), docBits, numHashes)
+          .as("blob"))
+        .head().getAs[Array[Byte]](0)
+      val isDirty = GraftFunctions.bloomMightContain(xxhash64(col("doc_id")), docBlob)
+      cleanRebuild(framedArr.filter(!isDirty))
+        .unionByName(rebuildWithDrops(framedArr.filter(isDirty), dropSets))
+    }
   }
 
   /** The pre-r10 regroup form of [[dedupParagraphs]] — identical output,

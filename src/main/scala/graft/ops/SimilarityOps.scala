@@ -760,25 +760,63 @@ object SimilarityOps {
     }
     if (cs.isEmpty) return cs
     val dim = cs.head.length
+    // Two partial-sum strategies per Lloyd iteration, chosen by MODEL size
+    // (k×dim doubles — known up front, no measurement job needed):
+    //  - DENSE PARTIALS (small model, the ≤64 MB-per-task regime that
+    //    covers every in-repo caller): one mapPartitions pass accumulates a
+    //    k×dim double matrix per task and the driver merges them in
+    //    partition order — ONE stage, ZERO shuffle, one driver action per
+    //    iteration moving exactly the model (k×dim×partitions doubles).
+    //    The previous posexplode+groupBy form shuffled n×dim exploded rows
+    //    per iteration and then streamed the agg back via toLocalIterator
+    //    (2 stages + per-partition fetch round trips): measured at sf0.1
+    //    it was most of kmeans_cluster's 13 driver round trips.
+    //  - EXPLODED AGG (huge model, e.g. k=65k × dim=1024 where a dense
+    //    per-task matrix is ~0.5 GB): the old shape — posexplode +
+    //    groupBy(cluster, d) partial aggregation, streamed to the driver
+    //    one partition at a time so the driver's peak stays the k×dim
+    //    arrays plus one partition of rows.
+    val denseModel = cs.length.toLong * dim * 8L <= (64L << 20)
     for (_ <- 1 to iters) {
-      // The driver pull per iteration is the MODEL ITSELF (k×dim summed
-      // partials — irreducible for a driver-held model), but it is
-      // STREAMED, not collected: toLocalIterator fills the dense arrays
-      // one partition at a time, so the driver's peak is the k×dim double
-      // arrays plus one partition of rows — at k=65k, dim=1024 that is
-      // ~0.5 GB of model versus the ~6 GB of Row-object overhead a
-      // collect() of 67 M rows would add on top of it.
-      val partials = emb.select(
-          nearestCentroids(col("embedding"), cs, 1)(0).as("cluster"),
-          posexplode(col("embedding")).as(Seq("d", "v")))
-        .groupBy(col("cluster"), col("d"))
-        .agg(sum(col("v").cast("double")).as("sv"), count(lit(1)).as("cnt"))
-        .toLocalIterator()
       val acc = Array.ofDim[Double](cs.length, dim)
       val cnt = new Array[Long](cs.length)
-      partials.forEachRemaining { r =>
-        acc(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
-        cnt(r.getInt(0)) = r.getLong(3)
+      if (denseModel) {
+        val k = cs.length
+        val partials = emb.select(
+            nearestCentroids(col("embedding"), cs, 1)(0).as("cluster"),
+            col("embedding"))
+          .rdd.mapPartitions { it =>
+            val a = Array.ofDim[Double](k, dim)
+            val n = new Array[Long](k)
+            it.foreach { r =>
+              val c = r.getInt(0)
+              val e = r.getSeq[Float](1)
+              val m = math.min(dim, e.length)
+              var d = 0
+              while (d < m) { a(c)(d) += e(d); d += 1 }
+              n(c) += 1
+            }
+            Iterator.single((a, n))
+          }.collect()
+        partials.foreach { case (a, n) =>
+          var c = 0
+          while (c < k) {
+            var d = 0
+            while (d < dim) { acc(c)(d) += a(c)(d); d += 1 }
+            cnt(c) += n(c); c += 1
+          }
+        }
+      } else {
+        val partials = emb.select(
+            nearestCentroids(col("embedding"), cs, 1)(0).as("cluster"),
+            posexplode(col("embedding")).as(Seq("d", "v")))
+          .groupBy(col("cluster"), col("d"))
+          .agg(sum(col("v").cast("double")).as("sv"), count(lit(1)).as("cnt"))
+          .toLocalIterator()
+        partials.forEachRemaining { r =>
+          acc(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+          cnt(r.getInt(0)) = r.getLong(3)
+        }
       }
       cs = cs.zipWithIndex.map { case (old, c) =>
         if (cnt(c) == 0) old

@@ -105,18 +105,33 @@ object TextOps {
     * oracle replays the same composite verbatim via chr(0). */
   def logGrepSort(lines: DataFrame, pattern: String, separator: String = " ",
                   sortColumns: Seq[Int] = Seq(0),
-                  partitions: Int = 32): DataFrame = {
+                  partitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(sortColumns.nonEmpty, "logGrepSort: sortSpec must name >= 1 column")
+    // partitions ≤ 0 → the session's shuffle width (scale-adaptive: the
+    // bucket count tracks the deployment's parallelism instead of a
+    // constant tuned for one box). ANY count yields identical output — the
+    // bucket id is monotone in the key and the offsets re-derive the
+    // global rank — so the knob is cost-only.
+    val np = if (partitions > 0) partitions
+      else lines.sparkSession.sessionState.conf.numShufflePartitions
     val filtered = lines.select(col("line")).filter(col("line").rlike(pattern))
     val fields = split(col("line"), java.util.regex.Pattern.quote(separator))
     val keyCols = sortColumns.map(i => coalesce(fields.getItem(i), lit("")))
     val composite = concat_ws("\u0000", (keyCols :+ col("line")): _*)
-    val keyed = filtered.withColumn("k", composite)
-      .withColumn("pid", Buckets.stringQuantileBucket(filtered, composite, partitions))
+    // materialize (line, k) ONCE: the grep + split + composite cost per row
+    // was previously paid in THREE scans (the quantile sample, the offsets
+    // branch, the rank branch). Eager localCheckpoint, not persist: the
+    // returned plan references this relation lazily, so a persist would
+    // have no release point (the dedupParagraphs dropSets pattern). The
+    // checkpoint holds only the GREP SURVIVORS — match-sized, not
+    // corpus-sized.
+    val keyed0 = filtered.withColumn("k", composite).localCheckpoint(true)
+    val keyed = keyed0
+      .withColumn("pid", Buckets.stringQuantileBucket(keyed0, col("k"), np))
     val offsets = keyed.groupBy(col("pid")).agg(count(lit(1)).as("pcnt"))
       .withColumn("offset", coalesce(sum(col("pcnt")).over(
-        // ≤ `partitions` rows — the tiny phase-2 window
+        // ≤ `np` rows — the tiny phase-2 window
         Window.partitionBy(lit(0)).orderBy(col("pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     keyed.withColumn("intra", row_number().over(

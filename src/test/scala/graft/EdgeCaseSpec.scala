@@ -38,10 +38,12 @@ class EdgeCaseSpec extends SparkSpecBase {
     assert(SimilarityOps.embeddingNearDup(spark, emptyEmb).count() == 0)
     assert(SimilarityOps.ivfTopK(spark, emptyEmb).count() == 0)
     assert(SimilarityOps.annLshTopK(spark, emptyEmb).count() == 0)
-    // non-convergence is an error, never a silently partial grouping
+    // non-convergence on the DISTRIBUTED loop is an error, never a silently
+    // partial grouping (localEdgeMax = 0 disarms the r12 driver union-find
+    // fast path, which solves any in-budget graph without iterating)
     val longPath = (1L until 12L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     intercept[IllegalStateException] {
-      DedupOps.connectedComponents(longPath, maxIter = 2)
+      DedupOps.connectedComponents(longPath, maxIter = 2, localEdgeMax = 0L)
     }
     // empty benchmark → nothing is contaminated, whole corpus survives
     val corpus = docsDf(Seq((1L, "alpha beta gamma delta")))
